@@ -1,0 +1,130 @@
+"""Config system: YAML file merged with argparse overrides (argparse wins).
+
+Mirrors the reference public surface (crimac_unet/utils/general.py:33-144):
+``load_yaml_config``, per-mode ``get_argparse_parser`` with the same flag
+names, and ``parse_config_options`` shallow-merge semantics, plus TPU-only
+extensions (mesh size, compute dtype) with safe defaults so reference YAML
+files work unmodified.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import yaml
+
+# Defaults applied for keys a YAML may omit.  Values mirror
+# crimac_unet/configs/config_baseline.yaml:1-74.
+CONFIG_DEFAULTS = {
+    "random_seed": 10,
+    "frequencies": [18, 38, 120, 200],
+    "data_mode": "memm",
+    "num_workers": 4,
+    "patch_size": [256, 256],
+    "meta_channels": [],
+    "late_meta_inject": False,
+    "loss_type": "CE",
+    "batch_size": 4,
+    "lr": 0.005,
+    "lr_reduction": 0.5,
+    "momentum": 0.95,
+    "test_iter": 1000,
+    "log_step": 2500,
+    "lr_step": 1000,
+    "iterations": 15000,
+    "partition_train": "selected surveys",
+    "train_surveys": [],
+    "validation_surveys": [],
+    "save_model_params": True,
+    "eval_mode": "all",
+    "partition_predict": "all surveys",
+    "evaluation_surveys": [],
+    "labels_available": True,
+    "patch_overlap": 20,
+    "preload_n_pings": 1000,
+    "save_prediction_surveys": [],
+    "resume_writing": False,
+    "save_labels": True,
+    # --- TPU-native extensions (not in the reference YAML) ---
+    "mesh_devices": 0,           # 0 = all visible devices
+    "compute_dtype": "bfloat16",  # dtype of conv compute; params stay float32
+    "train_dtype": "float32",     # compute dtype used by the train step
+    "prediction_batch_pings": 0,  # 0 = derive from preload_n_pings
+    "prefetch_depth": 2,          # host->device double buffering depth
+    "class_weights": [10.0, 300.0, 250.0],
+    "depth": 5,
+    "start_filts": 64,
+}
+
+
+def load_yaml_config(path):
+    """Load a YAML config file into a dict (reference utils/general.py:33)."""
+    with open(path, "r") as stream:
+        return yaml.safe_load(stream)
+
+
+def get_argparse_parser(mode: str = "train") -> argparse.ArgumentParser:
+    """Per-mode CLI parser with the reference flag set
+    (reference utils/general.py:38-117)."""
+    assert mode in ("train", "eval", "save_predict", "docker_predict")
+
+    parser = argparse.ArgumentParser(argument_default=argparse.SUPPRESS)
+    if mode == "docker_predict":
+        parser.add_argument("--save_model_params", action="store_true",
+                            default=False)
+        return parser
+
+    parser.add_argument("--num_workers", dest="num_workers", required=False,
+                        type=int)
+    parser.add_argument("--depth", dest="depth", required=False, type=int)
+    parser.add_argument("--batch_size", dest="batch_size", required=False,
+                        type=int)
+    parser.add_argument("--data_mode", dest="data_mode", required=False,
+                        choices=["memm", "zarr"], type=str)
+    parser.add_argument("--yaml_path", dest="yaml_path",
+                        type=lambda p: Path(p).resolve(strict=True),
+                        required=True)
+
+    if mode in ("eval", "save_predict"):
+        parser.add_argument("--checkpoint_path", dest="checkpoint_path",
+                            type=lambda p: Path(p).resolve(strict=True),
+                            required=True)
+        parser.add_argument("--save_model_params", action="store_true",
+                            default=False)
+        if mode == "eval":
+            parser.add_argument("--save_path_metrics", dest="save_path_metrics",
+                                type=lambda p: Path(p).resolve(strict=True),
+                                required=True)
+            parser.add_argument("--save_path_plot", dest="save_path_plot",
+                                type=lambda p: Path(p).resolve(strict=True),
+                                required=True)
+        else:
+            parser.add_argument("--save_predictions_path",
+                                dest="save_predictions_path",
+                                type=lambda p: Path(p).resolve(strict=True),
+                                required=True)
+    return parser
+
+
+def parse_config_options(configuration: dict, argparse_args=None) -> dict:
+    """Shallow merge: defaults < YAML < argparse (argparse wins;
+    reference utils/general.py:136-144)."""
+    args_dict = dict(CONFIG_DEFAULTS)
+    sources = [configuration or {}]
+    if argparse_args is not None:
+        sources.append(vars(argparse_args))
+    for configs in sources:
+        for k, v in configs.items():
+            args_dict[k] = v
+    return args_dict
+
+
+def config_args_to_markdown(config_args: dict) -> str:
+    """Config rendered as a markdown table for logging
+    (reference utils/general.py:147-152)."""
+    rows = ["| Variable | Value |", "| ---- | ---------- |"]
+    for k, w in config_args.items():
+        if not str(k).startswith("_"):
+            rows.append(f"|{k}|{w}|")
+    return "\n".join(rows)

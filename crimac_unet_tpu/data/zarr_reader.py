@@ -1,0 +1,312 @@
+"""Zarr survey reader.
+
+One object per survey: opens the zarr triplet ``<survey>_sv.zarr`` /
+``_labels.zarr`` / ``_bottom.zarr`` + objects CSV via zarrlite, with the
+accessor contract of the reference ``DataReaderZarr``
+(crimac_unet/data/data_reader.py:510-1146):
+
+  * ``shape`` is (n_pings, n_range) — note the axis swap vs the memmap
+    reader (reference batch/dataset.py:141-144)
+  * ``get_data_slice``  -> (freq, ping, range) float
+  * ``get_label_slice`` -> (ping, range) categorical overlay of the binary
+    category masks (later categories win; reference data_reader.py:786-793)
+  * ``get_seabed`` / ``get_seabed_mask`` from the bottom mask
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+
+from ..constants import DATA_BOUNDARY_VAL, LABEL_BOUNDARY_VAL
+from .zarrlite import ZGroup
+
+
+class DataReaderZarr:
+    data_format = "zarr"
+
+    def __init__(self, path):
+        self.sv_path = os.path.abspath(str(path))
+        self.name = os.path.split(self.sv_path)[-1].replace("_sv.zarr", "")
+        self.path = os.path.split(self.sv_path)[0]
+        self.annotation_path = os.path.join(self.path,
+                                            f"{self.name}_labels.zarr")
+        self.seabed_path = os.path.join(self.path, f"{self.name}_bottom.zarr")
+        self.objects_df_path = os.path.join(self.path,
+                                            f"{self.name}_labels.parquet.csv")
+        assert os.path.isdir(self.sv_path), f"No Sv data found at {self.sv_path}"
+
+        self.ds = ZGroup.open(self.sv_path)
+        self.sv = self.ds["sv"]
+        self.frequencies = self.ds["frequency"][:].astype(np.int64)
+        self.range_vector = self.ds["range"][:]
+        self.time_vector = self.ds["ping_time"][:]
+        self.heave = (self.ds["heave"][:] if "heave" in self.ds else None)
+        self.raw_file = (self.ds["raw_file"][:] if "raw_file" in self.ds
+                         else None)
+        self.year = int(str(self.time_vector[0].astype("M8[Y]")))
+        self.shape = (self.sv.shape[1], self.sv.shape[2])  # (pings, range)
+        if self.raw_file is not None:
+            self.raw_file_included = np.unique(self.raw_file)
+        else:
+            self.raw_file_included = np.array([])
+
+        self.annotation = None
+        self.fish_categories = []
+        if os.path.isdir(self.annotation_path):
+            self.annotation = ZGroup.open(self.annotation_path)
+            self.labels = self.annotation["annotation"]
+            self.categories = self.annotation["category"][:].astype(np.int64)
+            self.fish_categories = [int(c) for c in self.categories if c != -1]
+
+        self.seabed = None
+        if os.path.isdir(self.seabed_path):
+            self.seabed = ZGroup.open(self.seabed_path)
+
+        self.valid_pings = None
+        self.objects_df = None
+        self._seabed_vec = None  # full-survey seabed cache (fast path)
+
+    # ------------------------------------------------------------- indices
+    def get_ping_index(self, ping_time) -> int:
+        """Closest ping index to a datetime64
+        (reference data_reader.py:600-608)."""
+        return int(np.abs(self.time_vector - ping_time).argmin())
+
+    def get_range_index(self, rng) -> int:
+        return int(np.abs(self.range_vector - rng).argmin())
+
+    def get_valid_pings(self) -> np.ndarray:
+        """STOX transect CSV -> valid [start, end) ping ranges; falls back to
+        the full survey when no CSV exists
+        (reference data_reader.py:577-598)."""
+        if self.valid_pings is not None:
+            return self.valid_pings
+        csv_dir = Path(self.path).parents[1] if len(Path(self.path).parents) > 1 \
+            else Path(self.path)
+        csv_path = os.path.join(csv_dir, "STOX",
+                                self.name.replace("S", "") + "_transects.csv")
+        if not os.path.isfile(csv_path):
+            self.valid_pings = np.array([[0, self.shape[0]]], dtype=np.int32)
+            return self.valid_pings
+        import pandas as pd
+        valid_df = pd.read_csv(csv_path)
+        starts, ends = [], []
+        for _, row in valid_df.iterrows():
+            starts.append(self.get_ping_index(np.datetime64(row.StartDateTime)))
+            ends.append(self.get_ping_index(np.datetime64(row.StopDateTime)))
+        self.valid_pings = np.array([starts, ends], dtype=np.int32).T
+        return self.valid_pings
+
+    # -------------------------------------------------------------- slices
+    def _range_slice(self, idx_range, n_range):
+        if idx_range is None:
+            return slice(None, n_range)
+        if n_range is None:
+            return slice(idx_range, None)
+        return slice(idx_range, idx_range + n_range)
+
+    def get_data_slice(self, idx_ping, n_pings=None, idx_range=None,
+                       n_range=None, frequencies=None, drop_na=False,
+                       return_numpy=True):
+        """(freq, ping, range) slab (reference data_reader.py:699-752)."""
+        if frequencies is None:
+            freq_idx = list(range(len(self.frequencies)))
+        else:
+            if np.isscalar(frequencies):
+                frequencies = [frequencies]
+            freq_idx = [self._freq_index(f) for f in frequencies]
+        ping_sl = slice(idx_ping, None if n_pings is None
+                        else idx_ping + n_pings)
+        rng_sl = self._range_slice(idx_range, n_range)
+        out = np.stack([self.sv[f, ping_sl, rng_sl] for f in freq_idx], axis=0)
+        if drop_na:
+            keep = ~np.all(np.isnan(out), axis=(0, 1))
+            out = out[:, :, keep]
+        return out
+
+    def _freq_index(self, f) -> int:
+        matches = np.where((self.frequencies == f)
+                           | (self.frequencies == f * 1000))[0]
+        assert len(matches) > 0, f"frequency {f} not in {self.frequencies}"
+        return int(matches[0])
+
+    def get_label_slice(self, idx_ping, n_pings=None, idx_range=None,
+                        n_range=None, drop_na=False, categories=None,
+                        return_numpy=True):
+        """Overlay the per-category binary masks into one categorical
+        (ping, range) mask; later categories win on overlap
+        (reference data_reader.py:754-807)."""
+        if categories is None:
+            categories = self.fish_categories
+        ping_sl = slice(idx_ping, None if n_pings is None
+                        else idx_ping + n_pings)
+        rng_sl = self._range_slice(idx_range, n_range)
+
+        cat_list = [int(c) for c in self.categories]
+        base = self.labels[cat_list.index(-1), ping_sl, rng_sl] * 0
+        out = base
+        for cat in categories:
+            mask = self.labels[cat_list.index(int(cat)), ping_sl, rng_sl]
+            out = np.where(mask > 0, float(cat), out)
+        return out
+
+    def get_seabed_mask(self, idx_ping, n_pings=None, idx_range=None,
+                        n_range=None, return_numpy=False, seabed_pad=0):
+        """(ping, range) 0/1 mask of below-seabed pixels; ``seabed_pad``
+        shifts the mask down (reference data_reader.py:810-851)."""
+        ping_sl = slice(idx_ping, None if n_pings is None
+                        else idx_ping + n_pings)
+        if idx_range is None:
+            idx_range = 0
+        rng_sl = self._range_slice(idx_range, n_range)
+        seabed_slice = np.nan_to_num(
+            self.seabed["bottom_range"][ping_sl, rng_sl], nan=0.0)
+        if seabed_pad != 0:
+            pad = np.zeros_like(seabed_slice)
+            pad[:, seabed_pad:] = seabed_slice[:, :-seabed_pad]
+            return pad
+        return seabed_slice
+
+    def get_seabed(self, idx_ping, n_pings=1, idx_range=None, n_range=None,
+                   return_numpy=True):
+        """Per-ping first below-seabed row index
+        (reference data_reader.py:853-870), cached for the full survey."""
+        if self._seabed_vec is None:
+            mask = np.nan_to_num(self.seabed["bottom_range"][:, :], nan=0.0)
+            self._seabed_vec = mask.argmax(axis=1).astype(int)
+        if n_pings is None:
+            return self._seabed_vec[idx_ping:]
+        return self._seabed_vec[idx_ping:idx_ping + n_pings]
+
+    # -------------------------------------------------------------- objects
+    def get_objects_file(self):
+        """Objects dataframe with seabed distance + validity, cached to
+        ``<name>_objects_parsed.csv`` (reference data_reader.py:637-697)."""
+        if self.objects_df is not None:
+            return self.objects_df
+        import pandas as pd
+        parsed = os.path.join(self.path, self.name + "_objects_parsed.csv")
+        if os.path.isfile(parsed):
+            self.objects_df = pd.read_csv(parsed, index_col=0)
+            return self.objects_df
+        if not os.path.isfile(self.objects_df_path):
+            raise FileNotFoundError(
+                f"Cannot compute objects dataframe from {self.objects_df_path}")
+        df = pd.read_csv(self.objects_df_path, header=0)
+        df = df.rename(columns={"upperdept": "upperdepth",
+                                "lowerdept": "lowerdepth",
+                                "upperdeptindex": "upperdepthindex",
+                                "lowerdeptindex": "lowerdepthindex"})
+        if "distance_to_seabed" not in df.columns or \
+                df["distance_to_seabed"].isna().all():
+            dist = np.full(len(df), np.nan, dtype=np.float32)
+            valid = np.zeros(len(df), dtype=bool)
+            for idx, row in df.iterrows():
+                if row.startpingindex > row.endpingindex or row.category == -1:
+                    continue
+                if self.seabed is not None:
+                    center = int(row.startpingindex) + int(
+                        (row.endpingindex - row.startpingindex) / 2)
+                    dist[idx] = (self.get_seabed(center)[0]
+                                 - row.lowerdepthindex)
+                valid[idx] = True
+            df["distance_to_seabed"] = dist
+            df["valid_object"] = valid
+        df.to_csv(parsed)
+        self.objects_df = df
+        return df
+
+    def get_fish_schools(self, category="all"):
+        """Valid-school bounding boxes for the requested categories
+        (reference data_reader.py:622-635)."""
+        df = self.get_objects_file()
+        if category == "all":
+            category = self.fish_categories
+        if not isinstance(category, (list, np.ndarray)):
+            category = [category]
+        return df.loc[df.category.isin(category) & df.valid_object]
+
+    def get_object_bounding_boxes(self):
+        """(n, 4) [y0, y1, x0, x1] bboxes in (range, ping) index space, for
+        the extended-label eval masks (reference extend_label_masks.py:66)."""
+        df = self.get_fish_schools("all")
+        return df[["upperdepthindex", "lowerdepthindex",
+                   "startpingindex", "endpingindex"]].values.astype(int)
+
+    @property
+    def objects(self):
+        """Reference-style object dicts for grid modes region/trace
+        (reference gridded.py:62-63)."""
+        df = self.get_fish_schools("all")
+        return [{"fish_type_index": int(r.category),
+                 "bounding_box": [int(r.upperdepthindex),
+                                  int(r.lowerdepthindex),
+                                  int(r.startpingindex),
+                                  int(r.endpingindex)]}
+                for _, r in df.iterrows()]
+
+    # ----------------------------------------------------------------- crop
+    def crop_data(self, center, window, frequencies):
+        """(C, H=range, W=ping) float32 crop in patch orientation with
+        boundary fill + nan scrub (reference batch/dataset.py:358-407)."""
+        y0 = int(center[0]) - window[0] // 2 + 1
+        x0 = int(center[1]) - window[1] // 2 + 1
+        y1, x1 = y0 + window[0], x0 + window[1]
+        n_pings, n_range = self.shape
+        cy0, cy1 = max(y0, 0), min(y1, n_range)
+        cx0, cx1 = max(x0, 0), min(x1, n_pings)
+        out = np.full((len(frequencies), window[0], window[1]),
+                      DATA_BOUNDARY_VAL, dtype=np.float32)
+        if cy1 > cy0 and cx1 > cx0:
+            slab = self.get_data_slice(cx0, cx1 - cx0, cy0, cy1 - cy0,
+                                       frequencies)
+            out[:, cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
+                np.nan_to_num(slab.swapaxes(1, 2), nan=DATA_BOUNDARY_VAL)
+        return out
+
+    def crop_labels(self, center, window):
+        y0 = int(center[0]) - window[0] // 2 + 1
+        x0 = int(center[1]) - window[1] // 2 + 1
+        y1, x1 = y0 + window[0], x0 + window[1]
+        n_pings, n_range = self.shape
+        cy0, cy1 = max(y0, 0), min(y1, n_range)
+        cx0, cx1 = max(x0, 0), min(x1, n_pings)
+        out = np.full(tuple(window), LABEL_BOUNDARY_VAL, dtype=np.float32)
+        if cy1 > cy0 and cx1 > cx0:
+            slab = self.get_label_slice(cx0, cx1 - cx0, cy0, cy1 - cy0)
+            out[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
+                np.nan_to_num(slab.T, nan=LABEL_BOUNDARY_VAL)
+        return out.astype(np.int16)
+
+
+def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
+                     minimum_shape=256, path_to_zarr_files=None):
+    """Discover surveys under the production layout
+    ``<root>/<year>/*/ACOUSTIC/GRIDDED/*sv.zarr``
+    (reference data_reader.py:1123-1146)."""
+    from .. import paths
+    if path_to_zarr_files is None:
+        path_to_zarr_files = paths.path_to_zarr_files()
+
+    if years == "all":
+        files = sorted(glob(os.path.join(path_to_zarr_files, "**",
+                                         "*sv.zarr"), recursive=True))
+    else:
+        assert isinstance(years, (list, tuple, np.ndarray))
+        files = []
+        for year in years:
+            files += sorted(glob(os.path.join(
+                path_to_zarr_files, str(year), "*", "ACOUSTIC", "GRIDDED",
+                "*sv.zarr")))
+    assert len(files) > 0, f"No survey data found at {path_to_zarr_files}"
+    readers = [DataReaderZarr(f) for f in files]
+    readers = [r for r in readers
+               if all(any((r.frequencies == f) | (r.frequencies == f * 1000))
+                      for f in frequencies)]
+    readers = [r for r in readers
+               if all(cat in r.fish_categories for cat in (27, 1))]
+    return readers

@@ -1,0 +1,326 @@
+"""zarrlite — a self-contained zarr-v2 directory-store implementation.
+
+The reference framework's on-disk survey contract is zarr v2 directories
+(``<survey>_sv.zarr`` / ``_labels.zarr`` / ``_bottom.zarr``, written with
+xarray; reference data/data_reader.py:516-575 and
+pipeline_train_predict/save_predict.py:124-134).  The zarr/xarray packages
+are not available in this environment, so this module implements the zarr v2
+format directly: ``.zgroup`` / ``.zarray`` / ``.zattrs`` JSON metadata,
+C-order chunk files named ``i.j.k``, zlib or raw codecs, and the xarray
+``_ARRAY_DIMENSIONS`` convention — stores written here open unmodified in
+stock zarr+xarray, and vice versa (for zlib/raw-compressed stores).
+
+Supports region reads, region writes, and append along any axis (the
+``ping_time`` append used by prediction writing with ``resume_writing``,
+reference save_predict.py:124-134).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+_ZARR_FORMAT = 2
+
+
+def _encode_fill_value(v, dtype: np.dtype):
+    if v is None:
+        return None
+    if np.issubdtype(dtype, np.floating):
+        v = float(v)
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return v
+    if np.issubdtype(dtype, np.integer) or np.issubdtype(dtype, np.bool_):
+        return int(v)
+    return v
+
+
+def _decode_fill_value(v, dtype: np.dtype):
+    if v is None:
+        return None
+    if isinstance(v, str):
+        if v == "NaN":
+            return np.nan
+        if v == "Infinity":
+            return np.inf
+        if v == "-Infinity":
+            return -np.inf
+    return np.array(v, dtype=dtype)[()]
+
+
+class _Codec:
+    """Chunk compressor registry: ``null`` (raw) and ``zlib``.
+
+    Blosc/zstd (the reference's output codec, save_predict.py:128) is not in
+    this environment; zlib is part of the zarr v2 core codecs and readable by
+    any zarr install.
+    """
+
+    @staticmethod
+    def encode(buf: bytes, compressor: dict | None) -> bytes:
+        if compressor is None:
+            return buf
+        cid = compressor.get("id")
+        if cid == "zlib":
+            return zlib.compress(buf, compressor.get("level", 1))
+        raise ValueError(f"Unsupported compressor: {compressor}")
+
+    @staticmethod
+    def decode(buf: bytes, compressor: dict | None) -> bytes:
+        if compressor is None:
+            return buf
+        cid = compressor.get("id")
+        if cid == "zlib":
+            return zlib.decompress(buf)
+        raise ValueError(f"Unsupported compressor: {compressor}")
+
+
+class ZArray:
+    """One zarr v2 array backed by a directory of chunk files."""
+
+    def __init__(self, path, meta: dict, attrs: dict):
+        self.path = Path(path)
+        self.meta = meta
+        self.attrs = attrs
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        self.compressor = meta.get("compressor")
+        self.fill_value = _decode_fill_value(meta.get("fill_value"), self.dtype)
+        assert meta.get("order", "C") == "C", "only C order supported"
+        assert not meta.get("filters"), "filters not supported"
+
+    # ------------------------------------------------------------------ io
+    @classmethod
+    def open(cls, path) -> "ZArray":
+        path = Path(path)
+        with open(path / ".zarray") as f:
+            meta = json.load(f)
+        attrs = {}
+        if (path / ".zattrs").is_file():
+            with open(path / ".zattrs") as f:
+                attrs = json.load(f)
+        return cls(path, meta, attrs)
+
+    @classmethod
+    def create(cls, path, shape, chunks, dtype, compressor="zlib",
+               fill_value=0, attrs=None, dims=None, overwrite=False) -> "ZArray":
+        path = Path(path)
+        if path.exists():
+            if overwrite:
+                shutil.rmtree(path)
+            else:
+                raise FileExistsError(str(path))
+        path.mkdir(parents=True)
+        dtype = np.dtype(dtype)
+        if compressor == "zlib":
+            compressor = {"id": "zlib", "level": 1}
+        meta = {
+            "zarr_format": _ZARR_FORMAT,
+            "shape": list(int(s) for s in shape),
+            "chunks": list(int(c) for c in chunks),
+            "dtype": dtype.str,
+            "compressor": compressor,
+            "fill_value": _encode_fill_value(fill_value, dtype),
+            "order": "C",
+            "filters": None,
+        }
+        attrs = dict(attrs or {})
+        if dims is not None:
+            attrs["_ARRAY_DIMENSIONS"] = list(dims)
+        arr = cls(path, meta, attrs)
+        arr._write_meta()
+        return arr
+
+    def _write_meta(self) -> None:
+        with open(self.path / ".zarray", "w") as f:
+            json.dump(self.meta, f, indent=2)
+        with open(self.path / ".zattrs", "w") as f:
+            json.dump(self.attrs, f, indent=2)
+
+    @property
+    def dims(self):
+        return self.attrs.get("_ARRAY_DIMENSIONS")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    # -------------------------------------------------------------- chunks
+    def _chunk_key(self, cidx) -> str:
+        return ".".join(str(i) for i in cidx)
+
+    def _read_chunk(self, cidx) -> np.ndarray:
+        fname = self.path / self._chunk_key(cidx)
+        if not fname.is_file():
+            fill = self.fill_value if self.fill_value is not None else 0
+            return np.full(self.chunks, fill, dtype=self.dtype)
+        with open(fname, "rb") as f:
+            raw = _Codec.decode(f.read(), self.compressor)
+        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
+
+    def _write_chunk(self, cidx, chunk: np.ndarray) -> None:
+        assert chunk.shape == self.chunks
+        buf = _Codec.encode(np.ascontiguousarray(chunk, dtype=self.dtype)
+                            .tobytes(), self.compressor)
+        with open(self.path / self._chunk_key(cidx), "wb") as f:
+            f.write(buf)
+
+    # ------------------------------------------------------------- regions
+    def _norm_sel(self, sel) -> tuple:
+        if not isinstance(sel, tuple):
+            sel = (sel,)
+        sel = sel + (slice(None),) * (self.ndim - len(sel))
+        out = []
+        for i, s in enumerate(sel):
+            if isinstance(s, slice):
+                out.append(slice(*s.indices(self.shape[i])))
+            else:
+                s = int(s)
+                if s < 0:
+                    s += self.shape[i]
+                out.append(slice(s, s + 1))
+        return tuple(out)
+
+    def __getitem__(self, sel) -> np.ndarray:
+        squeeze = [i for i, s in enumerate(
+            sel if isinstance(sel, tuple) else (sel,))
+            if isinstance(s, (int, np.integer))]
+        sel = self._norm_sel(sel)
+        out_shape = tuple(s.stop - s.start for s in sel)
+        out = np.empty(out_shape, dtype=self.dtype)
+
+        ranges = [range(s.start // c, (max(s.stop - 1, s.start)) // c + 1)
+                  if s.stop > s.start else range(0)
+                  for s, c in zip(sel, self.chunks)]
+        import itertools
+        for cidx in itertools.product(*ranges):
+            chunk = self._read_chunk(cidx)
+            src, dst = [], []
+            for ax, (ci, s, c) in enumerate(zip(cidx, sel, self.chunks)):
+                c0 = ci * c
+                a0 = max(s.start, c0)
+                a1 = min(s.stop, c0 + c)
+                src.append(slice(a0 - c0, a1 - c0))
+                dst.append(slice(a0 - s.start, a1 - s.start))
+            out[tuple(dst)] = chunk[tuple(src)]
+        if squeeze:
+            out = np.squeeze(out, axis=tuple(squeeze))
+        return out
+
+    def __setitem__(self, sel, value) -> None:
+        sel = self._norm_sel(sel)
+        value = np.broadcast_to(
+            np.asarray(value, dtype=self.dtype),
+            tuple(s.stop - s.start for s in sel))
+        import itertools
+        ranges = [range(s.start // c, (max(s.stop - 1, s.start)) // c + 1)
+                  if s.stop > s.start else range(0)
+                  for s, c in zip(sel, self.chunks)]
+        for cidx in itertools.product(*ranges):
+            # read-modify-write unless the region covers the full chunk
+            full = all(s.start <= ci * c and s.stop >= min((ci + 1) * c, dim)
+                       for ci, s, c, dim in
+                       zip(cidx, sel, self.chunks, self.shape))
+            covers_whole_chunk = all(
+                s.start <= ci * c and s.stop >= (ci + 1) * c
+                for ci, s, c in zip(cidx, sel, self.chunks))
+            chunk = (np.full(self.chunks,
+                             self.fill_value if self.fill_value is not None
+                             else 0, dtype=self.dtype)
+                     if covers_whole_chunk or full
+                     else self._read_chunk(cidx))
+            src, dst = [], []
+            for ci, s, c in zip(cidx, sel, self.chunks):
+                c0 = ci * c
+                a0 = max(s.start, c0)
+                a1 = min(s.stop, c0 + c)
+                dst.append(slice(a0 - c0, a1 - c0))
+                src.append(slice(a0 - s.start, a1 - s.start))
+            chunk[tuple(dst)] = value[tuple(src)]
+            self._write_chunk(cidx, chunk)
+
+    def append(self, value: np.ndarray, axis: int = 0) -> None:
+        """Grow the array along ``axis`` and write ``value`` into the new
+        region (the zarr append used for ``resume_writing``)."""
+        value = np.asarray(value, dtype=self.dtype)
+        assert value.ndim == self.ndim
+        old = self.shape[axis]
+        new_shape = list(self.shape)
+        new_shape[axis] = old + value.shape[axis]
+        self.meta["shape"] = new_shape
+        self.shape = tuple(new_shape)
+        self._write_meta()
+        sel = [slice(None)] * self.ndim
+        sel[axis] = slice(old, old + value.shape[axis])
+        self[tuple(sel)] = value
+
+    def resize(self, new_shape) -> None:
+        self.meta["shape"] = [int(s) for s in new_shape]
+        self.shape = tuple(int(s) for s in new_shape)
+        self._write_meta()
+
+
+class ZGroup:
+    """A zarr v2 group directory holding named arrays + attrs."""
+
+    def __init__(self, path, attrs: dict):
+        self.path = Path(path)
+        self.attrs = attrs
+        self._arrays: dict[str, ZArray] = {}
+
+    @classmethod
+    def open(cls, path) -> "ZGroup":
+        path = Path(path)
+        assert (path / ".zgroup").is_file(), f"not a zarr group: {path}"
+        attrs = {}
+        if (path / ".zattrs").is_file():
+            with open(path / ".zattrs") as f:
+                attrs = json.load(f)
+        return cls(path, attrs)
+
+    @classmethod
+    def create(cls, path, attrs=None, overwrite=False) -> "ZGroup":
+        path = Path(path)
+        if path.exists():
+            if overwrite:
+                shutil.rmtree(path)
+            else:
+                raise FileExistsError(str(path))
+        path.mkdir(parents=True)
+        with open(path / ".zgroup", "w") as f:
+            json.dump({"zarr_format": _ZARR_FORMAT}, f)
+        attrs = dict(attrs or {})
+        with open(path / ".zattrs", "w") as f:
+            json.dump(attrs, f, indent=2)
+        return cls(path, attrs)
+
+    def array_names(self):
+        return sorted(p.name for p in self.path.iterdir()
+                      if (p / ".zarray").is_file())
+
+    def __contains__(self, name: str) -> bool:
+        return (self.path / name / ".zarray").is_file()
+
+    def __getitem__(self, name: str) -> ZArray:
+        if name not in self._arrays:
+            self._arrays[name] = ZArray.open(self.path / name)
+        return self._arrays[name]
+
+    def create_array(self, name: str, shape, chunks, dtype, **kw) -> ZArray:
+        arr = ZArray.create(self.path / name, shape, chunks, dtype, **kw)
+        self._arrays[name] = arr
+        return arr
+
+    def save_attrs(self) -> None:
+        with open(self.path / ".zattrs", "w") as f:
+            json.dump(self.attrs, f, indent=2)

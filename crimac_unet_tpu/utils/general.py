@@ -1,0 +1,50 @@
+"""Seeding, timing and small general helpers."""
+
+from __future__ import annotations
+
+import datetime
+import random
+import time
+
+import numpy as np
+
+
+def fix_seeds(random_seed: int) -> None:
+    """Fix host RNGs for reproducibility (reference utils/general.py:120-127).
+
+    Device-side randomness is handled by explicit ``jax.random`` keys derived
+    from the same seed, so there is no cudnn/torch equivalent to pin.
+    """
+    np.random.seed(random_seed)
+    random.seed(random_seed)
+
+
+def get_datetime_str() -> str:
+    return datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+class PhaseTimer:
+    """Cheap named phase timers — first-class replacement for the reference's
+    ad-hoc wall-clock prints (SURVEY.md §5 tracing)."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+        self._starts: dict[str, float] = {}
+
+    def start(self, name: str) -> None:
+        self._starts[name] = time.perf_counter()
+
+    def stop(self, name: str) -> float:
+        dt = time.perf_counter() - self._starts.pop(name)
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
+        return dt
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"{name:<32s} total {total:8.3f}s  n={n:<6d} "
+                         f"mean {total / max(n, 1) * 1e3:8.2f}ms")
+        return "\n".join(lines)

@@ -1,0 +1,139 @@
+"""Memmap + zarr reader contract tests on synthetic fixtures."""
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.constants import (DATA_BOUNDARY_VAL, LABEL_BOUNDARY_VAL)
+from crimac_unet_tpu.data.fixtures import (make_survey_dir, make_zarr_survey,
+                                           make_synthetic_echogram,
+                                           write_memmap_echogram)
+from crimac_unet_tpu.data.memmap_reader import Echogram, get_echograms
+from crimac_unet_tpu.data.zarr_reader import DataReaderZarr, get_zarr_readers
+
+
+@pytest.fixture(scope="module")
+def survey_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("memm")
+    make_survey_dir(path, year=2017, n_echograms=2, H=100, W=240, seed=3)
+    return path
+
+
+@pytest.fixture(scope="module")
+def zarr_sv_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("zarr")
+    return make_zarr_survey(path, year=2017, n_echograms=2, H=100, W=240,
+                            seed=3)
+
+
+def test_memmap_reader_contract(survey_dir):
+    echs = get_echograms(years=[2017], path_to_echograms=str(survey_dir),
+                         minimum_shape=50)
+    assert len(echs) == 2
+    e = echs[0]
+    assert e.data_format == "memmap"
+    assert e.year == 2017
+    assert e.shape == (100, 240)  # (range, pings)
+    assert list(e.frequencies) == [18, 38, 120, 200]
+    assert len(e.objects) >= 1
+    for obj in e.objects:
+        assert {"fish_type_index", "indexes", "n_pixels",
+                "bounding_box"} <= set(obj)
+
+    # data memmaps and labels
+    m = e.data_memmaps(38)[0]
+    assert m.shape == (100, 240)
+    labels = e.label_numpy()
+    assert labels.shape == (100, 240)
+    assert set(np.unique(labels)) <= {0, 1, 27}
+
+    # seabed: one value per ping, within data, cached on second call
+    sb = e.get_seabed(0, 240)
+    assert sb.shape == (240,)
+    assert np.all((sb >= 0) & (sb < 100))
+    sb2 = e.get_seabed(10, 5)
+    np.testing.assert_array_equal(sb2, sb[10:15])
+
+    mask = e.get_seabed_mask(0, 240, seabed_pad=10)
+    assert mask.shape == (100, 240)
+    row = mask[:, 7]
+    first = int(np.argmax(row))
+    assert first == min(sb[7] + 10, 100) or row.sum() == 0
+
+
+def test_memmap_crop_boundary_fill(survey_dir):
+    e = get_echograms(years=[2017], path_to_echograms=str(survey_dir),
+                      minimum_shape=50)[0]
+    window = [64, 64]
+    crop = e.crop_data([0, 0], window, [18, 38, 120, 200])
+    assert crop.shape == (4, 64, 64)
+    # patch upper-left = center - w//2 + 1 = -31 -> 31 boundary rows/cols
+    assert np.all(crop[:, :31, :] == DATA_BOUNDARY_VAL)
+    assert np.all(crop[:, :, :31] == DATA_BOUNDARY_VAL)
+    assert np.any(crop[:, 31:, 31:] != DATA_BOUNDARY_VAL)
+
+    lab = e.crop_labels([0, 0], window)
+    assert np.all(lab[:31, :] == LABEL_BOUNDARY_VAL)
+
+    # interior crop matches direct memmap read
+    center = [50, 120]
+    crop = e.crop_data(center, window, [18])
+    m = np.asarray(e.data_memmaps(18)[0])
+    y0, x0 = 50 - 31, 120 - 31
+    np.testing.assert_allclose(
+        crop[0], np.nan_to_num(m[y0:y0 + 64, x0:x0 + 64]), rtol=1e-6)
+
+
+def test_zarr_reader_contract(zarr_sv_path):
+    r = DataReaderZarr(zarr_sv_path)
+    assert r.data_format == "zarr"
+    assert r.year == 2017  # actually from ping_time epoch in fixture
+    assert r.shape == (480, 100)  # (pings, range)
+    assert sorted(r.fish_categories) == [1, 27]
+
+    slab = r.get_data_slice(10, 20, frequencies=[38, 200])
+    assert slab.shape == (2, 20, 100)
+
+    labels = r.get_label_slice(0, 480)
+    assert labels.shape == (480, 100)
+    assert set(np.unique(labels)) <= {0.0, 1.0, 27.0}
+
+    sb = r.get_seabed(0, 480)
+    assert sb.shape == (480,)
+    mask = r.get_seabed_mask(5, 10)
+    assert mask.shape == (10, 100)
+    assert np.all(mask[np.arange(10), sb[5:15]] == 1)
+
+    schools = r.get_fish_schools()
+    assert len(schools) >= 1
+    assert {"startpingindex", "endpingindex", "upperdepthindex",
+            "lowerdepthindex", "distance_to_seabed",
+            "valid_object"} <= set(schools.columns)
+
+
+def test_zarr_memmap_crop_equivalence(tmp_path):
+    """The same echogram read through both formats must produce identical
+    interior crops (axes swapped per format contract)."""
+    rng = np.random.RandomState(7)
+    data, labels, heave, _ = make_synthetic_echogram(80, 150, rng)
+    d = write_memmap_echogram(tmp_path / "m", "2015843-D20150427-T062615",
+                              data, labels, heave)
+    e = Echogram(d)
+    from crimac_unet_tpu.data.preprocess import echograms_to_zarr_survey
+    echograms_to_zarr_survey([e], tmp_path / "z", "S2015843")
+    r = DataReaderZarr(tmp_path / "z" / "S2015843_sv.zarr")
+
+    center, window = [40, 75], [48, 48]
+    crop_m = e.crop_data(center, window, [18, 38, 120, 200])
+    crop_z = r.crop_data(center, window, [18, 38, 120, 200])
+    np.testing.assert_allclose(crop_m, crop_z, rtol=1e-6)
+    np.testing.assert_array_equal(e.crop_labels(center, window),
+                                  r.crop_labels(center, window))
+
+
+def test_get_zarr_readers_nested_layout(tmp_path):
+    make_zarr_survey(tmp_path, year=2016, n_echograms=1, H=80, W=150,
+                     seed=5, layout="nested")
+    readers = get_zarr_readers(years=[2016],
+                               path_to_zarr_files=str(tmp_path))
+    assert len(readers) == 1
+    assert readers[0].name == "S2016843"

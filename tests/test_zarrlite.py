@@ -1,0 +1,87 @@
+"""zarrlite round-trip, region, and append tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.data.zarrlite import ZArray, ZGroup
+
+
+def test_roundtrip_basic(tmp_path, rng):
+    data = rng.rand(37, 53).astype(np.float32)
+    arr = ZArray.create(tmp_path / "a.zarr", data.shape, (16, 16), np.float32,
+                        fill_value=np.nan, dims=["ping_time", "range"])
+    arr[:, :] = data
+    arr2 = ZArray.open(tmp_path / "a.zarr")
+    np.testing.assert_array_equal(arr2[:, :], data)
+    assert arr2.dims == ["ping_time", "range"]
+    # fill_value NaN round-trips through JSON as the string "NaN"
+    meta = json.loads((tmp_path / "a.zarr" / ".zarray").read_text())
+    assert meta["fill_value"] == "NaN"
+
+
+def test_region_reads_and_writes(tmp_path, rng):
+    data = rng.randint(0, 100, size=(40, 30, 25)).astype(np.int16)
+    arr = ZArray.create(tmp_path / "b.zarr", data.shape, (7, 8, 9), np.int16,
+                        fill_value=0)
+    arr[:, :, :] = data
+    np.testing.assert_array_equal(arr[3:21, 5:30, 0:9], data[3:21, 5:30, 0:9])
+    np.testing.assert_array_equal(arr[5], data[5])
+    # partial overwrite
+    arr[10:12, 0:30, 4:7] = 7
+    data[10:12, 0:30, 4:7] = 7
+    np.testing.assert_array_equal(arr[:, :, :], data)
+
+
+def test_missing_chunks_read_fill(tmp_path):
+    arr = ZArray.create(tmp_path / "c.zarr", (10, 10), (4, 4), np.float64,
+                        fill_value=np.nan)
+    out = arr[:, :]
+    assert np.all(np.isnan(out))
+
+
+def test_append_along_axis(tmp_path, rng):
+    a = rng.rand(2, 11, 6).astype(np.float16)
+    b = rng.rand(2, 5, 6).astype(np.float16)
+    arr = ZArray.create(tmp_path / "d.zarr", a.shape, (1, 4, 6), np.float16,
+                        fill_value=0)
+    arr[:, :, :] = a
+    arr.append(b, axis=1)
+    assert arr.shape == (2, 16, 6)
+    got = ZArray.open(tmp_path / "d.zarr")[:, :, :]
+    np.testing.assert_array_equal(got, np.concatenate([a, b], axis=1))
+
+
+def test_datetime64_coord(tmp_path):
+    times = (np.datetime64("2017-04-27T00:00:00", "ns")
+             + np.arange(50) * np.timedelta64(1, "s"))
+    arr = ZArray.create(tmp_path / "t.zarr", times.shape, (16,),
+                        times.dtype, fill_value=None, compressor=None)
+    arr[:] = times
+    np.testing.assert_array_equal(ZArray.open(tmp_path / "t.zarr")[:], times)
+
+
+def test_group(tmp_path, rng):
+    g = ZGroup.create(tmp_path / "g.zarr", attrs={"description": "test"})
+    g.create_array("sv", (4, 20, 10), (4, 8, 10), np.float32,
+                   fill_value=np.nan, dims=["frequency", "ping_time", "range"])
+    data = rng.rand(4, 20, 10).astype(np.float32)
+    g["sv"][:, :, :] = data
+    g2 = ZGroup.open(tmp_path / "g.zarr")
+    assert g2.attrs["description"] == "test"
+    assert "sv" in g2
+    np.testing.assert_array_equal(g2["sv"][:, :, :], data)
+
+
+def test_zarr_interop_layout(tmp_path, rng):
+    """The on-disk bytes must be decodable by a plain zlib+reshape reader —
+    i.e. what stock zarr v2 would do."""
+    import zlib
+    data = rng.rand(8, 8).astype(np.float32)
+    arr = ZArray.create(tmp_path / "i.zarr", (8, 8), (8, 8), np.float32,
+                        fill_value=0)
+    arr[:, :] = data
+    raw = zlib.decompress((tmp_path / "i.zarr" / "0.0").read_bytes())
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.float32).reshape(8, 8), data)

@@ -1,0 +1,107 @@
+"""Streaming PR-curve metrics via exact float16 histograms.
+
+The reference flattens every validation pixel into host RAM and runs
+``sklearn.metrics.precision_recall_curve`` over ~1e8 float16 scores
+(pipeline.py:242-295) — a host memory + compute hot spot.  Because the
+collected scores are float16-quantized probabilities in [0, 1], there are at
+most 15361 distinct values (uint16 bit patterns 0x0000..0x3C00, monotone in
+value for non-negative float16).  A two-row histogram over those bit
+patterns is therefore a *lossless* sufficient statistic: the PR curve
+computed from it is bit-identical to sklearn's on the same float16 scores.
+
+The histogram update runs on device (one scatter-add per batch, reducible
+across the mesh with a psum); the tiny curve construction runs on host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (LABEL_IGNORE_VAL, LABEL_SEABED_MASK_VAL, SANDEEL)
+from .label_ops import set_label_ignore_val
+
+# float16 values in [0, 1]: bit patterns 0 .. 0x3C00 (= 15360)
+N_F16_BINS = 15361
+
+# bin index -> float16 value (host-side)
+F16_BIN_VALUES = np.arange(N_F16_BINS, dtype=np.uint16).view(np.float16)
+
+
+def f16_bits(preds: jnp.ndarray) -> jnp.ndarray:
+    """float -> float16 -> uint16 bit pattern (monotone for preds >= 0)."""
+    return jax.lax.bitcast_convert_type(
+        preds.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+
+
+def new_histogram() -> jnp.ndarray:
+    """(2, N_F16_BINS) int32: row 0 = positives (sandeel), row 1 = negatives."""
+    return jnp.zeros((2, N_F16_BINS), dtype=jnp.int32)
+
+
+def update_pr_histogram(hist: jnp.ndarray, preds: jnp.ndarray,
+                        labels: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate a batch of sandeel probabilities + sentinel labels.
+
+    Reproduces the reference's validation filtering
+    (pipeline.py:305-321, :297-303): sandeel probability is zeroed below the
+    seabed, sentinels are collapsed via ``set_label_ignore_val``, and IGNORE
+    pixels are dropped.  ``preds``: (...,) sandeel probabilities;
+    ``labels``: (...,) int sentinel labels (pre-collapse).
+    """
+    preds = jnp.where(labels == LABEL_SEABED_MASK_VAL, 0.0,
+                      preds.astype(jnp.float32))
+    collapsed = set_label_ignore_val(labels)
+    valid = collapsed != LABEL_IGNORE_VAL
+    pos = collapsed == SANDEEL
+
+    bits = f16_bits(preds).ravel()
+    valid = valid.ravel()
+    pos = pos.ravel()
+
+    hist = hist.at[0, bits].add((valid & pos).astype(jnp.int32))
+    hist = hist.at[1, bits].add((valid & ~pos).astype(jnp.int32))
+    return hist
+
+
+def pr_curve_from_histogram(hist: np.ndarray) -> dict:
+    """Build the sklearn-identical PR curve from the histogram (host side).
+
+    Matches ``sklearn.metrics.precision_recall_curve(y_true, probas_pred,
+    pos_label=SANDEEL)`` followed by the reference's F1 computation
+    (pipeline.py:284-295): thresholds ascending over distinct score values,
+    appended (precision=1, recall=0) end point.
+    """
+    hist = np.asarray(hist)
+    pos, neg = hist[0].astype(np.int64), hist[1].astype(np.int64)
+    present = (pos + neg) > 0
+    bins = np.nonzero(present)[0]
+    thresholds = F16_BIN_VALUES[bins].astype(np.float16)
+
+    # tps/fps at threshold t = counts with score >= t (reverse cumsum)
+    tps = np.cumsum(pos[bins][::-1])[::-1]
+    fps = np.cumsum(neg[bins][::-1])[::-1]
+
+    ps = tps + fps
+    precision = np.divide(tps, ps, out=np.zeros(len(ps)), where=ps != 0)
+    if len(tps) == 0 or tps[0] == 0:  # no positives anywhere
+        recall = np.ones(len(tps))
+    else:
+        recall = tps / tps[0]
+
+    precision = np.concatenate([precision, [1.0]])
+    recall = np.concatenate([recall, [0.0]])
+
+    numerator = 2 * recall * precision
+    denom = recall + precision
+    f1 = np.divide(numerator, denom, out=np.zeros_like(denom),
+                   where=denom != 0)
+    return {"precision": precision, "recall": recall,
+            "thresholds": thresholds.astype(np.float64), "F1": f1}
+
+
+def max_f1(metrics: dict) -> tuple:
+    f1 = metrics["F1"]
+    idx = int(np.argmax(f1))
+    return float(f1[idx]), idx

@@ -5,12 +5,18 @@ Must set the env vars before jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force off the real TPU for tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The installed axon TPU plugin ignores the JAX_PLATFORMS env var; the
+# config API does take effect.
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

@@ -1,0 +1,168 @@
+"""Flax U-Net for echogram segmentation (NHWC, TPU layout).
+
+Architecturally equivalent to the reference PyTorch model
+(crimac_unet/models/unet.py:169-391): encoder of ``depth`` conv-BN-ReLU x2
+blocks with 2x2 maxpool between levels, decoder of transpose-conv 2x2
+upsampling + skip concat + conv-BN-ReLU x2, and a 1x1 logits head with NO
+softmax (callers apply CE loss / softmax).  ``start_filts`` channels double
+per level (4->64->...->1024 at depth 5, ~31M params).
+
+TPU-first choices: NHWC layout (XLA's preferred conv layout on TPU),
+configurable ``dtype`` so convs run in bfloat16 on the MXU with float32
+params/batch-stats, and functional BatchNorm state via the flax
+``batch_stats`` collection.  BatchNorm matches torch semantics
+(eps=1e-5, running-stat momentum 0.1 == flax momentum 0.9); torch tracks
+unbiased running variance while flax tracks biased — an O(1/n) training-
+dynamics difference only, irrelevant for imported weights.
+
+Weight import from reference ``.pt`` checkpoints lives in
+``crimac_unet_tpu.models.torch_import``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in));
+# using the same keeps training dynamics comparable to the reference, which
+# never applies its (unused) weight_init helper (reference unet.py:291-301).
+conv_kernel_init = nn.initializers.variance_scaling(
+    scale=1.0 / 3.0, mode="fan_in", distribution="uniform")
+
+
+def _bias_init_like_torch(key, shape, dtype, fan_in):
+    bound = 1.0 / (fan_in ** 0.5)
+    import jax
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class ConvBNRelu(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        fan_in = x.shape[-1] * 9
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype, kernel_init=conv_kernel_init,
+                    bias_init=lambda k, s, d=jnp.float32:
+                        _bias_init_like_torch(k, s, d, fan_in),
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class DownConv(nn.Module):
+    """Two conv-BN-ReLU units (+ optional 2x2 maxpool)
+    (reference unet.py:63-93)."""
+    features: int
+    pooling: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvBNRelu(self.features, self.dtype, name="unit1")(x, train)
+        x = ConvBNRelu(self.features, self.dtype, name="unit2")(x, train)
+        before_pool = x
+        if self.pooling:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x, before_pool
+
+
+class UpConv(nn.Module):
+    """Transpose-conv 2x2 upsample, skip concat, two conv-BN-ReLU units
+    (reference unet.py:96-137)."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, from_down, from_up, train: bool):
+        fan_in = from_up.shape[-1] * 4
+        up = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                              padding="VALID", use_bias=True,
+                              dtype=self.dtype, kernel_init=conv_kernel_init,
+                              bias_init=lambda k, s, d=jnp.float32:
+                                  _bias_init_like_torch(k, s, d, fan_in),
+                              name="upconv")(from_up)
+        x = jnp.concatenate([up, from_down], axis=-1)
+        x = ConvBNRelu(self.features, self.dtype, name="unit1")(x, train)
+        x = ConvBNRelu(self.features, self.dtype, name="unit2")(x, train)
+        return x
+
+
+class MetaPostProcessing(nn.Module):
+    """Per-pixel MLP 32-32-1 over metadata channels
+    (reference unet.py:140-166).  NHWC makes the permutes a no-op."""
+    out_features: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(32, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(32, dtype=self.dtype, name="fc2")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="fc3")(x)
+
+
+class UNet(nn.Module):
+    """U-Net encoder/decoder; inputs NHWC, returns NHWC logits.
+
+    ``late_meta_inject=True`` adds the reference's late metadata path
+    (unet.py:346-391): a per-pixel MLP over the metadata channels whose
+    single output channel is concatenated before the final 1x1 conv.
+    """
+    n_classes: int = 3
+    depth: int = 5
+    start_filts: int = 64
+    late_meta_inject: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, meta=None, train: bool = False):
+        encoder_outs = []
+        for i in range(self.depth):
+            feats = self.start_filts * (2 ** i)
+            pooling = i < self.depth - 1
+            x, before_pool = DownConv(feats, pooling, self.dtype,
+                                      name=f"down{i}")(x, train)
+            encoder_outs.append(before_pool)
+
+        feats = self.start_filts * (2 ** (self.depth - 1))
+        for i in range(self.depth - 1):
+            feats //= 2
+            skip = encoder_outs[-(i + 2)]
+            x = UpConv(feats, self.dtype, name=f"up{i}")(skip, x, train)
+
+        if self.late_meta_inject:
+            assert meta is not None, "late_meta_inject requires meta input"
+            meta_out = MetaPostProcessing(1, self.dtype, name="meta_mlp")(meta)
+            x = jnp.concatenate([x, meta_out], axis=-1)
+
+        fan_in = x.shape[-1]
+        logits = nn.Conv(self.n_classes, (1, 1), use_bias=True,
+                         dtype=self.dtype, kernel_init=conv_kernel_init,
+                         bias_init=lambda k, s, d=jnp.float32:
+                             _bias_init_like_torch(k, s, d, fan_in),
+                         name="conv_final")(x)
+        return logits.astype(jnp.float32)
+
+
+def build_unet(config: dict) -> UNet:
+    """Construct the flagship model from a merged config dict
+    (reference SegPipeUNet, pipeline.py:379-410)."""
+    dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+    return UNet(n_classes=3,
+                depth=int(config.get("depth", 5)),
+                start_filts=int(config.get("start_filts", 64)),
+                late_meta_inject=bool(config.get("late_meta_inject", False)),
+                dtype=dtype)
+
+
+def count_params(params) -> int:
+    import jax
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,141 @@
+"""Host-side batch production for training/validation.
+
+The reference uses torch ``Dataset`` + ``DataLoader`` worker processes that
+run the full transform chain per patch on the host
+(batch/dataset.py:30-113, pipeline_train_predict/train.py:35-110).  Here the
+host only *extracts raw crops* (sampler -> reader -> crop) and batches them;
+every transform runs fused on device (crimac_unet_tpu.ops).  Prefetching is
+a thread pool + bounded queue feeding the device, replacing DataLoader
+worker forks.
+
+Batch layout: data (B, C, wh, ww) float32 raw sv, labels (B, wh, ww) int32
+raw codes, seabed_row (B, ww) int32 patch-row of seabed+pad (BIG_ROW where
+absent/outside data), centers (B, 2).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from ..constants import SEABED_PAD
+from ..ops.label_ops import BIG_ROW
+
+
+def seabed_patch_row(reader, center, window) -> np.ndarray:
+    """Per-column patch row index of the first masked (below-seabed) pixel,
+    including the +SEABED_PAD shift (reference mask_label_seabed.py:24-68).
+    Columns outside the data or without a seabed get BIG_ROW."""
+    wh, ww = window
+    y0 = int(center[0]) - wh // 2 + 1
+    x0 = int(center[1]) - ww // 2 + 1
+
+    if reader.data_format == "memmap":
+        n_pings = reader.shape[1]
+    else:
+        n_pings = reader.shape[0]
+
+    out = np.full(ww, BIG_ROW, dtype=np.int32)
+    lo = max(x0, 0)
+    hi = min(x0 + ww, n_pings)
+    if hi <= lo:
+        return out
+    sb = np.asarray(reader.get_seabed(lo, hi - lo)).astype(np.int64)
+    valid = np.ones(hi - lo, dtype=bool)
+    sy0 = max(y0, 0)
+    if reader.data_format == "zarr":
+        if getattr(reader, "_seabed_has", None) is not None:
+            valid = reader._seabed_has[lo:hi]
+        # zarr pads by shifting the *sliced* bottom mask down
+        # (data_reader.py:841-846): threshold = max(seabed, patch_top)+pad
+        thresh = np.maximum(sb, sy0) + SEABED_PAD
+    else:
+        # memmap clamps the shifted line at the patch top
+        # (data_reader.py:407-431): threshold = max(seabed+pad, patch_top)
+        thresh = np.maximum(sb + SEABED_PAD, sy0)
+    rows = np.clip(thresh - y0, -(10 ** 6), BIG_ROW)
+    out[lo - x0:hi - x0] = np.where(valid, rows, BIG_ROW).astype(np.int32)
+    return out
+
+
+class RandomPatchDataset:
+    """Class-balanced random patch sampling
+    (reference batch/dataset.py:30-113)."""
+
+    def __init__(self, samplers, window_size, frequencies,
+                 sampler_probs=None, seed=None):
+        self.samplers = samplers
+        self.window_size = window_size
+        self.frequencies = frequencies
+        probs = np.asarray(sampler_probs if sampler_probs is not None
+                           else np.ones(len(samplers)), dtype=float)
+        self.cum_probs = np.cumsum(probs) / probs.sum()
+        self.rng = np.random.RandomState(seed)
+
+    def sample(self):
+        i = self.rng.rand()
+        sampler = self.samplers[int(np.searchsorted(self.cum_probs, i,
+                                                    side="right"))]
+        center, reader = sampler.get_sample(self.rng)
+        data = reader.crop_data(center, self.window_size, self.frequencies)
+        labels = reader.crop_labels(center, self.window_size)
+        seabed = seabed_patch_row(reader, center, self.window_size)
+        return data, labels.astype(np.int32), seabed, np.asarray(center)
+
+    def batch(self, batch_size):
+        parts = [self.sample() for _ in range(batch_size)]
+        return {
+            "data": np.stack([p[0] for p in parts]),
+            "labels": np.stack([p[1] for p in parts]),
+            "seabed_row": np.stack([p[2] for p in parts]),
+            "centers": np.stack([p[3] for p in parts]),
+        }
+
+
+class BatchPrefetcher:
+    """Threaded batch prefetch: N producer threads fill a bounded queue.
+
+    Replaces the reference's DataLoader worker processes (train.py:73-79)
+    with threads — crop extraction is numpy/memmap-bound and releases the
+    GIL in the hot gathers.
+    """
+
+    def __init__(self, dataset_factory, batch_size, n_batches,
+                 num_workers=4, prefetch_depth=4):
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+        self.queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
+        self._count = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        num_workers = max(1, num_workers)
+        self.threads = [
+            threading.Thread(target=self._worker,
+                             args=(dataset_factory(seed_offset=i),),
+                             daemon=True)
+            for i in range(num_workers)]
+        for t in self.threads:
+            t.start()
+
+    def _worker(self, dataset):
+        while not self._stop.is_set():
+            with self._lock:
+                if self._count >= self.n_batches:
+                    return
+                self._count += 1
+            batch = dataset.batch(self.batch_size)
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        for _ in range(self.n_batches):
+            yield self.queue.get()
+
+    def close(self):
+        self._stop.set()

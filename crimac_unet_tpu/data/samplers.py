@@ -1,0 +1,237 @@
+"""Random patch samplers (host side).
+
+The six-sampler battery driving class-balanced training
+(reference batch/samplers/*, wired in data/partition.py:109-159):
+Background, Seabed, School(sandeel), School(other), SchoolSeabed(sandeel),
+SchoolSeabed(other) with mixture probabilities [1, 5, 5, 5, 5, 5].
+
+Each sampler's ``get_sample(rng) -> ([y, x], reader)`` (y = range row,
+x = ping column — memmap orientation).  Rejection loops are iterative with a
+retry cap instead of the reference's unbounded recursion
+(background.py:60-61; deliberate robustness divergence).
+
+BackgroundSeabed exists in the reference but is wired into no pipeline
+(SURVEY.md §2); provided here for API completeness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.grids import random_point_containing
+
+_MAX_RETRIES = 200
+
+
+class Background:
+    """Random location above the seabed with zero fish labels in the crop
+    (reference background.py:23-63)."""
+
+    def __init__(self, readers, window_size):
+        self.readers = list(readers)
+        self.window_size = window_size
+
+    def _candidate(self, rng):
+        ech = self.readers[rng.randint(len(self.readers))]
+        H, W = ech.shape
+        wh, ww = self.window_size
+        if W <= ww:
+            x = W // 2
+        else:
+            half = ww // 2 - 20
+            x = rng.randint(half, W - half)
+        seabed = int(ech.get_seabed(x, 1)[0])
+        if seabed <= wh:
+            y = H // 2
+        else:
+            y = rng.randint(wh // 2, seabed - wh // 2)
+        return [y, x], ech
+
+    def get_sample(self, rng):
+        from ..constants import LABEL_BOUNDARY_VAL
+        for _ in range(_MAX_RETRIES):
+            (y, x), ech = self._candidate(rng)
+            labels = ech.crop_labels([y, x], self.window_size)
+            # reference reads with boundary fill 0 and rejects any nonzero
+            # label (background.py:57-61); our crop fills boundary with -100
+            if not np.any((labels != 0) & (labels != LABEL_BOUNDARY_VAL)):
+                return [y, x], ech
+        return [y, x], ech  # give up rejecting; rare on real data
+
+
+class BackgroundZarr:
+    """Background sampling restricted to STOX-valid ping ranges
+    (reference background.py:66-103)."""
+
+    def __init__(self, readers, window_size=(256, 256)):
+        self.readers = list(readers)
+        self.window_size = window_size
+
+    def get_sample(self, rng):
+        wh, ww = self.window_size
+        for _ in range(_MAX_RETRIES):
+            z = self.readers[rng.randint(len(self.readers))]
+            ranges = z.get_valid_pings()
+            start, end = ranges[rng.randint(len(ranges))]
+            x = rng.randint(start, end)
+            seabed = int(z.get_seabed(x, 1)[0])
+            if seabed - wh // 2 <= 0:
+                continue
+            y = rng.randint(0, seabed - wh // 2)
+            labels = z.get_label_slice(
+                idx_ping=max(0, x - ww // 2), n_pings=ww,
+                idx_range=max(0, y - wh // 2), n_range=wh)
+            if not np.any(np.nan_to_num(labels, nan=0) > 0):
+                return [y, x], z
+        return [y, x], z
+
+
+class Seabed:
+    """Random ping, y near the seabed line (reference seabed.py:23-54)."""
+
+    def __init__(self, readers, window_size):
+        self.readers = list(readers)
+        self.window_size = window_size
+
+    def get_sample(self, rng):
+        ech = self.readers[rng.randint(len(self.readers))]
+        H, W = ech.shape
+        wh, ww = self.window_size
+        if W <= ww:
+            x = W // 2
+        else:
+            half = ww // 2 - 20
+            x = rng.randint(half, W - half)
+        seabed = int(ech.get_seabed(x, 1)[0])
+        y = random_point_containing(H, wh, seabed, rng=rng)
+        return [y, x], ech
+
+
+class SeabedZarr:
+    """(reference seabed.py:57-78)"""
+
+    def __init__(self, readers, window_size=(256, 256)):
+        self.readers = list(readers)
+        self.window_size = window_size
+
+    def get_sample(self, rng):
+        wh, ww = self.window_size
+        for _ in range(_MAX_RETRIES):
+            z = self.readers[rng.randint(len(self.readers))]
+            x = rng.randint(ww // 2, z.shape[0] - ww // 2)
+            y = int(z.get_seabed(x, 1)[0])
+            if y <= 0:
+                continue
+            y += rng.randint(-(wh // 2), wh // 2 + 1)
+            return [y, x], z
+        return [y, x], z
+
+
+class School:
+    """Uniform over (echogram, school) pairs of a fish type; random labelled
+    pixel clamped into a valid window (reference school.py:22-81)."""
+
+    def __init__(self, readers, window_size, fish_type="all"):
+        self.window_size = window_size
+        self.schools = []
+        for e in readers:
+            for o in e.objects:
+                ft = o["fish_type_index"]
+                if (fish_type == "all" or ft == fish_type
+                        or (isinstance(fish_type, list) and ft in fish_type)):
+                    self.schools.append((e, o))
+        if not self.schools:
+            raise ValueError(f"fish_type {fish_type} not found in any echogram")
+
+    def get_sample(self, rng):
+        ech, obj = self.schools[rng.randint(len(self.schools))]
+        y, x = obj["indexes"][rng.randint(obj["n_pixels"])]
+        x = random_point_containing(ech.shape[1], self.window_size[1], x,
+                                    rng=rng)
+        y = random_point_containing(ech.shape[0], self.window_size[0], y,
+                                    rng=rng)
+        return [int(y), int(x)], ech
+
+
+class SchoolZarr:
+    """Uniform over zarr file -> random school bbox -> random point + jitter
+    (reference school.py:84-124)."""
+
+    def __init__(self, readers, window_size, fish_type="all"):
+        self.window_size = window_size
+        self.schools = []
+        for z in readers:
+            df = z.get_fish_schools(category=fish_type)
+            bboxes = df[["startpingindex", "endpingindex",
+                         "upperdepthindex", "lowerdepthindex"]].values
+            self.schools.append((z, bboxes))
+
+    def get_sample(self, rng):
+        for _ in range(_MAX_RETRIES):
+            z, bboxes = self.schools[rng.randint(len(self.schools))]
+            if len(bboxes) == 0:
+                continue
+            bbox = bboxes[rng.randint(bboxes.shape[0])].copy()
+            if bbox[0] == bbox[1]:
+                bbox[1] += 1
+            if bbox[2] == bbox[3]:
+                bbox[3] += 1
+            x = rng.randint(bbox[0], bbox[1])
+            y = rng.randint(bbox[2], bbox[3])
+            x += rng.randint(-(self.window_size[1] // 2),
+                             self.window_size[1] // 2 + 1)
+            y += rng.randint(-(self.window_size[0] // 2),
+                             self.window_size[0] // 2 + 1)
+            return [int(y), int(x)], z
+        raise ValueError("no schools available in any zarr file")
+
+
+class SchoolSeabed(School):
+    """Schools within ``max_dist_to_seabed`` of the seabed line
+    (reference school_seabed.py:24-61)."""
+
+    def __init__(self, readers, window_size, max_dist_to_seabed,
+                 fish_type="all"):
+        super().__init__(readers, window_size, fish_type)
+        kept = []
+        for ech, obj in self.schools:
+            bb = obj["bounding_box"]
+            center_ping = int((bb[2] + bb[3]) / 2)
+            seabed = ech.get_seabed(0, ech.shape[1])[center_ping]
+            if abs(int(seabed) - int(bb[1])) < max_dist_to_seabed:
+                kept.append((ech, obj))
+        self.schools = kept
+
+
+class SchoolSeabedZarr(SchoolZarr):
+    """(reference school_seabed.py:63-99)"""
+
+    def __init__(self, readers, window_size, max_dist_to_seabed=20,
+                 fish_type="all"):
+        self.window_size = window_size
+        self.schools = []
+        for z in readers:
+            df = z.get_fish_schools(category=fish_type)
+            df = df.loc[df.distance_to_seabed < max_dist_to_seabed]
+            bboxes = df[["startpingindex", "endpingindex",
+                         "upperdepthindex", "lowerdepthindex"]].values
+            self.schools.append((z, bboxes))
+
+
+class BackgroundSeabed(Background):
+    """Background-style rejection sampling with the patch forced to contain
+    the seabed (reference background_seabed.py:24-62; not wired into any
+    pipeline battery)."""
+
+    def _candidate(self, rng):
+        ech = self.readers[rng.randint(len(self.readers))]
+        H, W = ech.shape
+        wh, ww = self.window_size
+        if W <= ww:
+            x = W // 2
+        else:
+            half = ww // 2 - 20
+            x = rng.randint(half, W - half)
+        seabed = int(ech.get_seabed(x, 1)[0])
+        y = random_point_containing(H, wh, seabed, rng=rng)
+        return [y, x], ech

@@ -69,6 +69,7 @@ class DataReaderZarr:
         self.valid_pings = None
         self.objects_df = None
         self._seabed_vec = None  # full-survey seabed cache (fast path)
+        self._seabed_has = None
 
     # ------------------------------------------------------------- indices
     def get_ping_index(self, ping_time) -> int:
@@ -178,6 +179,7 @@ class DataReaderZarr:
         if self._seabed_vec is None:
             mask = np.nan_to_num(self.seabed["bottom_range"][:, :], nan=0.0)
             self._seabed_vec = mask.argmax(axis=1).astype(int)
+            self._seabed_has = mask.max(axis=1) > 0  # pings w/o any seabed
         if n_pings is None:
             return self._seabed_vec[idx_ping:]
         return self._seabed_vec[idx_ping:idx_ping + n_pings]

@@ -1,0 +1,188 @@
+"""Training / evaluation engine: fused jitted steps over a data mesh.
+
+The reference's SegPipe (pipeline_train_predict/pipeline.py:39-376) runs
+per-patch transforms in DataLoader workers, forwards on one device, and
+evaluates with sklearn over flattened host arrays.  Here one jitted program
+per phase does everything after the raw crop batch lands on device:
+
+  train_step: augmentation -> label train chain -> data train chain ->
+              forward -> weighted CE (ignore-masked) -> SGD update
+              (gradients all-reduce implicitly across the mesh via sharding)
+  eval_step:  label test chain -> data test chain -> forward ->
+              loss + streaming PR histogram update
+
+Hyper-parameter semantics match the reference: SGD momentum 0.95, lr 0.005
+halved every ``lr_step`` optimizer steps (staircase ExponentialLR,
+pipeline.py:156-157/:187-189), CE class weights [10, 300, 250]
+(pipeline.py:132-141) with torch's weighted-mean normalization and
+ignore_index=-100 behaviour.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from ..constants import LABEL_IGNORE_VAL, N_CLASSES
+from ..models.unet import UNet
+from ..ops import augment, data_ops, label_ops, metrics
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(config: dict) -> optax.GradientTransformation:
+    lr = optax.exponential_decay(
+        init_value=float(config["lr"]),
+        transition_steps=int(config["lr_step"]),
+        decay_rate=float(config["lr_reduction"]),
+        staircase=True)
+    return optax.sgd(learning_rate=lr, momentum=float(config["momentum"]))
+
+
+def init_train_state(model: UNet, config: dict, rng) -> TrainState:
+    wh, ww = config["patch_size"]
+    in_ch = len(config["frequencies"])
+    x = jnp.zeros((1, wh, ww, in_ch), jnp.float32)
+    variables = model.init(rng, x, train=False)
+    tx = make_optimizer(config)
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=tx.init(variables["params"]))
+
+
+def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                     class_weights) -> jnp.ndarray:
+    """torch CrossEntropyLoss(weight=w) with ignore_index=-100 semantics:
+    weighted mean of per-pixel NLL over non-ignored pixels
+    (reference pipeline.py:132-141; labels must already be in
+    {0..2, LABEL_IGNORE_VAL})."""
+    w = jnp.asarray(class_weights, jnp.float32)
+    valid = labels != LABEL_IGNORE_VAL
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    pix_w = w[safe] * valid.astype(jnp.float32)
+    return jnp.sum(nll * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
+
+
+def _train_labels(data, labels, threshold_freq_idx):
+    """Train label chain [refine, convert] (reference transforms.py:69-75)."""
+    labels = label_ops.refine_label_boundary(
+        data, labels, threshold_freq_idx=threshold_freq_idx)
+    return label_ops.convert_label_indexing(labels)
+
+
+def _test_labels(data, labels, seabed_row, overlap, threshold_freq_idx):
+    """Test label chain [convert_unused, refine, mask_seabed, mask_overlap]
+    (reference transforms.py:78-92)."""
+    labels = label_ops.convert_label_indexing(labels,
+                                              mark_unused_species=True)
+    labels = label_ops.refine_label_boundary(
+        data, labels, threshold_freq_idx=threshold_freq_idx)
+    labels = label_ops.mask_label_seabed(labels, seabed_row)
+    return label_ops.mask_label_overlap(labels, overlap)
+
+
+def make_train_step(model: UNet, config: dict):
+    tx = make_optimizer(config)
+    class_weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+
+    @jax.jit
+    def train_step(state: TrainState, data, labels, rng):
+        """data (B,C,H,W) raw sv float32; labels (B,H,W) raw int32."""
+        data, labels = augment.augment_train(rng, data, labels)
+        labels = _train_labels(data, labels, -1)
+        data, labels = data_ops.data_transform_train(data, labels)
+        x = data.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            loss = weighted_ce_loss(logits, labels, class_weights)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(model: UNet, config: dict):
+    class_weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+
+    @partial(jax.jit, static_argnames=("overlap", "with_loss"))
+    def eval_step(params, batch_stats, hist, data, labels, seabed_row,
+                  overlap=0, with_loss=True):
+        """Validation step on raw crops: label test chain, data test chain,
+        forward, loss on ignore-collapsed labels, PR histogram update.
+
+        Returns (hist, loss, n_valid_for_loss).
+        """
+        labels_t = _test_labels(data, labels, seabed_row, overlap, -1)
+        data_t, labels_t = data_ops.data_transform_test(data, labels_t)
+        x = data_t.transpose(0, 2, 3, 1)
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        sandeel = probs[..., 1]
+
+        loss = jnp.zeros(())
+        if with_loss:
+            collapsed = label_ops.set_label_ignore_val(labels_t)
+            loss = weighted_ce_loss(logits, collapsed, class_weights)
+
+        hist = metrics.update_pr_histogram(hist, sandeel, labels_t)
+        return hist, loss
+
+    return eval_step
+
+
+# ------------------------------------------------------------- checkpoints
+def save_checkpoint(path, state_or_vars) -> None:
+    """Serialize {'params', 'batch_stats'} (and optimizer state if given) to
+    a msgpack file — the framework's ``best``/``last`` checkpoint format
+    (reference saves torch state_dicts, pipeline.py:199-203/:336-341)."""
+    if isinstance(state_or_vars, TrainState):
+        payload = {"params": state_or_vars.params,
+                   "batch_stats": state_or_vars.batch_stats,
+                   "opt_state": state_or_vars.opt_state,
+                   "step": state_or_vars.step}
+    else:
+        payload = state_or_vars
+    os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(payload)))
+
+
+def load_checkpoint(path, template=None) -> dict:
+    """Load a checkpoint: native msgpack or a reference torch ``.pt``
+    state_dict (weight transfer via models.torch_import)."""
+    path = str(path)
+    if path.endswith(".pt"):
+        from ..models.torch_import import load_torch_checkpoint
+        return load_torch_checkpoint(path)
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)

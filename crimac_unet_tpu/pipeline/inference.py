@@ -1,0 +1,506 @@
+"""Sliding-window survey inference and evaluation on device.
+
+Replaces the reference's per-patch host pipeline
+(save_predict.py:137-265, evaluate.py:39-117, batch/dataset.py:116-242)
+with a slab-based TPU pipeline:
+
+  host:   one raw slab per ping chunk (+ labels + seabed vector)
+  device: patch gather (vmapped dynamic_slice) -> fused preprocessing ->
+          U-Net forward (lax.map over fixed sub-batches) -> softmax ->
+          reshape-stitch + masks (predict) or label chain + PR histogram
+          (eval)
+  host:   one small d2h per chunk -> zarr append / histogram accumulate
+
+Parity notes (derived from the reference call stacks, SURVEY.md §3.2/3.3):
+  * predict grid is per chunk with labels clipped to the chunk; data comes
+    from the preload slab extents (dataset.py:164-184), so patch data can
+    cross chunk edges but writes cannot;
+  * the write mask reduces to
+      finite(sv ch0) & finite(raw label) & within chunk/survey
+      & not (raw label == 0 & row >= seabed+10)
+    because refine(-30)/unused(-10) pixels are still written
+    (save_predict.py:41-65) — the per-patch morphology drops out of the
+    save path entirely;
+  * eval reads labels without chunk clipping (evaluate.py uses per-patch
+    global reads) and runs the full test label chain per patch, including
+    the region/trace keep masks with the reference's ignore_val=-1 (pixels
+    outside regions become PR-curve negatives — a reference quirk kept for
+    metric parity, extend_label_masks.py:47).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LABEL_BOUNDARY_VAL, SEABED_PAD
+from ..ops import data_ops, label_ops, metrics
+from ..ops.label_ops import BIG_ROW
+from ..ops.patches import grid_dims, make_grid_starts
+from ..ops.stitch import stitch_patches
+from ..utils.general import PhaseTimer
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class GriddedRunner:
+    """Shared device programs for gridded predict/eval over one model."""
+
+    def __init__(self, model, variables, config):
+        self.model = model
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.window = tuple(config["patch_size"])       # (wh, ww)
+        self.overlap = int(config["patch_overlap"])
+        self.frequencies = sorted(config["frequencies"])
+        self.fwd_batch = int(config.get("fwd_batch", 32))
+        self.timer = PhaseTimer()
+        wh, ww = self.window
+        self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
+
+    # ------------------------------------------------------------ forward
+    @partial(jax.jit, static_argnames=("self",))
+    def _forward_probs(self, patches_nhwc):
+        """(nb, B, wh, ww, C) -> (nb, B, wh, ww, 3) softmax probabilities."""
+        def one(batch):
+            logits = self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                batch, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+        return jax.lax.map(one, patches_nhwc)
+
+    def _run_forward(self, patches):
+        """(N, wh, ww, C) -> (N, wh, ww, 3), padding N to the fwd batch."""
+        N = patches.shape[0]
+        B = self.fwd_batch
+        Np = _round_up(N, B)
+        if Np != N:
+            patches = jnp.pad(patches,
+                              ((0, Np - N), (0, 0), (0, 0), (0, 0)))
+        probs = self._forward_probs(
+            patches.reshape(Np // B, B, *patches.shape[1:]))
+        return probs.reshape(Np, *probs.shape[2:])[:N]
+
+    # ------------------------------------------------- predict chunk (jit)
+    @partial(jax.jit, static_argnames=("self", "R", "C", "n_range",
+                                       "border_zero"))
+    def _predict_patches(self, data_slab, y0s, x0s, border_slab, R, C,
+                         n_range, border_zero):
+        """Gather+preprocess patches and forward them; returns stitched
+        (Hs, Ws, 2) [sandeel, other] probabilities in grid coords."""
+        wh, ww = self.window
+        Cf = data_slab.shape[0]
+
+        def gather(y0, x0):
+            return jax.lax.dynamic_slice(data_slab, (0, y0, x0),
+                                         (Cf, wh, ww))
+        patches = jax.vmap(gather)(y0s, x0s)          # (N, Cf, wh, ww)
+        patches = jnp.where(jnp.isfinite(patches), patches, 0.0)
+        d = data_ops.db_with_limits(patches)
+        if border_zero:
+            def gatherb(y0, x0):
+                return jax.lax.dynamic_slice(border_slab, (y0, x0), (wh, ww))
+            border = jax.vmap(gatherb)(y0s, x0s)
+            d = jnp.where(border[:, None, :, :], 0.0, d)
+        probs = self._run_forward(d.transpose(0, 2, 3, 1))
+        sel = probs[..., jnp.array([1, 2])]           # sandeel, other
+        return stitch_patches(sel, R, C, self.overlap)
+
+    @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
+                                       "zarr_pad"))
+    def _mask_output(self, stitched, label_slab, sv_slab, seabed,
+                     n_range, n_pings, zarr_pad):
+        """Crop stitched grid output to chunk extent, apply write masks,
+        emit float16 (the on-disk dtype).
+
+        The seabed exclusion is patch-band dependent: the reference zarr
+        reader shifts the *sliced* bottom mask down by SEABED_PAD
+        (data_reader.py:841-846), so a patch whose top row ``sy0`` lies
+        below the seabed masks from ``max(seabed, sy0) + pad``; the memmap
+        reader clamps instead to ``max(seabed + pad, sy0)``
+        (data_reader.py:407-431), which within a patch interior reduces to
+        ``seabed + pad``.
+        """
+        Hs, Ws, _ = stitched.shape
+        img = jnp.zeros((n_range, n_pings, 2), jnp.float32)
+        h, w = min(Hs, n_range), min(Ws, n_pings)
+        img = img.at[:h, :w, :].set(stitched[:h, :w, :].astype(jnp.float32))
+        rows = jnp.arange(n_range)[:, None]
+        sh = self.stride[0]
+        if zarr_pad:
+            band_top = jnp.clip((rows // sh) * sh - self.overlap, 0, None)
+            thresh = jnp.maximum(seabed[None, :], band_top) + SEABED_PAD
+        else:
+            thresh = seabed[None, :] + SEABED_PAD
+        below = rows >= thresh
+        keep = (jnp.isfinite(label_slab) & jnp.isfinite(sv_slab)
+                & ~(below & (label_slab == 0)))
+        img = jnp.where(keep[:, :, None], img, 0.0)
+        return img.transpose(2, 0, 1).astype(jnp.float16)
+
+    # ---------------------------------------------------- eval chunk (jit)
+    @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
+                                       "zarr_pad"))
+    def _eval_patches(self, hist, data_slab, label_slab, sb_pad, keep_slab,
+                      y0s, x0s, patch_y0_data, use_keep, border_zero,
+                      zarr_pad):
+        """Per-patch test label chain + forward + PR histogram update.
+
+        label_slab is in the same padded grid coordinates as data_slab;
+        sb_pad (Ws,) is the padded seabed vector (absolute data row of
+        seabed, BIG where absent); patch_y0_data (N,) the data row of each
+        patch's first pixel.
+        """
+        wh, ww = self.window
+        Cf = data_slab.shape[0]
+
+        def gather3(y0, x0):
+            return jax.lax.dynamic_slice(data_slab, (0, y0, x0),
+                                         (Cf, wh, ww))
+
+        def gather2(slab, y0, x0):
+            return jax.lax.dynamic_slice(slab, (y0, x0), (wh, ww))
+
+        # eval reads crops through get_crop_* which scrub non-finite data
+        # BEFORE any transform (dataset.py:275-277, :404) — so refine sees
+        # zeros, and remove_nan_inf never marks labels in the eval paths
+        data = jax.vmap(gather3)(y0s, x0s)
+        data = jnp.where(jnp.isfinite(data), data, 0.0)
+        labels = jax.vmap(gather2, in_axes=(None, 0, 0))(
+            label_slab, y0s, x0s).astype(jnp.int32)
+
+        def gather_sb(x0):
+            return jax.lax.dynamic_slice(sb_pad, (x0,), (ww,))
+        sb_abs = jax.vmap(gather_sb)(x0s)              # absolute data rows
+        sy0 = jnp.maximum(patch_y0_data, 0)[:, None]
+        if zarr_pad:
+            # zarr: max(seabed, patch_top) + pad (data_reader.py:841-846)
+            thresh = jnp.maximum(sb_abs, sy0) + SEABED_PAD
+        else:
+            # memmap: max(seabed + pad, patch_top) (data_reader.py:407-431)
+            thresh = jnp.maximum(sb_abs + SEABED_PAD, sy0)
+        sb_rows = thresh - patch_y0_data[:, None]
+        sb_rows = jnp.clip(sb_rows, -(10 ** 6), BIG_ROW).astype(jnp.int32)
+
+        # label test chain (transforms.py:78-92)
+        lab = label_ops.convert_label_indexing(labels,
+                                               mark_unused_species=True)
+        lab = label_ops.refine_label_boundary(data, lab,
+                                              threshold_freq_idx=-1)
+        lab = label_ops.mask_label_seabed(lab, sb_rows)
+        lab = label_ops.mask_label_overlap(lab, self.overlap)
+        if use_keep:
+            keep = jax.vmap(gather2, in_axes=(None, 0, 0))(
+                keep_slab, y0s, x0s)
+            lab = jnp.where(keep > 0, lab, -1)  # reference ignore_val=-1
+
+        d = data_ops.db_with_limits(data)
+        if border_zero:
+            d = data_ops.set_data_border_value(d, lab)
+        probs = self._run_forward(d.transpose(0, 2, 3, 1))
+        return metrics.update_pr_histogram(hist, probs[..., 1], lab)
+
+
+# ============================================================== PREDICTION
+def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
+                   start_ping=0, progress=False):
+    """Yield (chunk_start, chunk_end, (2, n_range, w) float16 predictions)
+    for one reader, reproducing save_predict's chunked sliding window
+    (save_predict.py:137-219)."""
+    wh, ww = runner.window
+    o = runner.overlap
+    sh, sw = runner.stride
+    is_zarr = reader.data_format == "zarr"
+    if is_zarr:
+        n_pings, n_range = reader.shape
+    else:
+        n_range, n_pings = reader.shape
+
+    from ..utils.preload_split import get_data_split
+    chunk = preload_n_pings if preload_n_pings > 0 else 5000
+    splits = get_data_split([[start_ping, n_pings]], chunk)
+
+    seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
+    seabed_has = getattr(reader, "_seabed_has", None)
+    if seabed_has is None:
+        seabed_has = np.ones(n_pings, dtype=bool)
+
+    it = splits
+    if progress:
+        from tqdm import tqdm
+        it = tqdm(splits, desc="Predicting ...")
+
+    for (s, e) in it:
+        s, e = int(s), int(e)
+        w = e - s
+        runner.timer.start("host_slab")
+        # grid extents (gridded.py:121-163): range capped at max seabed + 50
+        sb_chunk = seabed_full[s:e]
+        end_range = int(min(max(sb_chunk.max() + 50, 1), n_range))
+        R = grid_dims(0, end_range, wh, o)
+        C = grid_dims(s, e, ww, o)
+
+        Hp = R * sh + 2 * o
+        Wp = C * sw + 2 * o
+
+        # data slab extents: reference preload (dataset.py:175-184) for
+        # zarr; unclipped survey reads for memmap
+        if is_zarr:
+            first_center = s - o - 1 + ww // 2
+            last_center = s + (C - 1) * sw - o - 1 + ww // 2
+            slab_x0 = max(0, first_center - ww // 2)
+            slab_x1 = min(n_pings, last_center + ww // 2)
+        else:
+            slab_x0 = max(0, s - o)
+            slab_x1 = min(n_pings, s + C * sw + o)
+        slab_y1 = min(n_range, R * sh + o)
+
+        # patches only ever read data columns [s - o, s + C*sw + o); clip
+        # the preload extents to that window (the reference's wider slab
+        # columns are unreachable by any patch)
+        slab_x0 = max(slab_x0, s - o)
+        slab_x1 = min(slab_x1, s + C * sw + o)
+
+        data_slab = np.zeros((len(runner.frequencies), Hp, Wp), np.float32)
+        if is_zarr:
+            raw = reader.get_data_slice(slab_x0, slab_x1 - slab_x0, 0,
+                                        slab_y1, runner.frequencies)
+            raw = raw.swapaxes(1, 2)  # (C, range, ping)
+        else:
+            raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
+                            for m in reader.data_memmaps(runner.frequencies)])
+        x_off = o + (slab_x0 - s)
+        data_slab[:, o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = raw
+
+        border_slab = np.zeros((1, 1), np.float32)
+        border_zero = not is_zarr
+        if border_zero:
+            # memm test transform zeroes dB data outside the data extent
+            # (transforms.py:57-64); boundary-ness is geometric
+            bs = np.ones((Hp, Wp), np.float32)
+            bs[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = 0.0
+            border_slab = bs
+
+        # chunk-level mask inputs
+        label_pad = np.full((n_range, C * sw), np.nan, np.float32)
+        if is_zarr:
+            lab = reader.get_label_slice(s, w)  # (ping, range) w/ nan
+            label_pad[:, :w] = lab.T
+        else:
+            label_pad[:, :w] = np.asarray(
+                reader.label_memmap()[:, s:e]).astype(np.float32)
+        # raw ch0 over the chunk (nan => excluded from write via
+        # remove_nan_inf label marking in the preload path,
+        # remove_nan_inf.py:22-33); rows below the grid are never written
+        sv_pad = np.full((n_range, C * sw), 1.0, np.float32)
+        off = s - slab_x0
+        sv_pad[:slab_y1, :w] = raw[0][:, off:off + w]
+        sb_vec = np.full(C * sw, BIG_ROW, np.int64)
+        sb_vec[:w] = np.where(seabed_has[s:e], sb_chunk, BIG_ROW)
+        runner.timer.stop("host_slab")
+
+        runner.timer.start("device_chunk")
+        y0s, x0s = make_grid_starts(R, C, sh, sw, o, o, o)
+        stitched = runner._predict_patches(
+            jnp.asarray(data_slab), jnp.asarray(y0s), jnp.asarray(x0s),
+            jnp.asarray(border_slab), R, C, n_range, border_zero)
+        out = runner._mask_output(
+            stitched, jnp.asarray(label_pad), jnp.asarray(sv_pad),
+            jnp.asarray(sb_vec), n_range, C * sw, is_zarr)
+        out = np.asarray(out)[:, :, :w]
+        runner.timer.stop("device_chunk")
+        yield s, e, out
+
+
+def save_survey_predictions_zarr(runner, reader, target_dname,
+                                 preload_n_pings=1000, resume_writing=False,
+                                 model_name="model", progress=False):
+    """Write chunked predictions to a ``<name>_pred.zarr`` store with the
+    reference's on-disk contract (save_predict.py:87-134): annotation array
+    (category [27, 1], ping_time, range) float16, full-range chunks,
+    append along ping_time, resume from the existing ping count."""
+    import os
+    import shutil
+
+    from ..data.zarrlite import ZGroup
+
+    n_pings, n_range = reader.shape if reader.data_format == "zarr" else \
+        (reader.shape[1], reader.shape[0])
+
+    if not resume_writing:
+        if os.path.isdir(target_dname):
+            shutil.rmtree(target_dname)
+        start_ping = 0
+        group = None
+    else:
+        assert os.path.isdir(target_dname), (
+            f"Cannot resume: no existing prediction directory at "
+            f"{target_dname}")
+        group = ZGroup.open(target_dname)
+        start_ping = group["annotation"].shape[1]
+
+    for s, e, out in predict_reader(runner, reader, preload_n_pings,
+                                    start_ping, progress):
+        runner.timer.start("zarr_write")
+        pred = out.transpose(0, 2, 1)  # -> (category, ping, range)
+        if group is None:
+            group = ZGroup.create(
+                target_dname,
+                attrs={"description": f"{model_name} predictions"})
+            group.create_array(
+                "annotation", (2, 0, n_range),
+                (1, min(1000, max(1, preload_n_pings or 1000)), n_range),
+                np.float16, fill_value=0, dims=["category", "ping_time",
+                                                "range"])
+            group.create_array("category", (2,), (2,), np.int64,
+                               fill_value=None, compressor=None,
+                               dims=["category"])[:] = np.array([27, 1])
+            group.create_array("range", (n_range,), (n_range,), np.float64,
+                               fill_value=None, compressor=None,
+                               dims=["range"])[:] = \
+                np.asarray(reader.range_vector)
+            tv = np.asarray(reader.time_vector)
+            group.create_array("ping_time", (0,), (8192,), tv.dtype,
+                               fill_value=None, compressor=None,
+                               dims=["ping_time"])
+        group["annotation"].append(pred, axis=1)
+        group["ping_time"].append(np.asarray(reader.time_vector[s:e]),
+                                  axis=0)
+        runner.timer.stop("zarr_write")
+    return target_dname
+
+
+def save_reader_predictions_memm(runner, reader, target_dname,
+                                 preload_n_pings=1000, resume_writing=False,
+                                 progress=False):
+    """Memmap variant: accumulate into one (2, n_range, n_pings) array and
+    save as .npy (save_predict.py:222-265; skips existing files when
+    resuming)."""
+    import os
+    if resume_writing and os.path.isfile(target_dname):
+        return target_dname
+    n_range, n_pings = reader.shape
+    out = np.zeros((2, n_range, n_pings), np.float16)
+    for s, e, chunk in predict_reader(runner, reader, preload_n_pings, 0,
+                                      progress):
+        out[:, :, s:e] = chunk
+    np.save(target_dname, out)
+    return target_dname
+
+
+# ================================================================== EVAL
+def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
+                    extend_size=20, chunk_cols=8, progress=False):
+    """Accumulate the PR histogram over a full reader's sliding-window grid
+    (evaluate.py:39-117 + validate_model_testing pipeline.py:343-376)."""
+    wh, ww = runner.window
+    o = runner.overlap
+    sh, sw = runner.stride
+    is_zarr = reader.data_format == "zarr"
+    if is_zarr:
+        n_pings, n_range = reader.shape
+    else:
+        n_range, n_pings = reader.shape
+
+    seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
+    seabed_has = getattr(reader, "_seabed_has", None)
+    if seabed_has is None:
+        seabed_has = np.ones(n_pings, dtype=bool)
+    sb_abs = np.where(seabed_has, seabed_full, BIG_ROW).astype(np.int64)
+
+    end_range = int(min(max(seabed_full.max() + 50, 1), n_range))
+    R = grid_dims(0, end_range, wh, o)
+    C_total = grid_dims(0, n_pings, ww, o)
+
+    keep_global = None
+    if eval_mode in ("region", "trace"):
+        keep_global = _build_keep_mask(reader, eval_mode, extend_size,
+                                       n_range, n_pings)
+
+    col_groups = [(j, min(j + chunk_cols, C_total))
+                  for j in range(0, C_total, chunk_cols)]
+    if progress:
+        from tqdm import tqdm
+        col_groups = tqdm(col_groups, desc="Evaluating ...")
+
+    for (j0, j1) in col_groups:
+        Cc = j1 - j0
+        # slab covers all patches of columns [j0, j1): x in
+        # [j0*sw - o, (j1-1)*sw - o + ww)
+        want_x0 = j0 * sw - o
+        want_x1 = (j1 - 1) * sw - o + ww
+        slab_x0 = max(0, want_x0)
+        slab_x1 = min(n_pings, want_x1)
+        Hp = R * sh + 2 * o
+        Wp = Cc * sw + 2 * o
+
+        data_slab = np.zeros((len(runner.frequencies), Hp, Wp), np.float32)
+        label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL), np.float32)
+        keep_slab = np.zeros((1, 1), np.float32)
+        slab_y1 = min(n_range, R * sh + o)
+        x_off = slab_x0 - want_x0
+
+        if is_zarr:
+            raw = reader.get_data_slice(slab_x0, slab_x1 - slab_x0, 0,
+                                        slab_y1, runner.frequencies)
+            raw = raw.swapaxes(1, 2)
+            lab = reader.get_label_slice(slab_x0, slab_x1 - slab_x0, 0,
+                                         slab_y1)
+            lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
+        else:
+            raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
+                            for m in reader.data_memmaps(runner.frequencies)])
+            lab = np.asarray(reader.label_memmap()[:slab_y1,
+                                                   slab_x0:slab_x1])
+        data_slab[:, o:o + slab_y1,
+                  x_off:x_off + (slab_x1 - slab_x0)] = raw
+        label_slab[o:o + slab_y1,
+                   x_off:x_off + (slab_x1 - slab_x0)] = lab
+        # rows below slab_y1 but inside data: labels exist there too
+        if slab_y1 < n_range:
+            pass  # patches never reach below R*sh + o
+
+        use_keep = keep_global is not None
+        if use_keep:
+            ks = np.zeros((Hp, Wp), np.float32)
+            ks[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = \
+                keep_global[:slab_y1, slab_x0:slab_x1]
+            keep_slab = ks
+
+        sb_pad = np.full(Wp, BIG_ROW, np.int64)
+        sb_pad[x_off:x_off + (slab_x1 - slab_x0)] = sb_abs[slab_x0:slab_x1]
+
+        y0s, x0s = make_grid_starts(R, Cc, sh, sw, o, o, o)
+        patch_y0_data = (np.repeat(np.arange(R) * sh, Cc) - o).astype(
+            np.int32)
+
+        # reference asymmetry: memm eval zeroes dB data at the boundary
+        # (define_data_transform_test), zarr eval does not (evaluate.py:47)
+        border_zero = not is_zarr
+        hist = runner._eval_patches(
+            hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
+            jnp.asarray(sb_pad), jnp.asarray(keep_slab),
+            jnp.asarray(y0s), jnp.asarray(x0s),
+            jnp.asarray(patch_y0_data), use_keep, border_zero, is_zarr)
+    return hist
+
+
+def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings):
+    """Global keep mask from extended school bboxes
+    (extend_label_masks.py:35-98): region = bbox +- extend in both axes;
+    trace = full water column for pings within extend of a school."""
+    keep = np.zeros((n_range, n_pings), dtype=np.float32)
+    bboxes = reader.get_object_bounding_boxes()  # (n, 4) y0 y1 x0 x1
+    for (y0, y1, x0, x1) in bboxes:
+        if eval_mode == "region":
+            ry0, ry1 = y0 - extend_size, y1 + extend_size
+        else:
+            ry0, ry1 = 0, n_range
+        rx0, rx1 = x0 - extend_size, x1 + extend_size
+        keep[max(ry0, 0):max(ry1, 0), max(rx0, 0):max(rx1, 0)] = 1.0
+    return keep

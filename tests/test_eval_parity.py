@@ -1,0 +1,148 @@
+"""Eval-path parity: evaluate_reader's streaming histogram PR curve must
+match the reference per-patch pipeline + sklearn on the same model."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import precision_recall_curve
+
+import jax
+import jax.numpy as jnp
+
+from crimac_unet_tpu.constants import (LABEL_BOUNDARY_VAL, LABEL_IGNORE_VAL,
+                                       LABEL_OVERLAP_VAL,
+                                       LABEL_SEABED_MASK_VAL, SANDEEL)
+from crimac_unet_tpu.data.fixtures import make_zarr_survey
+from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+from crimac_unet_tpu.models.unet import UNet
+from crimac_unet_tpu.ops import metrics
+from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                evaluate_reader,
+                                                _build_keep_mask)
+from test_inference_parity import (_oracle_convert_unused, _oracle_refine,
+                                   _oracle_mask_seabed, _oracle_mask_overlap)
+
+WH = WW = 32
+OVERLAP = 4
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    path = tmp_path_factory.mktemp("evalparity")
+    sv = make_zarr_survey(path, year=2017, n_echograms=1, H=60, W=160,
+                          seed=21, n_schools=5, unused_species=True)
+    reader = DataReaderZarr(sv)
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    x = jnp.zeros((1, WH, WW, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(5), x, train=False)
+    config = {"patch_size": [WH, WW], "patch_overlap": OVERLAP,
+              "frequencies": [18, 38, 120, 200], "fwd_batch": 8}
+    runner = GriddedRunner(model, variables, config)
+
+    def forward_single(patch_chw):
+        out = model.apply(variables, jnp.asarray(
+            patch_chw.transpose(1, 2, 0))[None], train=False)
+        return np.asarray(jax.nn.softmax(out, axis=-1))[0]
+
+    return reader, runner, forward_single
+
+
+def _oracle_eval(reader, forward_single, frequencies, eval_mode="all",
+                 extend_size=20):
+    """Reference evaluate path (evaluate.py:39-79 + pipeline.py:242-341)."""
+    n_pings, n_range = reader.shape
+    sb = np.asarray(reader.get_seabed(0, n_pings))
+    end_range = int(min(sb.max() + 50, n_range))
+
+    ys_c = np.arange(0 - (OVERLAP + 1), end_range - (OVERLAP + 1),
+                     WH - 2 * OVERLAP) + WH // 2
+    xs_c = np.arange(0 - (OVERLAP + 1), n_pings - (OVERLAP + 1),
+                     WW - 2 * OVERLAP) + WW // 2
+
+    keep = None
+    if eval_mode in ("region", "trace"):
+        keep = _build_keep_mask(reader, eval_mode, extend_size, n_range,
+                                n_pings)
+
+    all_preds, all_labels = [], []
+    for yc in ys_c:
+        for xc in xs_c:
+            # get_crop_zarr (dataset.py:358-407): clipped read + pad +
+            # nan scrub for BOTH data and labels
+            data = np.zeros((len(frequencies), WH, WW))
+            labels = np.full((WH, WW), float(LABEL_BOUNDARY_VAL))
+            y0, x0 = yc - WH // 2 + 1, xc - WW // 2 + 1
+            cy0, cx0 = max(y0, 0), max(x0, 0)
+            cy1 = min(y0 + WH, n_range)
+            cx1 = min(x0 + WW, n_pings)
+            if cy1 > cy0 and cx1 > cx0:
+                d = reader.get_data_slice(cx0, cx1 - cx0, cy0, cy1 - cy0,
+                                          frequencies)
+                l = reader.get_label_slice(cx0, cx1 - cx0, cy0, cy1 - cy0)
+                data[:, cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
+                    np.nan_to_num(d.swapaxes(1, 2), nan=0.0)
+                labels[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
+                    np.nan_to_num(l.T, nan=LABEL_BOUNDARY_VAL)
+
+            lab = _oracle_convert_unused(labels)
+            lab = _oracle_refine(data, lab)
+            lab = _oracle_mask_seabed(lab, reader, [yc, xc])
+            lab = _oracle_mask_overlap(lab, OVERLAP)
+            if keep is not None:
+                kp = np.zeros((WH, WW))
+                if cy1 > cy0 and cx1 > cx0:
+                    kp[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
+                        keep[cy0:cy1, cx0:cx1]
+                lab = np.where(kp > 0, lab, -1)
+
+            # data transform (zarr eval: no border zero, evaluate.py:47)
+            lab[~np.isfinite(data[0])] = LABEL_IGNORE_VAL
+            d = np.where(np.isfinite(data), data, 0.0)
+            d = np.clip(10 * np.log10(d + 1e-10), -75, 0)
+
+            probs = forward_single(d.astype(np.float32))
+            all_preds.append(probs[:, :, SANDEEL].ravel().astype(np.float16))
+            all_labels.append(lab.ravel().astype(np.int8))
+
+    preds = np.hstack(all_preds)
+    labels = np.hstack(all_labels).astype(np.int32)
+
+    # validate_model_testing filtering (pipeline.py:343-357)
+    preds = preds.copy()
+    preds[labels == LABEL_SEABED_MASK_VAL] = 0
+    lab = labels.copy()
+    for v in (-70, -30, -100, -10):
+        lab[labels == v] = -100
+    lab[labels == -50] = 0
+    sel = lab != -100
+    return lab[sel], preds[sel]
+
+
+@pytest.mark.parametrize("eval_mode", ["all", "region", "trace"])
+def test_eval_histogram_matches_sklearn_oracle(setup, eval_mode):
+    """Label-chain/filter parity is exact (same pixel counts per class);
+    the PR curve may shift by one float16 ulp per score because batched and
+    single-sample conv execution differ in the last f32 bits, so the curve
+    comparison allows a tiny F1/AP tolerance."""
+    reader, runner, forward_single = setup
+
+    hist = np.asarray(evaluate_reader(runner, reader, metrics.new_histogram(),
+                                      eval_mode=eval_mode, chunk_cols=3))
+    got = metrics.pr_curve_from_histogram(hist)
+
+    labels, preds = _oracle_eval(reader, forward_single, runner.frequencies,
+                                 eval_mode)
+    # exact parity of the valid-pixel selection and class split
+    assert hist.sum() == len(labels)
+    assert hist[0].sum() == int((labels == SANDEEL).sum())
+
+    prec, rec, thr = precision_recall_curve(labels, preds,
+                                            pos_label=SANDEEL)
+    numerator = 2 * rec * prec
+    denom = rec + prec
+    f1 = np.divide(numerator, denom, out=np.zeros_like(denom),
+                   where=denom != 0)
+    assert abs(metrics.max_f1(got)[0] - f1.max()) < 2e-3
+    # curve shape: average precision must agree closely
+    ap_got = -np.sum(np.diff(got["recall"]) * got["precision"][:-1])
+    ap_want = -np.sum(np.diff(rec) * prec[:-1])
+    assert abs(ap_got - ap_want) < 2e-3

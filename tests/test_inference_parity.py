@@ -1,0 +1,203 @@
+"""End-to-end parity of the TPU predict path vs a numpy oracle implementing
+the reference's per-patch pipeline (crop -> transform chain -> forward ->
+fill_out_array scatter, save_predict.py:41-219)."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax
+import jax.numpy as jnp
+
+from crimac_unet_tpu.constants import (LABEL_BOUNDARY_VAL, LABEL_IGNORE_VAL,
+                                       LABEL_OVERLAP_VAL,
+                                       LABEL_REFINE_BOUNDARY_VAL,
+                                       LABEL_SEABED_MASK_VAL,
+                                       LABEL_UNUSED_SPECIES)
+from crimac_unet_tpu.data.fixtures import make_zarr_survey
+from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+from crimac_unet_tpu.models.unet import UNet
+from crimac_unet_tpu.ops.morphology import DISC_7X7
+from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                predict_reader)
+from crimac_unet_tpu.utils.preload_split import get_data_split
+
+WH = WW = 32
+OVERLAP = 4
+PRELOAD = 80
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    path = tmp_path_factory.mktemp("parity")
+    sv = make_zarr_survey(path, year=2017, n_echograms=2, H=60, W=150,
+                          seed=11, n_schools=4, unused_species=True)
+    reader = DataReaderZarr(sv)
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    x = jnp.zeros((1, WH, WW, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x, train=False)
+    config = {"patch_size": [WH, WW], "patch_overlap": OVERLAP,
+              "frequencies": [18, 38, 120, 200], "fwd_batch": 8}
+    runner = GriddedRunner(model, variables, config)
+
+    def forward_single(patch_chw):
+        out = model.apply(variables, jnp.asarray(
+            patch_chw.transpose(1, 2, 0))[None], train=False)
+        return np.asarray(jax.nn.softmax(out, axis=-1))[0]  # (H, W, 3)
+
+    return reader, runner, forward_single
+
+
+# ---------------------------------------------------------- numpy oracle
+def _oracle_convert_unused(labels):
+    new = np.full(labels.shape, LABEL_IGNORE_VAL, dtype=np.float64)
+    new[labels == 0] = 0
+    new[labels == 27] = 1
+    new[labels == 1] = 2
+    new[(labels > 0) & (labels != 1) & (labels != 27)] = LABEL_UNUSED_SPECIES
+    return new
+
+
+def _oracle_refine(data, labels):
+    d = data[-1]
+    new = labels.copy()
+    idxs = np.argwhere(new != LABEL_BOUNDARY_VAL)
+    if len(idxs) == 0:
+        return new
+    y0, x0 = idxs.min(axis=0)
+    y1, x1 = idxs.max(axis=0) + 1
+    relevant = new[y0:y1, x0:x1]
+    mask_thr = (labels > 0) & (d > 1e-7) & (d < 1e-4)
+    closed = ndi.binary_closing(mask_thr[y0:y1, x0:x1],
+                                structure=DISC_7X7.astype(bool))
+    mask = np.zeros_like(new, dtype=bool)
+    mask[y0:y1, x0:x1] = (closed == 0) & (relevant > 0)
+    new[mask] = LABEL_REFINE_BOUNDARY_VAL
+    new[labels == LABEL_IGNORE_VAL] = LABEL_IGNORE_VAL
+    return new
+
+
+def _oracle_mask_seabed(labels, reader, center):
+    """reference mask_label_seabed.py:35-68 for a zarr reader."""
+    wh, ww = labels.shape
+    y_upper = center[0] - wh // 2 + 1
+    x_left = center[1] - ww // 2 + 1
+    y_lower, x_right = y_upper + wh, x_left + ww
+    n_pings, n_range = reader.shape
+
+    sx0, sy0 = max(x_left, 0), max(y_upper, 0)
+    sx1, sy1 = min(x_right, n_pings), min(y_lower, n_range)
+
+    mask = reader.get_seabed_mask(sx0, sx1 - sx0, sy0, sy1 - sy0,
+                                  seabed_pad=10).T  # -> (range, ping)
+    padded = np.zeros_like(labels)
+    padded[sy0 - y_upper:sy0 - y_upper + mask.shape[0],
+           sx0 - x_left:sx0 - x_left + mask.shape[1]] = mask
+    out = labels.copy()
+    out[(padded.astype(bool)) & (labels == 0)] = LABEL_SEABED_MASK_VAL
+    return out
+
+
+def _oracle_mask_overlap(labels, overlap):
+    if overlap == 0:
+        return labels
+    out = np.full_like(labels, LABEL_OVERLAP_VAL)
+    out[overlap:-overlap, overlap:-overlap] = \
+        labels[overlap:-overlap, overlap:-overlap]
+    out[labels == LABEL_BOUNDARY_VAL] = LABEL_BOUNDARY_VAL
+    return out
+
+
+def _oracle_predict_chunk(reader, forward_single, s, e, frequencies):
+    """Reference save_survey_predictions_zarr inner loop
+    (save_predict.py:171-211) with preload crops
+    (dataset.py:164-205)."""
+    n_pings, n_range = reader.shape
+    w = e - s
+    sb = np.asarray(reader.get_seabed(s, w))
+    end_range = int(min(sb.max() + 50, n_range))
+
+    # grid centers (gridded.py:40-53)
+    ys_ul = np.arange(0 - (OVERLAP + 1), end_range - (OVERLAP + 1),
+                      WH - 2 * OVERLAP)
+    xs_ul = np.arange(s - (OVERLAP + 1), e - (OVERLAP + 1),
+                      WW - 2 * OVERLAP)
+    ys_c, xs_c = ys_ul + WH // 2, xs_ul + WW // 2
+
+    # preload slabs (dataset.py:164-184)
+    label_slab = reader.get_label_slice(s, w).T      # (range, ping-chunk)
+    label_slab = label_slab.astype(np.float64)
+    d_x0 = max(0, int(xs_c[0]) - WW // 2)
+    d_x1 = min(n_pings, int(xs_c[-1]) + WW // 2)
+    data_slab = reader.get_data_slice(d_x0, d_x1 - d_x0,
+                                      frequencies=frequencies)
+    data_slab = data_slab.swapaxes(1, 2)             # (C, range, ping)
+
+    out = np.zeros((2, n_range, w), np.float32)
+    for yc in ys_c:
+        for xc in xs_c:
+            # new_get_crop with boundary fill (utils/np.py:347-375)
+            def crop2(arr, cy, cx, fill):
+                res = np.full((WH, WW), fill, np.float64)
+                ay0, ax0 = cy - WH // 2 + 1, cx - WW // 2 + 1
+                by0, bx0 = max(ay0, 0), max(ax0, 0)
+                by1 = min(ay0 + WH, arr.shape[0])
+                bx1 = min(ax0 + WW, arr.shape[1])
+                if by1 > by0 and bx1 > bx0:
+                    res[by0 - ay0:by1 - ay0, bx0 - ax0:bx1 - ax0] = \
+                        arr[by0:by1, bx0:bx1]
+                return res
+
+            labels = crop2(label_slab, yc, xc - s, LABEL_BOUNDARY_VAL)
+            data = np.stack([crop2(data_slab[c], yc, xc - d_x0, 0.0)
+                             for c in range(data_slab.shape[0])])
+
+            # label chain 'all' (transforms.py:78-92)
+            lab = _oracle_convert_unused(labels)
+            lab = _oracle_refine(data, lab)
+            lab = _oracle_mask_seabed(lab, reader, [yc, xc])
+            lab = _oracle_mask_overlap(lab, OVERLAP)
+
+            # data chain (transforms.py:48-54; zarr predict has no border
+            # zeroing)
+            lab[~np.isfinite(data[0])] = LABEL_IGNORE_VAL
+            d = np.where(np.isfinite(data), data, 0.0)
+            d = np.clip(10 * np.log10(d + 1e-10), -75, 0)
+
+            probs = forward_single(d.astype(np.float32))  # (WH, WW, 3)
+
+            # fill_out_array (save_predict.py:41-65)
+            sel = np.argwhere((lab != LABEL_OVERLAP_VAL)
+                              & (lab != LABEL_SEABED_MASK_VAL)
+                              & (lab != LABEL_BOUNDARY_VAL))
+            if len(sel) == 0:
+                continue
+            yl, xl = sel.T
+            ya = yl + yc - WH // 2 + 1
+            xa = xl + xc - WW // 2 + 1 - s
+            ok = (ya >= 0) & (ya < n_range) & (xa >= 0) & (xa < w)
+            out[0, ya[ok], xa[ok]] = probs[yl[ok], xl[ok], 1]
+            out[1, ya[ok], xa[ok]] = probs[yl[ok], xl[ok], 2]
+    return out
+
+
+def test_predict_parity_with_reference_oracle(setup):
+    reader, runner, forward_single = setup
+    n_pings = reader.shape[0]
+    splits = get_data_split([[0, n_pings]], PRELOAD)
+
+    got_chunks = {s: out for s, e, out in
+                  predict_reader(runner, reader, PRELOAD)}
+    assert len(got_chunks) == len(splits)
+
+    for (s, e) in splits:
+        want = _oracle_predict_chunk(reader, forward_single, int(s), int(e),
+                                     runner.frequencies)
+        got = got_chunks[int(s)].astype(np.float32)
+        mismatch = np.abs(got - want.astype(np.float16).astype(np.float32))
+        assert mismatch.max() < 2e-3, (
+            f"chunk {s}:{e} max dev {mismatch.max()} at "
+            f"{np.unravel_index(mismatch.argmax(), mismatch.shape)}")
+        # zero/nonzero pattern (the masks) must agree exactly
+        np.testing.assert_array_equal(got != 0, want != 0,
+                                      err_msg=f"mask mismatch chunk {s}")

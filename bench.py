@@ -1,0 +1,281 @@
+"""Benchmark: full-survey sliding-window inference throughput (pings/sec).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "pings/sec", "vs_baseline": N}
+
+Ours: the TPU pipeline (slab h2d -> device patch gather + fused
+preprocessing -> bf16 U-Net -> stitch+mask -> f16 d2h -> zarr append) over a
+synthetic zarr survey.
+
+Baseline: a faithful re-creation of the reference's CPU/PyTorch path
+(SURVEY.md §3.2): per-patch host crops + numpy transform chain (incl. scipy
+binary-closing label refinement) + torch eval forward in batches of 4 +
+per-patch fill_out_array scatter, measured on one chunk and extrapolated.
+Loader work and forward are assumed perfectly overlapped
+(max(loader, forward) per chunk), which favours the baseline.
+
+The synthetic survey is cached under .bench_cache/ between runs.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+N_RANGE = 1000
+N_PINGS = 4000
+FREQS = [18, 38, 120, 200]
+PATCH = 256
+OVERLAP = 20
+PRELOAD = 1000
+BASELINE_CHUNKS = 1  # chunks measured for the torch baseline
+
+
+def ensure_fixture():
+    cache = Path(__file__).resolve().parent / ".bench_cache"
+    sv = cache / "S2017843_sv.zarr"
+    if sv.is_dir():
+        return str(sv)
+    cache.mkdir(exist_ok=True)
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    t = time.time()
+    path = make_zarr_survey(cache, year=2017, n_echograms=1, H=N_RANGE,
+                            W=N_PINGS, seed=3, n_schools=24)
+    print(f"# fixture built in {time.time() - t:.1f}s", file=sys.stderr)
+    return path
+
+
+def run_ours(sv_path):
+    import jax
+    # persistent XLA compilation cache: the chunk program compiles once per
+    # grid shape; subsequent bench runs skip the multi-minute compile
+    cache_dir = Path(__file__).resolve().parent / ".bench_cache" / "xla"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:
+        print(f"# compilation cache unavailable: {exc}", file=sys.stderr)
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (
+        GriddedRunner, save_survey_predictions_zarr)
+
+    config = {"patch_size": [PATCH, PATCH], "patch_overlap": OVERLAP,
+              "frequencies": FREQS, "fwd_batch": 32,
+              "compute_dtype": "bfloat16", "depth": 5, "start_filts": 64}
+    reader = DataReaderZarr(sv_path)
+    model = build_unet(config)
+    import jax.numpy as jnp
+    x = jnp.zeros((1, PATCH, PATCH, len(FREQS)), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0))
+    runner = GriddedRunner(model, variables, config)
+
+    out_dir = Path(__file__).resolve().parent / ".bench_cache" / "pred.zarr"
+
+    # warm-up/compile on the first chunk
+    from crimac_unet_tpu.pipeline.inference import predict_reader
+    t = time.time()
+    next(iter(predict_reader(runner, reader, PRELOAD)))
+    print(f"# ours compile+first chunk: {time.time() - t:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    save_survey_predictions_zarr(runner, reader, str(out_dir),
+                                 preload_n_pings=PRELOAD)
+    dt = time.time() - t0
+    print("# ours timers:\n" + "\n".join(
+        "#   " + l for l in runner.timer.report().splitlines()),
+        file=sys.stderr)
+    return N_PINGS / dt
+
+
+# ---------------------------------------------------------- torch baseline
+def _torch_unet():
+    import torch.nn as tnn
+
+    class Down(tnn.Module):
+        def __init__(self, i, o, pool):
+            super().__init__()
+            self.main = tnn.Sequential(
+                tnn.Conv2d(i, o, 3, padding=1), tnn.BatchNorm2d(o),
+                tnn.ReLU(), tnn.Conv2d(o, o, 3, padding=1),
+                tnn.BatchNorm2d(o), tnn.ReLU())
+            self.pool = tnn.MaxPool2d(2, 2) if pool else None
+
+        def forward(self, x):
+            x = self.main(x)
+            b = x
+            return (self.pool(x) if self.pool else x), b
+
+    class Up(tnn.Module):
+        def __init__(self, i, o):
+            super().__init__()
+            self.up = tnn.ConvTranspose2d(i, o, 2, stride=2)
+            self.c1 = tnn.Conv2d(2 * o, o, 3, padding=1)
+            self.b1 = tnn.BatchNorm2d(o)
+            self.c2 = tnn.Conv2d(o, o, 3, padding=1)
+            self.b2 = tnn.BatchNorm2d(o)
+
+        def forward(self, skip, x):
+            import torch
+            import torch.nn.functional as F
+            x = torch.cat((self.up(x), skip), 1)
+            x = F.relu(self.b1(self.c1(x)))
+            return F.relu(self.b2(self.c2(x)))
+
+    class Net(tnn.Module):
+        def __init__(self, in_ch=4, n_classes=3, depth=5, start=64):
+            super().__init__()
+            downs, ins = [], in_ch
+            for i in range(depth):
+                outs = start * 2 ** i
+                downs.append(Down(ins, outs, i < depth - 1))
+                ins = outs
+            self.downs = tnn.ModuleList(downs)
+            ups = []
+            for _ in range(depth - 1):
+                ups.append(Up(ins, ins // 2))
+                ins //= 2
+            self.ups = tnn.ModuleList(ups)
+            self.final = tnn.Conv2d(ins, n_classes, 1)
+
+        def forward(self, x):
+            outs = []
+            for m in self.downs:
+                x, b = m(x)
+                outs.append(b)
+            for i, m in enumerate(self.ups):
+                x = m(outs[-(i + 2)], x)
+            return self.final(x)
+
+    return Net()
+
+
+def run_baseline(sv_path):
+    """Reference pipeline on CPU over BASELINE_CHUNKS chunks, extrapolated."""
+    import torch
+
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.ops.morphology import DISC_7X7
+    import scipy.ndimage as ndi
+
+    reader = DataReaderZarr(sv_path)
+    net = _torch_unet()
+    net.eval()
+
+    o = OVERLAP
+    sh = PATCH - 2 * o
+    disc = DISC_7X7.astype(bool)
+    seabed = np.asarray(reader.get_seabed(0, N_PINGS))
+
+    total_loader = 0.0
+    total_forward = 0.0
+    for ci in range(BASELINE_CHUNKS):
+        s, e = ci * PRELOAD, (ci + 1) * PRELOAD
+        t = time.time()
+        # preload slabs (dataset.py:164-184)
+        label_slab = reader.get_label_slice(s, e - s).T
+        d_x0 = max(0, s - o - 1)
+        d_x1 = min(N_PINGS, e + o + PATCH)
+        data_slab = reader.get_data_slice(d_x0, d_x1 - d_x0,
+                                          frequencies=FREQS).swapaxes(1, 2)
+        end_range = int(min(seabed[s:e].max() + 50, N_RANGE))
+        ys_c = np.arange(-(o + 1), end_range - (o + 1), sh) + PATCH // 2
+        xs_c = np.arange(s - (o + 1), e - (o + 1), sh) + PATCH // 2
+
+        patches, coords = [], []
+        for yc in ys_c:
+            for xc in xs_c:
+                def crop2(arr, cy, cx, fill):
+                    res = np.full((PATCH, PATCH), fill, np.float64)
+                    ay0, ax0 = cy - PATCH // 2 + 1, cx - PATCH // 2 + 1
+                    by0, bx0 = max(ay0, 0), max(ax0, 0)
+                    by1 = min(ay0 + PATCH, arr.shape[0])
+                    bx1 = min(ax0 + PATCH, arr.shape[1])
+                    if by1 > by0 and bx1 > bx0:
+                        res[by0 - ay0:by1 - ay0, bx0 - ax0:bx1 - ax0] = \
+                            arr[by0:by1, bx0:bx1]
+                    return res
+
+                labels = crop2(label_slab, yc, xc - s, -100.0)
+                data = np.stack([crop2(data_slab[c], yc, xc - d_x0, 0.0)
+                                 for c in range(4)])
+                # label chain: convert + refine(closing) + seabed + overlap
+                lab = np.full_like(labels, -100.0)
+                lab[labels == 0] = 0
+                lab[labels == 27] = 1
+                lab[labels == 1] = 2
+                mask_thr = (lab > 0) & (data[-1] > 1e-7) & (data[-1] < 1e-4)
+                if mask_thr.any():
+                    closed = ndi.binary_closing(mask_thr, structure=disc)
+                    lab[(~closed) & (lab > 0)] = -30
+                rows = np.arange(PATCH)[:, None]
+                sb = crop2(np.broadcast_to(seabed, (1, N_PINGS)), 0,
+                           xc, 10 ** 8)[0]
+                lab[(rows >= sb[None, :] + 10 - (yc - PATCH // 2 + 1))
+                    & (lab == 0)] = -50
+                lab[:o, :] = -70
+                lab[-o:, :] = -70
+                lab[:, :o] = -70
+                lab[:, -o:] = -70
+                # data chain
+                d = np.where(np.isfinite(data), data, 0.0)
+                d = np.clip(10 * np.log10(d + 1e-10), -75, 0)
+                patches.append(d.astype(np.float32))
+                coords.append((yc, xc, lab))
+        total_loader += time.time() - t
+
+        t = time.time()
+        out = np.zeros((2, N_RANGE, e - s), np.float32)
+        with torch.no_grad():
+            for i in range(0, len(patches), 4):  # reference batch_size 4
+                batch = torch.from_numpy(np.stack(patches[i:i + 4]))
+                probs = torch.softmax(net(batch), dim=1).numpy()
+                for k in range(probs.shape[0]):
+                    yc, xc, lab = coords[i + k]
+                    sel = np.argwhere((lab != -70) & (lab != -50)
+                                      & (lab != -100))
+                    if len(sel) == 0:
+                        continue
+                    yl, xl = sel.T
+                    ya = yl + yc - PATCH // 2 + 1
+                    xa = xl + xc - PATCH // 2 + 1 - s
+                    ok = ((ya >= 0) & (ya < N_RANGE) & (xa >= 0)
+                          & (xa < e - s))
+                    out[0, ya[ok], xa[ok]] = probs[k, 1, yl[ok], xl[ok]]
+                    out[1, ya[ok], xa[ok]] = probs[k, 2, yl[ok], xl[ok]]
+        total_forward += time.time() - t
+
+    measured = BASELINE_CHUNKS * PRELOAD
+    # loader runs in DataLoader workers overlapped with compute: charge
+    # max(loader, forward) — the favourable-to-the-reference model
+    dt = max(total_loader, total_forward)
+    print(f"# baseline loader {total_loader:.1f}s forward "
+          f"{total_forward:.1f}s over {measured} pings", file=sys.stderr)
+    return measured / dt
+
+
+def main():
+    sv = ensure_fixture()
+    baseline = run_baseline(sv)
+    print(f"# baseline: {baseline:.1f} pings/s (torch CPU)",
+          file=sys.stderr)
+    ours = run_ours(sv)
+    print(f"# ours: {ours:.1f} pings/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "full_survey_inference_throughput",
+        "value": round(ours, 2),
+        "unit": "pings/sec",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

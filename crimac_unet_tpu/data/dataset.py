@@ -125,17 +125,28 @@ class BatchPrefetcher:
                 if self._count >= self.n_batches:
                     return
                 self._count += 1
-            batch = dataset.batch(self.batch_size)
-            while not self._stop.is_set():
+            try:
+                batch = dataset.batch(self.batch_size)
+            except BaseException as exc:  # surface worker crashes
+                batch = exc
+                self._stop.set()
+            while True:
                 try:
                     self.queue.put(batch, timeout=0.5)
                     break
                 except queue.Full:
-                    continue
+                    if self._stop.is_set() and not isinstance(
+                            batch, BaseException):
+                        return
+            if isinstance(batch, BaseException):
+                return
 
     def __iter__(self):
         for _ in range(self.n_batches):
-            yield self.queue.get()
+            batch = self.queue.get()
+            if isinstance(batch, BaseException):
+                raise batch
+            yield batch
 
     def close(self):
         self._stop.set()

@@ -56,12 +56,18 @@ def make_synthetic_echogram(H, W, rng, frequencies=DEFAULT_FREQUENCIES,
     labels = np.zeros((H, W), dtype=np.int16)
     yy, xx = np.mgrid[0:H, 0:W]
     cats = [27, 1] + ([6] if unused_species else [])
-    for k in range(n_schools):
+    # always include two near-seabed schools (sandeel + other) so the
+    # SchoolSeabed samplers have candidates
+    for k in range(n_schools + 2):
         cat = cats[k % len(cats)]
-        cy = rng.randint(int(0.15 * H), max(int(0.6 * H), int(0.15 * H) + 1))
-        cx = rng.randint(int(0.1 * W), max(int(0.9 * W), int(0.1 * W) + 1))
         ry = max(2, rng.randint(H // 30, max(H // 10, H // 30 + 1)))
         rx = max(3, rng.randint(W // 25, max(W // 8, W // 25 + 1)))
+        if k >= n_schools:
+            cy = max(2, base - ry - 3)  # hugging the seabed line
+        else:
+            cy = rng.randint(int(0.15 * H),
+                             max(int(0.6 * H), int(0.15 * H) + 1))
+        cx = rng.randint(int(0.1 * W), max(int(0.9 * W), int(0.1 * W) + 1))
         ellipse = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) <= 1.0
         ellipse &= ~below
         labels[ellipse] = cat

@@ -124,7 +124,13 @@ class Echogram:
             else:
                 self._seabed = estimate_seabed_memmap(self)
                 if save_to_file:
-                    np.save(cache, self._seabed)
+                    # atomic save: lazy generation can race across threads
+                    import tempfile
+                    fd, tmp = tempfile.mkstemp(dir=self.path,
+                                               suffix=".seabed.tmp.npy")
+                    os.close(fd)
+                    np.save(tmp, self._seabed)
+                    os.replace(tmp, cache)
         if idx_ping is None:
             return self._seabed
         return self._seabed[idx_ping:idx_ping + n_pings]

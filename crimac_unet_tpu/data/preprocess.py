@@ -52,10 +52,18 @@ def write_heave_reverted_labels(echogram, force_write: bool = False) -> None:
         else:
             labels_new[-h:, x] = labels_old[:h, x]
 
-    fp = np.memmap(path, dtype=echogram.label_dtype, mode="w+",
+    # atomic write: lazy generation can race between prefetch threads
+    # (a reader must never mmap a half-written file)
+    import tempfile
+    fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(path),
+                                    suffix=".heave.tmp")
+    os.close(fd)
+    fp = np.memmap(tmp_path, dtype=echogram.label_dtype, mode="w+",
                    shape=labels_new.shape)
     fp[:] = labels_new.astype(echogram.label_dtype)
+    fp.flush()
     del fp
+    os.replace(tmp_path, path)
 
 
 def echograms_to_zarr_survey(echograms, out_dir, survey_name,

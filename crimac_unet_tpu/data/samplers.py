@@ -201,6 +201,10 @@ class SchoolSeabed(School):
             if abs(int(seabed) - int(bb[1])) < max_dist_to_seabed:
                 kept.append((ech, obj))
         self.schools = kept
+        if not self.schools:
+            raise ValueError(
+                f"no fish_type={fish_type} schools within "
+                f"{max_dist_to_seabed}px of the seabed")
 
 
 class SchoolSeabedZarr(SchoolZarr):

@@ -1,0 +1,49 @@
+"""Device mesh and sharding helpers.
+
+The reference has no device parallelism at all (single CUDA/CPU device,
+SURVEY.md §2); the TPU-native design scales with pure data parallelism over
+a 1-D ``Mesh('data')`` on ICI: train batches and inference patch batches are
+sharded on the leading axis, parameters are replicated, and gradient
+all-reduce happens inside jit via the sharding propagation (no explicit
+collectives; XLA inserts them on ICI).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: int = 0) -> Mesh:
+    """1-D data mesh over the first ``n_devices`` devices (0 = all)."""
+    devs = jax.devices()
+    if n_devices and n_devices > 0:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data mesh."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Place a host batch dict on the mesh, batch axis sharded.
+
+    Pads the batch to a multiple of the mesh size if needed (padding
+    samples are dropped by the caller's loss masking — only used for the
+    final partial batch)."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, sharding)
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))

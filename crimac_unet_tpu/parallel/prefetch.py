@@ -1,0 +1,37 @@
+"""Host->device transfer prefetching.
+
+Overlaps the h2d copy of batch k+1 with device compute on batch k (the
+reference's DataLoader only overlaps host-side work; device transfers were
+synchronous ``.to(device)`` calls, pipeline.py:163-164).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Wrap a host-batch iterator so device_put runs ``depth`` batches
+    ahead.  jax device_put is async; holding references to in-flight arrays
+    is all that's needed to overlap."""
+    import collections
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,80 @@
+"""Prediction-saving entry point.
+
+    python -m crimac_unet_tpu.pipeline.save_predict --yaml_path ... \
+        --checkpoint_path ... --save_predictions_path ...
+
+Reference surface (pipeline_train_predict/save_predict.py:268-330): per
+``save_prediction_surveys`` survey, sliding-window softmax predictions
+written per reader as ``<name>_pred.zarr`` (zarr mode, resume/append
+supported) or ``<name>_pred.npy`` (memmap mode).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from ..config import (get_argparse_parser, load_yaml_config,
+                      parse_config_options)
+from ..data.partition import make_partition
+from ..models.unet import build_unet
+from ..utils.general import fix_seeds
+from .engine import load_checkpoint
+from .inference import (GriddedRunner, save_reader_predictions_memm,
+                        save_survey_predictions_zarr)
+
+
+def run_save_predictions(config, runner, data_obj, predictions_dir,
+                         progress=False):
+    for survey in config["save_prediction_surveys"]:
+        readers = data_obj.get_survey_readers(survey)
+        print(f"Saving predictions for survey {survey}, "
+              f"{len(readers)} data reader(s)")
+        for reader in readers:
+            if config["data_mode"] == "memm":
+                target = os.path.join(predictions_dir,
+                                      reader.name + "_pred.npy")
+                save_reader_predictions_memm(
+                    runner, reader, target,
+                    preload_n_pings=config["preload_n_pings"],
+                    resume_writing=config["resume_writing"],
+                    progress=progress)
+            else:
+                target = os.path.join(predictions_dir,
+                                      reader.name + "_pred.zarr")
+                save_survey_predictions_zarr(
+                    runner, reader, target,
+                    preload_n_pings=config["preload_n_pings"],
+                    resume_writing=config["resume_writing"],
+                    model_name=runner_model_name(config),
+                    progress=progress)
+
+
+def runner_model_name(config):
+    return Path(config["yaml_path"]).stem if "yaml_path" in config else \
+        "model"
+
+
+def main(argv=None):
+    args = get_argparse_parser("save_predict").parse_args(argv)
+    configuration = load_yaml_config(args.yaml_path)
+    config = parse_config_options(configuration, args)
+
+    predictions_dir = str(config["save_predictions_path"])
+    os.makedirs(predictions_dir, exist_ok=True)
+
+    fix_seeds(config["random_seed"])
+    payload = load_checkpoint(config["checkpoint_path"])
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    model = build_unet(config)
+    runner = GriddedRunner(model, variables, config)
+
+    data_obj = make_partition(config)
+    run_save_predictions(config, runner, data_obj, predictions_dir,
+                         progress=True)
+    print(runner.timer.report())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""SegPipe: the training/validation orchestration object.
+
+The counterpart of the reference ``SegPipe``/``SegPipeUNet``
+(pipeline_train_predict/pipeline.py:39-410): holds the model + config, runs
+the training loop with periodic validation, checkpoints ``best`` on max
+validation F1 and ``last`` at the end, and logs to TensorBoard with the
+same tag names (train/loss, test/F1_score|precision|recall|loss,
+learning_rate_0).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet import build_unet, count_params
+from ..ops import metrics as M
+from ..parallel.mesh import batch_sharding, get_mesh, replicate_tree
+from ..parallel.prefetch import device_prefetch
+from . import engine
+
+
+class SegPipeUNet:
+    """Train/validate the flagship U-Net (reference pipeline.py:379-410)."""
+
+    def __init__(self, config: dict, checkpoint_dir=None,
+                 experiment_name="model"):
+        self.config = dict(config)
+        self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.model_name = experiment_name
+        self.frequencies = sorted(config["frequencies"])
+        # train in float32 by default (parity); inference uses bf16
+        train_cfg = dict(config)
+        train_cfg["compute_dtype"] = config.get("train_dtype", "float32")
+        self.model = build_unet(train_cfg)
+        self.state = None
+        self.best_F1_val = -np.inf
+        self.mesh = get_mesh(int(config.get("mesh_devices", 0)))
+        n_dev = len(self.mesh.devices.ravel())
+        if n_dev > 1 and int(config["batch_size"]) % n_dev != 0:
+            print(f"batch_size {config['batch_size']} not divisible by "
+                  f"{n_dev} devices; training single-device")
+            self.mesh = get_mesh(1)
+        self._train_step = engine.make_train_step(self.model, config)
+        self._eval_step = engine.make_eval_step(self.model, config)
+
+    # ----------------------------------------------------------- lifecycle
+    def init_model(self, seed=None):
+        rng = jax.random.PRNGKey(int(self.config.get("random_seed", 10))
+                                 if seed is None else seed)
+        self.state = engine.init_train_state(self.model, self.config, rng)
+        if len(self.mesh.devices.ravel()) > 1:
+            self.state = replicate_tree(self.mesh, self.state)
+        return self.state
+
+    def load_model_params(self, checkpoint_path=None):
+        """Load best/last/.pt weights for inference
+        (reference pipeline.py:109-130)."""
+        if checkpoint_path is None:
+            checkpoint_path = self.checkpoint_dir / "best.msgpack"
+        payload = engine.load_checkpoint(checkpoint_path)
+        self.variables = {"params": payload["params"],
+                          "batch_stats": payload["batch_stats"]}
+        return self.variables
+
+    # ------------------------------------------------------------ training
+    def train_model(self, train_batches, make_test_batches, logger=None,
+                    progress=True):
+        """Iterate the training batches, validating every ``log_step``
+        (reference pipeline.py:144-203).
+
+        ``train_batches``: iterable of host batch dicts;
+        ``make_test_batches``: zero-arg callable yielding a fresh iterable
+        of validation batches (the reference re-draws random validation
+        samples every validation epoch).
+        """
+        if self.state is None:
+            self.init_model()
+        assert self.checkpoint_dir is None or \
+            not (self.checkpoint_dir / "last.msgpack").exists(), \
+            f"model already exists at {self.checkpoint_dir}"
+
+        log_step = int(self.config["log_step"])
+        lr_step = int(self.config["lr_step"])
+        lr0 = float(self.config["lr"])
+        gamma = float(self.config["lr_reduction"])
+        key = jax.random.PRNGKey(int(self.config.get("random_seed", 10)))
+
+        sharding = (batch_sharding(self.mesh)
+                    if len(self.mesh.devices.ravel()) > 1 else None)
+        it = device_prefetch(train_batches, sharding,
+                             depth=int(self.config.get("prefetch_depth", 2)))
+        if progress:
+            from tqdm import tqdm
+            total = int(self.config["iterations"])
+            it = tqdm(it, total=total, desc="Training model")
+
+        i = -1
+        for i, batch in enumerate(it):
+            key, sub = jax.random.split(key)
+            self.state, loss = self._train_step(
+                self.state, batch["data"], batch["labels"], sub)
+            if logger is not None:
+                logger.add_scalar("train/loss", float(loss),
+                                  global_step=i + 1)
+            if (i + 1) % log_step == 0:
+                self.validate_model_training(make_test_batches(), logger,
+                                             i)
+            if logger is not None and (i + 1) % lr_step == 0:
+                lr = lr0 * gamma ** ((i + 1) // lr_step)
+                logger.add_scalar("learning_rate_0", lr, global_step=i + 1)
+
+        if self.config.get("save_model_params", True) and \
+                self.checkpoint_dir is not None:
+            engine.save_checkpoint(self.checkpoint_dir / "last.msgpack",
+                                   self.state)
+        self.variables = {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats}
+        return self.state
+
+    def validate_model_training(self, test_batches, logger, iteration_no):
+        """Validation pass: streaming PR histogram + mean loss; checkpoint
+        best-F1 (reference pipeline.py:305-341)."""
+        hist = M.new_histogram()
+        losses = []
+        for batch in test_batches:
+            hist, loss = self._eval_step(
+                self.state.params, self.state.batch_stats, hist,
+                jnp.asarray(batch["data"]), jnp.asarray(batch["labels"]),
+                jnp.asarray(batch["seabed_row"]), overlap=0, with_loss=True)
+            losses.append(loss)
+        curve = M.pr_curve_from_histogram(np.asarray(hist))
+        f1, idx = M.max_f1(curve)
+        mean_loss = float(np.mean([float(l) for l in losses])) if losses \
+            else 0.0
+
+        step = iteration_no + 1
+        if logger is not None:
+            logger.add_scalar("test/F1_score", f1, global_step=step)
+            logger.add_scalar("test/precision",
+                              float(curve["precision"][idx]),
+                              global_step=step)
+            logger.add_scalar("test/recall", float(curve["recall"][idx]),
+                              global_step=step)
+            logger.add_scalar("test/loss", mean_loss, global_step=step)
+
+        if f1 > self.best_F1_val and self.checkpoint_dir is not None:
+            self.best_F1_val = f1
+            engine.save_checkpoint(self.checkpoint_dir / "best.msgpack",
+                                   self.state)
+        return f1, mean_loss
+
+
+def save_metrics_dict(curve: dict, save_path) -> None:
+    """CSV export with the reference column layout
+    (pipeline.py:358-364 / evaluate.py:19-24)."""
+    import pandas as pd
+    out = dict(curve)
+    out["thresholds"] = np.array(list(out["thresholds"]) + [np.nan])
+    pd.DataFrame(out).to_csv(save_path)
+
+
+def save_pr_plot(curve: dict, save_path) -> None:
+    """PR scatter PNG (reference evaluate.py:27-36)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(1, figsize=(8, 8))
+    ax.tick_params(labelsize=6)
+    ax.set_xlabel("Recall", fontsize=8)
+    ax.set_ylabel("Precision", fontsize=8)
+    ax.set_xticks([0, 0.2, 0.4, 0.6, 0.8, 1.0])
+    ax.scatter(curve["recall"], curve["precision"], s=2)
+    ax.set_xlim(-0.06, 1.06)
+    ax.set_ylim(-0.06, 1.06)
+    plt.savefig(save_path)
+    plt.close(fig)

@@ -1,0 +1,103 @@
+"""Training entry point.
+
+    python -m crimac_unet_tpu.pipeline.train --yaml_path configs/....yaml
+
+Keeps the reference CLI surface (pipeline_train_predict/train.py:113-158):
+YAML + argparse merge, experiment dirs ``saved_models/<exp>/<ts>`` and
+``tensorboard_logs/<exp>/<ts>``, config logged as a markdown table, training
+with periodic best-F1 validation checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..config import (config_args_to_markdown, get_argparse_parser,
+                      load_yaml_config, parse_config_options)
+from ..data.dataset import BatchPrefetcher, RandomPatchDataset
+from ..data.partition import make_partition
+from ..utils.general import fix_seeds, get_datetime_str
+from .segpipe import SegPipeUNet
+
+
+def make_datasets(config, data_obj):
+    """Partition + sampler battery -> train/test dataset factories
+    (reference train.py:35-110)."""
+    readers_train, readers_test = data_obj.partition_data_train()
+    samplers_train, samplers_test, probs = data_obj.get_samplers_train(
+        readers_train, readers_test)
+
+    def train_factory(seed_offset=0):
+        return RandomPatchDataset(samplers_train, config["patch_size"],
+                                  sorted(config["frequencies"]),
+                                  sampler_probs=probs,
+                                  seed=config["random_seed"] + seed_offset)
+
+    def test_factory(seed_offset=0):
+        return RandomPatchDataset(samplers_test, config["patch_size"],
+                                  sorted(config["frequencies"]),
+                                  sampler_probs=probs,
+                                  seed=config["random_seed"] + 10_000
+                                  + seed_offset)
+    return train_factory, test_factory
+
+
+def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
+                 logger=None, progress=True):
+    fix_seeds(config["random_seed"])
+    data_obj = make_partition(config)
+    train_factory, test_factory = make_datasets(config, data_obj)
+
+    train_batches = BatchPrefetcher(
+        train_factory, config["batch_size"], config["iterations"],
+        num_workers=config.get("num_workers", 4))
+
+    def make_test_batches():
+        ds = test_factory(seed_offset=777)
+        return (ds.batch(config["batch_size"])
+                for _ in range(int(config["test_iter"])))
+
+    segpipe = SegPipeUNet(config, checkpoint_dir=checkpoint_dir,
+                          experiment_name=experiment_name or "model")
+    try:
+        segpipe.train_model(train_batches, make_test_batches, logger,
+                            progress=progress)
+    finally:
+        train_batches.close()
+    return segpipe
+
+
+def main(argv=None):
+    args = get_argparse_parser("train").parse_args(argv)
+    configuration = load_yaml_config(args.yaml_path)
+    config = parse_config_options(configuration, args)
+
+    experiment_name = Path(config["yaml_path"]).stem
+    experiment_id = get_datetime_str()
+    checkpoint_dir = Path("saved_models", experiment_name, experiment_id)
+    log_dir = Path("tensorboard_logs", experiment_name, experiment_id)
+
+    logger = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        logger = SummaryWriter(log_dir=str(log_dir))
+        logger.add_text("Config", config_args_to_markdown(config),
+                        global_step=0)
+        shutil.copy(args.yaml_path, log_dir)
+    except Exception as exc:  # TB optional
+        print(f"TensorBoard logging disabled: {exc}")
+
+    print("Data mode:", config["data_mode"])
+    start = time.time()
+    run_training(config, checkpoint_dir, log_dir, experiment_name, logger)
+    print(f"Executed time for training (h): "
+          f"{np.round((time.time() - start) / 3600, 2)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,8 @@ def random_point_containing(data_length, window_length, point, slack=20,
     half = window_length // 2 - slack
     low = max(half, point - half)
     high = min(data_length - half, point + half)
-    if high == low:
+    if high <= low:
+        # degenerate interval (reference returns the == case only,
+        # utils/np.py:32-33; <= also covers windows smaller than 2*slack)
         return high
     return int(rng.randint(low, high))

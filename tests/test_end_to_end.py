@@ -1,0 +1,171 @@
+"""End-to-end: train -> checkpoint -> save_predict (zarr + npy, with
+resume) -> evaluate, all on synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.config import parse_config_options
+from crimac_unet_tpu.data.fixtures import make_survey_dir, make_zarr_survey
+from crimac_unet_tpu.data.partition import make_partition
+from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+from crimac_unet_tpu.data.zarrlite import ZGroup
+from crimac_unet_tpu.models.unet import build_unet
+from crimac_unet_tpu.ops import metrics as M
+from crimac_unet_tpu.pipeline.engine import load_checkpoint
+from crimac_unet_tpu.pipeline.evaluate import evaluate_survey
+from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                save_reader_predictions_memm,
+                                                save_survey_predictions_zarr)
+from crimac_unet_tpu.pipeline.train import run_training
+
+
+def _config(**over):
+    cfg = parse_config_options({
+        "random_seed": 7,
+        "frequencies": [18, 38, 120, 200],
+        "patch_size": [32, 32],
+        "patch_overlap": 4,
+        "batch_size": 2,
+        "iterations": 6,
+        "test_iter": 2,
+        "log_step": 3,
+        "lr_step": 2,
+        "num_workers": 2,
+        "depth": 2,
+        "start_filts": 4,
+        "partition_train": "selected surveys",
+        "train_surveys": [2017],
+        "validation_surveys": [2017],
+        "partition_predict": "selected surveys",
+        "evaluation_surveys": [2017],
+        "save_prediction_surveys": [2017],
+        "preload_n_pings": 60,
+        "fwd_batch": 8,
+        "compute_dtype": "float32",
+    })
+    cfg.update(over)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def memm_dir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("e2e_memm")
+    make_survey_dir(path, year=2017, n_echograms=2, H=80, W=150, seed=42)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def zarr_root(tmp_path_factory):
+    path = tmp_path_factory.mktemp("e2e_zarr")
+    make_zarr_survey(path, year=2017, n_echograms=2, H=80, W=150, seed=42,
+                     layout="nested")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def trained(memm_dir, tmp_path_factory):
+    ckpt_dir = tmp_path_factory.mktemp("ckpt") / "run"
+    cfg = _config(data_mode="memm", path_to_echograms=memm_dir)
+    segpipe = run_training(cfg, ckpt_dir, progress=False)
+    return cfg, ckpt_dir, segpipe
+
+
+def test_training_produces_checkpoints_and_loss(trained):
+    cfg, ckpt_dir, segpipe = trained
+    assert (ckpt_dir / "last.msgpack").exists()
+    assert (ckpt_dir / "best.msgpack").exists()
+    assert segpipe.best_F1_val > -np.inf
+    payload = load_checkpoint(ckpt_dir / "last.msgpack")
+    assert "params" in payload and "batch_stats" in payload
+    assert "opt_state" in payload  # training itself is resumable
+
+
+def test_save_predict_zarr_and_resume(trained, zarr_root, tmp_path):
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    cfg2 = dict(cfg, data_mode="zarr", path_to_zarr_files=zarr_root)
+    runner = GriddedRunner(build_unet(cfg2), variables, cfg2)
+    data_obj = make_partition(cfg2)
+    readers = data_obj.get_survey_readers(2017)
+    assert len(readers) == 1
+    reader = readers[0]
+
+    target = str(tmp_path / f"{reader.name}_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, target,
+                                 preload_n_pings=60)
+    g = ZGroup.open(target)
+    ann = g["annotation"]
+    assert ann.shape == (2, reader.shape[0], reader.shape[1])
+    assert ann.dtype == np.float16
+    np.testing.assert_array_equal(g["category"][:], [27, 1])
+    full = ann[:, :, :]
+    assert np.isfinite(full).all()
+    assert full.max() <= 1.0 and full.min() >= 0.0
+    assert (full > 0).any()
+    assert g["ping_time"].shape == (reader.shape[0],)
+
+    # resume: rebuild first chunk only, then resume to complete; must match
+    target2 = str(tmp_path / "resume_pred.zarr")
+    from crimac_unet_tpu.pipeline.inference import predict_reader
+    s, e, out = next(iter(predict_reader(runner, reader, 60)))
+    g2 = ZGroup.create(target2)
+    g2.create_array("annotation", (2, 0, reader.shape[1]),
+                    (1, 60, reader.shape[1]), np.float16, fill_value=0,
+                    dims=["category", "ping_time", "range"])
+    g2.create_array("ping_time", (0,), (8192,),
+                    np.asarray(reader.time_vector).dtype, fill_value=None,
+                    compressor=None, dims=["ping_time"])
+    g2["annotation"].append(out.transpose(0, 2, 1), axis=1)
+    g2["ping_time"].append(np.asarray(reader.time_vector[s:e]), axis=0)
+
+    save_survey_predictions_zarr(runner, reader, target2,
+                                 preload_n_pings=60, resume_writing=True)
+    resumed = ZGroup.open(target2)["annotation"][:, :, :]
+    np.testing.assert_array_equal(resumed, full)
+
+
+def test_save_predict_memm(trained, tmp_path):
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    runner = GriddedRunner(build_unet(cfg), variables, cfg)
+    data_obj = make_partition(cfg)
+    reader = data_obj.get_survey_readers(2017)[0]
+    target = str(tmp_path / f"{reader.name}_pred.npy")
+    save_reader_predictions_memm(runner, reader, target, preload_n_pings=60)
+    out = np.load(target)
+    assert out.shape == (2, reader.shape[0], reader.shape[1])
+    assert (out > 0).any()
+    # resume skips existing files (save_predict.py:233-235)
+    mtime = os.path.getmtime(target)
+    save_reader_predictions_memm(runner, reader, target,
+                                 preload_n_pings=60, resume_writing=True)
+    assert os.path.getmtime(target) == mtime
+
+
+@pytest.mark.parametrize("eval_mode", ["all", "fish"])
+def test_evaluate_survey_outputs(trained, tmp_path, eval_mode):
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    runner = GriddedRunner(build_unet(cfg), variables, cfg)
+    data_obj = make_partition(cfg)
+    readers = data_obj.get_survey_readers(2017)
+
+    csv = tmp_path / f"2017_{eval_mode}_test.csv"
+    png = tmp_path / f"2017_{eval_mode}_pr.png"
+    curve = evaluate_survey(runner, readers, eval_mode,
+                            save_path_metrics=str(csv),
+                            save_path_plot=str(png))
+    assert csv.exists() and png.exists()
+    import pandas as pd
+    df = pd.read_csv(csv, index_col=0)
+    assert list(df.columns) == ["precision", "recall", "thresholds", "F1"]
+    assert len(df) == len(curve["precision"])
+    assert 0.0 <= M.max_f1(curve)[0] <= 1.0

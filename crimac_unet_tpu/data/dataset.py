@@ -65,16 +65,20 @@ class RandomPatchDataset:
     (reference batch/dataset.py:30-113)."""
 
     def __init__(self, samplers, window_size, frequencies,
-                 sampler_probs=None, seed=None):
+                 sampler_probs=None, seed=None, meta_channels=None):
+        from .meta_channels import validate_meta_channels
         self.samplers = samplers
         self.window_size = window_size
         self.frequencies = frequencies
+        self.meta_channels = meta_channels or None
+        validate_meta_channels(self.meta_channels)
         probs = np.asarray(sampler_probs if sampler_probs is not None
                            else np.ones(len(samplers)), dtype=float)
         self.cum_probs = np.cumsum(probs) / probs.sum()
         self.rng = np.random.RandomState(seed)
 
     def sample(self):
+        from .meta_channels import crop_meta
         i = self.rng.rand()
         sampler = self.samplers[int(np.searchsorted(self.cum_probs, i,
                                                     side="right"))]
@@ -82,16 +86,23 @@ class RandomPatchDataset:
         data = reader.crop_data(center, self.window_size, self.frequencies)
         labels = reader.crop_labels(center, self.window_size)
         seabed = seabed_patch_row(reader, center, self.window_size)
-        return data, labels.astype(np.int32), seabed, np.asarray(center)
+        meta = (crop_meta(reader, center, self.window_size,
+                          self.meta_channels)
+                if self.meta_channels else None)
+        return data, labels.astype(np.int32), seabed, np.asarray(center), \
+            meta
 
     def batch(self, batch_size):
         parts = [self.sample() for _ in range(batch_size)]
-        return {
+        out = {
             "data": np.stack([p[0] for p in parts]),
             "labels": np.stack([p[1] for p in parts]),
             "seabed_row": np.stack([p[2] for p in parts]),
             "centers": np.stack([p[3] for p in parts]),
         }
+        if self.meta_channels:
+            out["meta"] = np.stack([p[4] for p in parts])
+        return out
 
 
 class BatchPrefetcher:

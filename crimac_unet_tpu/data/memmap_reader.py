@@ -31,6 +31,32 @@ def _load_pickle(folder, name):
         return pickle.load(f, encoding="latin1")
 
 
+def _matlab_time_to_datetime(t: float):
+    from datetime import datetime, timedelta
+    days = t % 1
+    return (datetime.fromordinal(int(t)) + timedelta(days=days)
+            - timedelta(days=366))
+
+
+def _portion_of_year_scalar(time_vector) -> float:
+    """(reference data_reader.py:71-73,:80-81)"""
+    t = _matlab_time_to_datetime(float(np.atleast_1d(time_vector)[0]))
+    return t.month / 12 + t.day / 366 + t.hour / 366 / 24
+
+
+def _timevector_to_diff(time_vector) -> np.ndarray:
+    """Per-ping time-step vector normalized to ~[-1, 1]
+    (reference data_reader.py:56-62)."""
+    tv = np.atleast_1d(np.asarray(time_vector, dtype=np.float64))
+    if tv.size < 3:
+        return np.zeros_like(tv)
+    return np.concatenate((
+        [tv[1] - tv[0]],
+        (tv[2:] - tv[:-2]) / 2,
+        [tv[-1] - tv[-2]],
+    )) / 6e-6 - 1
+
+
 class Echogram:
     """Reader for one memmap echogram directory
     (reference data/data_reader.py:44-113)."""
@@ -56,6 +82,12 @@ class Echogram:
         # e.g. "2017843-D20170427-T062615" (reference data_reader.py:73)
         self.year = int(self.name[9:13])
         self._seabed = None
+
+        # metadata-channel source vectors (reference data_reader.py:56-100)
+        self.portion_of_day_vector = self.time_vector % 1
+        self.portion_of_year_scalar = _portion_of_year_scalar(
+            self.time_vector)
+        self.time_vector_diff = _timevector_to_diff(self.time_vector)
 
         self.label_types_in_echogram = np.unique(
             [o["fish_type_index"] for o in self.objects]

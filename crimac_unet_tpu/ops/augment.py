@@ -45,3 +45,17 @@ def augment_train(key, data, labels):
     k_noise, k_flip = jax.random.split(key)
     data = add_noise(k_noise, data)
     return flip_x_axis(k_flip, data, labels)
+
+
+def augment_train_meta(key, data, meta, labels):
+    """Metadata variant: noise on acoustic data only; the flip is applied
+    consistently to data, meta and labels
+    (reference add_noise.py:37-62, flip_x_axis.py:26-31)."""
+    k_noise, k_flip = jax.random.split(key)
+    data = add_noise(k_noise, data)
+    B = data.shape[0]
+    flip = jax.random.bernoulli(k_flip, 0.5, (B,))
+    data = jnp.where(flip[:, None, None, None], data[..., ::-1], data)
+    meta = jnp.where(flip[:, None, None, None], meta[..., ::-1], meta)
+    labels = jnp.where(flip[:, None, None], labels[..., ::-1], labels)
+    return data, meta, labels

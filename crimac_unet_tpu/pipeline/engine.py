@@ -53,10 +53,17 @@ def make_optimizer(config: dict) -> optax.GradientTransformation:
 
 
 def init_train_state(model: UNet, config: dict, rng) -> TrainState:
+    from ..data.meta_channels import get_in_channels
     wh, ww = config["patch_size"]
     in_ch = len(config["frequencies"])
+    n_meta = get_in_channels(config.get("meta_channels"))
+    meta = None
+    if model.late_meta_inject:
+        meta = jnp.zeros((1, wh, ww, n_meta), jnp.float32)
+    else:
+        in_ch += n_meta  # early injection concatenates before the encoder
     x = jnp.zeros((1, wh, ww, in_ch), jnp.float32)
-    variables = model.init(rng, x, train=False)
+    variables = model.init(rng, x, meta=meta, train=False)
     tx = make_optimizer(config)
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"],
@@ -98,21 +105,25 @@ def _test_labels(data, labels, seabed_row, overlap, threshold_freq_idx):
 
 
 def make_train_step(model: UNet, config: dict):
+    from ..data.meta_channels import get_in_channels
     tx = make_optimizer(config)
     class_weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+    use_meta = get_in_channels(config.get("meta_channels")) > 0
+    late = bool(config.get("late_meta_inject", False))
 
-    @jax.jit
-    def train_step(state: TrainState, data, labels, rng):
-        """data (B,C,H,W) raw sv float32; labels (B,H,W) raw int32."""
-        data, labels = augment.augment_train(rng, data, labels)
-        labels = _train_labels(data, labels, -1)
-        data, labels = data_ops.data_transform_train(data, labels)
+    def _update(state, data, labels, meta):
         x = data.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        meta_nhwc = None
+        if use_meta:
+            meta_nhwc = meta.transpose(0, 2, 3, 1)
+            if not late:
+                x = jnp.concatenate([x, meta_nhwc], axis=-1)
+                meta_nhwc = None
 
         def loss_fn(params):
             logits, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
+                x, meta=meta_nhwc, train=True, mutable=["batch_stats"])
             loss = weighted_ce_loss(logits, labels, class_weights)
             return loss, mutated["batch_stats"]
 
@@ -120,39 +131,75 @@ def make_train_step(model: UNet, config: dict):
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_stats, opt_state=new_opt)
-        return new_state, loss
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), loss
+
+    if use_meta:
+        @jax.jit
+        def train_step(state: TrainState, data, labels, meta, rng):
+            data, meta, labels = augment.augment_train_meta(
+                rng, data, meta, labels)
+            labels = _train_labels(data, labels, -1)
+            data, labels = data_ops.data_transform_train(data, labels,
+                                                         scaled=True)
+            return _update(state, data, labels, meta)
+    else:
+        @jax.jit
+        def train_step(state: TrainState, data, labels, rng):
+            """data (B,C,H,W) raw sv float32; labels (B,H,W) raw int32."""
+            data, labels = augment.augment_train(rng, data, labels)
+            labels = _train_labels(data, labels, -1)
+            data, labels = data_ops.data_transform_train(data, labels)
+            return _update(state, data, labels, None)
 
     return train_step
 
 
 def make_eval_step(model: UNet, config: dict):
+    from ..data.meta_channels import get_in_channels
     class_weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+    use_meta = get_in_channels(config.get("meta_channels")) > 0
+    late = bool(config.get("late_meta_inject", False))
 
-    @partial(jax.jit, static_argnames=("overlap", "with_loss"))
-    def eval_step(params, batch_stats, hist, data, labels, seabed_row,
-                  overlap=0, with_loss=True):
-        """Validation step on raw crops: label test chain, data test chain,
-        forward, loss on ignore-collapsed labels, PR histogram update.
-
-        Returns (hist, loss, n_valid_for_loss).
-        """
+    def _core(params, batch_stats, hist, data, labels, seabed_row, meta,
+              overlap, with_loss):
         labels_t = _test_labels(data, labels, seabed_row, overlap, -1)
-        data_t, labels_t = data_ops.data_transform_test(data, labels_t)
+        data_t, labels_t = data_ops.data_transform_test(data, labels_t,
+                                                        scaled=use_meta)
         x = data_t.transpose(0, 2, 3, 1)
+        meta_nhwc = None
+        if use_meta:
+            meta_nhwc = meta.transpose(0, 2, 3, 1)
+            if not late:
+                x = jnp.concatenate([x, meta_nhwc], axis=-1)
+                meta_nhwc = None
         logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             x, train=False)
+                             x, meta=meta_nhwc, train=False)
         probs = jax.nn.softmax(logits, axis=-1)
-        sandeel = probs[..., 1]
 
         loss = jnp.zeros(())
         if with_loss:
             collapsed = label_ops.set_label_ignore_val(labels_t)
             loss = weighted_ce_loss(logits, collapsed, class_weights)
 
-        hist = metrics.update_pr_histogram(hist, sandeel, labels_t)
+        hist = metrics.update_pr_histogram(hist, probs[..., 1], labels_t)
         return hist, loss
+
+    if use_meta:
+        @partial(jax.jit, static_argnames=("overlap", "with_loss"))
+        def eval_step(params, batch_stats, hist, data, labels, seabed_row,
+                      meta, overlap=0, with_loss=True):
+            return _core(params, batch_stats, hist, data, labels,
+                         seabed_row, meta, overlap, with_loss)
+    else:
+        @partial(jax.jit, static_argnames=("overlap", "with_loss"))
+        def eval_step(params, batch_stats, hist, data, labels, seabed_row,
+                      overlap=0, with_loss=True):
+            """Validation step on raw crops: label test chain, data test
+            chain, forward, loss on ignore-collapsed labels, PR histogram
+            update."""
+            return _core(params, batch_stats, hist, data, labels,
+                         seabed_row, None, overlap, with_loss)
 
     return eval_step
 

@@ -52,6 +52,8 @@ class GriddedRunner:
     """Shared device programs for gridded predict/eval over one model."""
 
     def __init__(self, model, variables, config):
+        from ..data.meta_channels import (get_in_channels,
+                                          validate_meta_channels)
         self.model = model
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
@@ -59,14 +61,28 @@ class GriddedRunner:
         self.overlap = int(config["patch_overlap"])
         self.frequencies = sorted(config["frequencies"])
         self.fwd_batch = int(config.get("fwd_batch", 32))
+        self.meta_channels = config.get("meta_channels") or None
+        validate_meta_channels(self.meta_channels)
+        self.use_meta = get_in_channels(self.meta_channels) > 0
+        self.late_meta = bool(config.get("late_meta_inject", False))
         self.timer = PhaseTimer()
         wh, ww = self.window
         self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
 
     # ------------------------------------------------------------ forward
     @partial(jax.jit, static_argnames=("self",))
-    def _forward_probs(self, patches_nhwc):
+    def _forward_probs(self, patches_nhwc, meta_nhwc):
         """(nb, B, wh, ww, C) -> (nb, B, wh, ww, 3) softmax probabilities."""
+        def one(args):
+            batch, meta = args
+            logits = self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                batch, meta=meta, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+        return jax.lax.map(one, (patches_nhwc, meta_nhwc))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _forward_probs_nometa(self, patches_nhwc):
         def one(batch):
             logits = self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
@@ -74,23 +90,56 @@ class GriddedRunner:
             return jax.nn.softmax(logits, axis=-1)
         return jax.lax.map(one, patches_nhwc)
 
-    def _run_forward(self, patches):
-        """(N, wh, ww, C) -> (N, wh, ww, 3), padding N to the fwd batch."""
+    def _run_forward(self, patches, meta=None):
+        """(N, wh, ww, C)[, meta (N, wh, ww, M)] -> (N, wh, ww, 3), padding
+        N to the fwd batch.  meta is concatenated (early inject) or passed
+        separately (late inject)."""
+        if meta is not None and not self.late_meta:
+            patches = jnp.concatenate([patches, meta], axis=-1)
+            meta = None
         N = patches.shape[0]
         B = self.fwd_batch
         Np = _round_up(N, B)
         if Np != N:
-            patches = jnp.pad(patches,
-                              ((0, Np - N), (0, 0), (0, 0), (0, 0)))
-        probs = self._forward_probs(
-            patches.reshape(Np // B, B, *patches.shape[1:]))
+            pad = ((0, Np - N), (0, 0), (0, 0), (0, 0))
+            patches = jnp.pad(patches, pad)
+            if meta is not None:
+                meta = jnp.pad(meta, pad)
+        if meta is not None:
+            probs = self._forward_probs(
+                patches.reshape(Np // B, B, *patches.shape[1:]),
+                meta.reshape(Np // B, B, *meta.shape[1:]))
+        else:
+            probs = self._forward_probs_nometa(
+                patches.reshape(Np // B, B, *patches.shape[1:]))
         return probs.reshape(Np, *probs.shape[2:])[:N]
+
+    def _gather_meta(self, meta_slab, consts, y0s, x0s):
+        """(N, M, wh, ww) metadata patches: per-patch constant channels
+        (portion_year/day) broadcast + per-pixel channels gathered from the
+        meta slab (time_diff, depth_*) — reference channel order
+        (dataset.py:288-351)."""
+        wh, ww = self.window
+        N = y0s.shape[0]
+        parts = []
+        if consts.shape[1] > 0:
+            parts.append(jnp.broadcast_to(
+                consts[:, :, None, None], (N, consts.shape[1], wh, ww)))
+        if meta_slab.shape[0] > 0:
+            Ms = meta_slab.shape[0]
+
+            def g(y0, x0):
+                return jax.lax.dynamic_slice(meta_slab, (0, y0, x0),
+                                             (Ms, wh, ww))
+            parts.append(jax.vmap(g)(y0s, x0s))
+        return jnp.concatenate(parts, axis=1)
 
     # ------------------------------------------------- predict chunk (jit)
     @partial(jax.jit, static_argnames=("self", "R", "C", "n_range",
-                                       "border_zero"))
-    def _predict_patches(self, data_slab, y0s, x0s, border_slab, R, C,
-                         n_range, border_zero):
+                                       "border_zero", "use_meta"))
+    def _predict_patches(self, data_slab, y0s, x0s, border_slab, meta_slab,
+                         consts, R, C, n_range, border_zero,
+                         use_meta=False):
         """Gather+preprocess patches and forward them; returns stitched
         (Hs, Ws, 2) [sandeel, other] probabilities in grid coords."""
         wh, ww = self.window
@@ -101,13 +150,20 @@ class GriddedRunner:
                                          (Cf, wh, ww))
         patches = jax.vmap(gather)(y0s, x0s)          # (N, Cf, wh, ww)
         patches = jnp.where(jnp.isfinite(patches), patches, 0.0)
-        d = data_ops.db_with_limits(patches)
+        if use_meta:  # metadata runs use the [0,1]-scaled dB transform
+            d = data_ops.db_with_limits_scaled(patches)
+        else:
+            d = data_ops.db_with_limits(patches)
         if border_zero:
             def gatherb(y0, x0):
                 return jax.lax.dynamic_slice(border_slab, (y0, x0), (wh, ww))
             border = jax.vmap(gatherb)(y0s, x0s)
             d = jnp.where(border[:, None, :, :], 0.0, d)
-        probs = self._run_forward(d.transpose(0, 2, 3, 1))
+        meta = None
+        if use_meta:
+            meta = self._gather_meta(meta_slab, consts, y0s,
+                                     x0s).transpose(0, 2, 3, 1)
+        probs = self._run_forward(d.transpose(0, 2, 3, 1), meta)
         sel = probs[..., jnp.array([1, 2])]           # sandeel, other
         return stitch_patches(sel, R, C, self.overlap)
 
@@ -145,10 +201,10 @@ class GriddedRunner:
 
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
-                                       "zarr_pad"))
+                                       "zarr_pad", "use_meta"))
     def _eval_patches(self, hist, data_slab, label_slab, sb_pad, keep_slab,
-                      y0s, x0s, patch_y0_data, use_keep, border_zero,
-                      zarr_pad):
+                      meta_slab, consts, y0s, x0s, patch_y0_data, use_keep,
+                      border_zero, zarr_pad, use_meta=False):
         """Per-patch test label chain + forward + PR histogram update.
 
         label_slab is in the same padded grid coordinates as data_slab;
@@ -199,11 +255,69 @@ class GriddedRunner:
                 keep_slab, y0s, x0s)
             lab = jnp.where(keep > 0, lab, -1)  # reference ignore_val=-1
 
-        d = data_ops.db_with_limits(data)
+        if use_meta:
+            d = data_ops.db_with_limits_scaled(data)
+        else:
+            d = data_ops.db_with_limits(data)
         if border_zero:
             d = data_ops.set_data_border_value(d, lab)
-        probs = self._run_forward(d.transpose(0, 2, 3, 1))
+        meta = None
+        if use_meta:
+            meta = self._gather_meta(meta_slab, consts, y0s,
+                                     x0s).transpose(0, 2, 3, 1)
+        probs = self._run_forward(d.transpose(0, 2, 3, 1), meta)
         return metrics.update_pr_histogram(hist, probs[..., 1], lab)
+
+
+def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
+                       centers_x):
+    """Host construction of metadata inputs for the gridded device programs
+    (memmap-only, like the reference): per-pixel channels as a slab in
+    padded grid coordinates + per-patch constant channels.
+
+    The reference meta grid is offset (-1, -1) relative to the data crop
+    (``arange(center - w//2, ...)`` without the +1 shift,
+    dataset.py:306-345), hence the ``- 1`` below.
+    """
+    assert reader.data_format == "memmap", \
+        "metadata channels are memmap-only (reference dataset.py:245-252)"
+    mc = runner.meta_channels
+    wh = runner.window[0]
+    n_pings = reader.shape[1]
+    rows = np.arange(Hp, dtype=np.float64) + row0_data - 1
+    cols = np.arange(Wp) + col0_data - 1
+    cc = np.clip(cols, 0, n_pings - 1)
+    centers_x = np.asarray(centers_x)
+
+    consts_parts = []
+    if mc.get("portion_year"):
+        consts_parts.append(np.full(len(centers_x),
+                                    reader.portion_of_year_scalar))
+    if mc.get("portion_day"):
+        idx = np.clip(centers_x, 0, reader.portion_of_day_vector.size - 1)
+        pd = reader.portion_of_day_vector[idx]
+        consts_parts.append(np.sin(2 * np.pi * pd))
+        consts_parts.append(np.cos(2 * np.pi * pd))
+    consts = (np.stack(consts_parts, axis=1) if consts_parts
+              else np.zeros((len(centers_x), 0)))
+
+    slab_parts = []
+    if mc.get("time_diff"):
+        slab_parts.append(np.broadcast_to(
+            reader.time_vector_diff[cc][None, :], (Hp, Wp)))
+    if any(mc.get(k) for k in ("depth_rel", "depth_abs_surface",
+                               "depth_abs_seabed")):
+        sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.float64)
+        sbc = sb[cc]
+        if mc.get("depth_rel"):
+            slab_parts.append(rows[:, None] / sbc[None, :])
+        if mc.get("depth_abs_surface"):
+            slab_parts.append(np.broadcast_to(rows[:, None] / wh, (Hp, Wp)))
+        if mc.get("depth_abs_seabed"):
+            slab_parts.append((sbc[None, :] - rows[:, None]) / wh)
+    meta_slab = (np.stack(slab_parts).astype(np.float32) if slab_parts
+                 else np.zeros((0, Hp, Wp), np.float32))
+    return meta_slab, consts.astype(np.float32)
 
 
 # ============================================================== PREDICTION
@@ -306,9 +420,17 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
 
         runner.timer.start("device_chunk")
         y0s, x0s = make_grid_starts(R, C, sh, sw, o, o, o)
+        meta_slab = np.zeros((0, 1, 1), np.float32)
+        consts = np.zeros((len(y0s), 0), np.float32)
+        if runner.use_meta:
+            centers_x = s + np.tile(np.arange(C) * sw, R) - o - 1 + ww // 2
+            meta_slab, consts = _build_meta_inputs(
+                runner, reader, Hp, Wp, -o, s - o, centers_x)
         stitched = runner._predict_patches(
             jnp.asarray(data_slab), jnp.asarray(y0s), jnp.asarray(x0s),
-            jnp.asarray(border_slab), R, C, n_range, border_zero)
+            jnp.asarray(border_slab), jnp.asarray(meta_slab),
+            jnp.asarray(consts), R, C, n_range, border_zero,
+            runner.use_meta)
         out = runner._mask_output(
             stitched, jnp.asarray(label_pad), jnp.asarray(sv_pad),
             jnp.asarray(sb_vec), n_range, C * sw, is_zarr)
@@ -479,14 +601,24 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         patch_y0_data = (np.repeat(np.arange(R) * sh, Cc) - o).astype(
             np.int32)
 
+        meta_slab = np.zeros((0, 1, 1), np.float32)
+        consts = np.zeros((len(y0s), 0), np.float32)
+        if runner.use_meta:
+            centers_x = (np.tile(np.arange(j0, j1) * sw, R) - o - 1
+                         + ww // 2)
+            meta_slab, consts = _build_meta_inputs(
+                runner, reader, Hp, Wp, -o, want_x0, centers_x)
+
         # reference asymmetry: memm eval zeroes dB data at the boundary
         # (define_data_transform_test), zarr eval does not (evaluate.py:47)
         border_zero = not is_zarr
         hist = runner._eval_patches(
             hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
             jnp.asarray(sb_pad), jnp.asarray(keep_slab),
+            jnp.asarray(meta_slab), jnp.asarray(consts),
             jnp.asarray(y0s), jnp.asarray(x0s),
-            jnp.asarray(patch_y0_data), use_keep, border_zero, is_zarr)
+            jnp.asarray(patch_y0_data), use_keep, border_zero, is_zarr,
+            runner.use_meta)
     return hist
 
 

@@ -102,8 +102,13 @@ class SegPipeUNet:
         i = -1
         for i, batch in enumerate(it):
             key, sub = jax.random.split(key)
-            self.state, loss = self._train_step(
-                self.state, batch["data"], batch["labels"], sub)
+            if "meta" in batch:
+                self.state, loss = self._train_step(
+                    self.state, batch["data"], batch["labels"],
+                    batch["meta"], sub)
+            else:
+                self.state, loss = self._train_step(
+                    self.state, batch["data"], batch["labels"], sub)
             if logger is not None:
                 logger.add_scalar("train/loss", float(loss),
                                   global_step=i + 1)
@@ -128,10 +133,12 @@ class SegPipeUNet:
         hist = M.new_histogram()
         losses = []
         for batch in test_batches:
-            hist, loss = self._eval_step(
-                self.state.params, self.state.batch_stats, hist,
-                jnp.asarray(batch["data"]), jnp.asarray(batch["labels"]),
-                jnp.asarray(batch["seabed_row"]), overlap=0, with_loss=True)
+            args = [self.state.params, self.state.batch_stats, hist,
+                    jnp.asarray(batch["data"]), jnp.asarray(batch["labels"]),
+                    jnp.asarray(batch["seabed_row"])]
+            if "meta" in batch:
+                args.append(jnp.asarray(batch["meta"]))
+            hist, loss = self._eval_step(*args, overlap=0, with_loss=True)
             losses.append(loss)
         curve = M.pr_curve_from_histogram(np.asarray(hist))
         f1, idx = M.max_f1(curve)

@@ -32,16 +32,18 @@ def make_datasets(config, data_obj):
     samplers_train, samplers_test, probs = data_obj.get_samplers_train(
         readers_train, readers_test)
 
+    meta = config.get("meta_channels") or None
+
     def train_factory(seed_offset=0):
         return RandomPatchDataset(samplers_train, config["patch_size"],
                                   sorted(config["frequencies"]),
-                                  sampler_probs=probs,
+                                  sampler_probs=probs, meta_channels=meta,
                                   seed=config["random_seed"] + seed_offset)
 
     def test_factory(seed_offset=0):
         return RandomPatchDataset(samplers_test, config["patch_size"],
                                   sorted(config["frequencies"]),
-                                  sampler_probs=probs,
+                                  sampler_probs=probs, meta_channels=meta,
                                   seed=config["random_seed"] + 10_000
                                   + seed_offset)
     return train_factory, test_factory

@@ -98,7 +98,8 @@ class GriddedRunner:
             patches = jnp.concatenate([patches, meta], axis=-1)
             meta = None
         N = patches.shape[0]
-        B = self.fwd_batch
+        # adaptive sub-batch: don't pad a 20-patch chunk up to 32
+        B = min(self.fwd_batch, _round_up(N, 8))
         Np = _round_up(N, B)
         if Np != N:
             pad = ((0, Np - N), (0, 0), (0, 0), (0, 0))
@@ -349,7 +350,22 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         from tqdm import tqdm
         it = tqdm(splits, desc="Predicting ...")
 
-    for (s, e) in it:
+    # software pipeline: device dispatch is async; keep `pipeline_depth`
+    # chunks in flight and only synchronize (d2h) one chunk behind, so the
+    # transfer of chunk k overlaps compute of chunk k+1
+    pending: list = []
+    pipeline_depth = 2
+
+    def _drain(entry):
+        s0, e0, dev_out = entry
+        runner.timer.start("d2h")
+        host = np.asarray(dev_out)[:, :, :e0 - s0]
+        runner.timer.stop("d2h")
+        return s0, e0, host
+
+    def prepare(s, e):
+        """Host-side slab construction for one chunk (runs in a prefetch
+        thread, overlapped with device compute of the previous chunk)."""
         s, e = int(s), int(e)
         w = e - s
         runner.timer.start("host_slab")
@@ -416,9 +432,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         sv_pad[:slab_y1, :w] = raw[0][:, off:off + w]
         sb_vec = np.full(C * sw, BIG_ROW, np.int64)
         sb_vec[:w] = np.where(seabed_has[s:e], sb_chunk, BIG_ROW)
-        runner.timer.stop("host_slab")
 
-        runner.timer.start("device_chunk")
         y0s, x0s = make_grid_starts(R, C, sh, sw, o, o, o)
         meta_slab = np.zeros((0, 1, 1), np.float32)
         consts = np.zeros((len(y0s), 0), np.float32)
@@ -426,6 +440,21 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             centers_x = s + np.tile(np.arange(C) * sw, R) - o - 1 + ww // 2
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, s - o, centers_x)
+        runner.timer.stop("host_slab")
+        return (s, e, w, R, C, data_slab, border_slab, border_zero,
+                label_pad, sv_pad, sb_vec, y0s, x0s, meta_slab, consts)
+
+    from concurrent.futures import ThreadPoolExecutor
+    executor = ThreadPoolExecutor(max_workers=1)
+    fut = executor.submit(prepare, *splits[0]) if len(splits) else None
+
+    for idx, _ in enumerate(it):
+        (s, e, w, R, C, data_slab, border_slab, border_zero, label_pad,
+         sv_pad, sb_vec, y0s, x0s, meta_slab, consts) = fut.result()
+        if idx + 1 < len(splits):
+            fut = executor.submit(prepare, *splits[idx + 1])
+
+        runner.timer.start("device_chunk")
         stitched = runner._predict_patches(
             jnp.asarray(data_slab), jnp.asarray(y0s), jnp.asarray(x0s),
             jnp.asarray(border_slab), jnp.asarray(meta_slab),
@@ -434,9 +463,14 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         out = runner._mask_output(
             stitched, jnp.asarray(label_pad), jnp.asarray(sv_pad),
             jnp.asarray(sb_vec), n_range, C * sw, is_zarr)
-        out = np.asarray(out)[:, :, :w]
         runner.timer.stop("device_chunk")
-        yield s, e, out
+        pending.append((s, e, out))
+        if len(pending) >= pipeline_depth:
+            yield _drain(pending.pop(0))
+
+    for entry in pending:
+        yield _drain(entry)
+    executor.shutdown(wait=False)
 
 
 def save_survey_predictions_zarr(runner, reader, target_dname,

@@ -200,6 +200,11 @@ class Echogram:
             chans.append(crop)
         return np.stack(chans, axis=0)
 
+    def visualize(self, **kwargs):
+        """Render this echogram (reference data_reader.py:117-350)."""
+        from ..utils.plotting import visualize_echogram
+        return visualize_echogram(self, **kwargs)
+
     def crop_labels(self, center, window):
         from ..constants import LABEL_BOUNDARY_VAL
         center = list(center)
@@ -211,11 +216,14 @@ class Echogram:
 
 def get_echograms(years="all", path_to_echograms=None,
                   frequencies=(18, 38, 120, 200), minimum_shape=256,
-                  excluded_names=()):
+                  excluded_names=None):
     """Discover and filter echogram dirs (reference data_reader.py:1149-1187)."""
     from .. import paths
+    from .exclusions import load_exclusion_file
     if path_to_echograms is None:
         path_to_echograms = paths.path_to_echograms()
+    if excluded_names is None:
+        excluded_names = load_exclusion_file(path_to_echograms)
     names = sorted(n for n in os.listdir(path_to_echograms) if "." not in n)
     echs = [Echogram(os.path.join(path_to_echograms, n)) for n in names]
 

@@ -45,6 +45,14 @@ class _DataPartition:
         raise ValueError(f"partition_predict options: 'selected surveys' or "
                          f"'all surveys', not {self.partition_predict}")
 
+    def get_gridded_survey_sampler(self, year):
+        """Gridded sampler covering all of one survey's data
+        (reference partition.py:177-186 / :365-376)."""
+        return [S.Gridded(self.get_survey_readers(year),
+                          window_size=self.window_size,
+                          patch_overlap=self.patch_overlap,
+                          mode=self.eval_mode)]
+
     def _sampler_battery(self, readers, sampler_types):
         (Bg, Sb, Sc, ScSb) = sampler_types
         half = self.window_size[0] // 2

@@ -66,6 +66,14 @@ def write_heave_reverted_labels(echogram, force_write: bool = False) -> None:
     os.replace(tmp_path, path)
 
 
+def batch_estimate_seabed(echograms, force=False) -> None:
+    """Precompute + cache ``seabed.npy`` for a list of echograms
+    (reference data_preprocessing/estimate_seabed.py:24-35)."""
+    for ech in echograms:
+        ech.get_seabed(0, ech.shape[1], save_to_file=True,
+                       ignore_saved=force)
+
+
 def echograms_to_zarr_survey(echograms, out_dir, survey_name,
                              categories=(-1, 1, 27), compressor="zlib"):
     """Convert memmap echograms of one survey into the zarr survey triplet

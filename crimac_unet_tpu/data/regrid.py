@@ -1,0 +1,132 @@
+"""Regridding of echograms and predictions onto fixed ping-rate / range
+grids.
+
+Counterpart of reference data_preprocessing/regridding.py:35-362, which used
+Iris ``AreaWeighted``/``Nearest`` cube regridding.  Iris is not available
+here; for rectilinear 1-D x 1-D grids area-weighted regridding is separable,
+so this implements exact 1-D overlap-weighted averaging per axis (with
+missing-data tolerance like ``mdtol=1``) and nearest-neighbour regridding,
+plus the energy-conservation sanity check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _edges(centers: np.ndarray) -> np.ndarray:
+    """Cell edges from cell centers (iris guess_bounds contract)."""
+    centers = np.asarray(centers, dtype=np.float64)
+    mid = (centers[1:] + centers[:-1]) / 2
+    first = centers[0] - (mid[0] - centers[0])
+    last = centers[-1] + (centers[-1] - mid[-1])
+    return np.concatenate([[first], mid, [last]])
+
+
+def _overlap_matrix(src_centers, dst_centers):
+    """(n_dst, n_src) overlap lengths between source and target cells."""
+    se = _edges(src_centers)
+    de = _edges(dst_centers)
+    lo = np.maximum(de[:-1, None], se[None, :-1])
+    hi = np.minimum(de[1:, None], se[None, 1:])
+    return np.clip(hi - lo, 0.0, None)
+
+
+def area_weighted_regrid_1d(data, src_centers, dst_centers, axis=0):
+    """Overlap-weighted mean along one axis; nan source cells are excluded
+    from the average (all-nan target cells become nan), matching
+    AreaWeighted(mdtol=1)."""
+    data = np.asarray(data, dtype=np.float64)
+    W = _overlap_matrix(src_centers, dst_centers)
+    moved = np.moveaxis(data, axis, 0)
+    flat = moved.reshape(moved.shape[0], -1)
+    finite = np.isfinite(flat)
+    vals = np.where(finite, flat, 0.0)
+    num = W @ vals
+    den = W @ finite.astype(np.float64)
+    out = np.divide(num, den, out=np.full_like(num, np.nan), where=den > 0)
+    out = out.reshape((W.shape[0],) + moved.shape[1:])
+    return np.moveaxis(out, 0, axis)
+
+
+def nearest_regrid_1d(data, src_centers, dst_centers, axis=0):
+    src = np.asarray(src_centers, dtype=np.float64)
+    idx = np.abs(dst_centers[:, None] - src[None, :]).argmin(axis=1)
+    return np.take(data, idx, axis=axis)
+
+
+def regrid_data(data, src_range, src_time, dst_range, dst_time,
+                method="area"):
+    """2-D (range, ping) regrid, separable per axis
+    (reference regridding.py:35-57)."""
+    f = area_weighted_regrid_1d if method == "area" else nearest_regrid_1d
+    out = f(data, src_range, dst_range, axis=0)
+    return f(out, src_time, dst_time, axis=1)
+
+
+def ping_rate_to_time_difference(ping_rate) -> float:
+    """pings/s -> time difference in (MATLAB ordinal) days
+    (reference regridding.py:146-148)."""
+    return float(ping_rate) ** -1 / (24 * 60 * 60)
+
+
+def regrid_prediction(pred, echogram, pred_range_diff=None,
+                      pred_ping_rate=None):
+    """Nearest-regrid a prediction map back onto the original echogram grid
+    (reference regridding.py:60-96)."""
+    time_vector = np.asarray(echogram.time_vector, dtype=np.float64)
+    range_vector = np.asarray(echogram.range_vector, dtype=np.float64)
+    # drop pings with negative time steps (regridding.py:72-74)
+    bad = np.argwhere(time_vector[1:] - time_vector[:-1] < 0)
+    time_vector = np.delete(time_vector, bad + 1)
+
+    pred_time = time_vector
+    pred_range = range_vector
+    if pred_ping_rate is not None:
+        pred_time = np.arange(time_vector[0], time_vector[-1],
+                              ping_rate_to_time_difference(pred_ping_rate))
+    if pred_range_diff is not None:
+        pred_range = np.arange(range_vector[0], range_vector[-1],
+                               pred_range_diff)
+    return regrid_data(pred, pred_range, pred_time, range_vector,
+                       time_vector, method="nearest")
+
+
+def fix_pings_and_regrid(echogram, ping_rate=1.0, range_diff=None):
+    """Regrid one echogram (all frequencies + labels + seabed) onto a fixed
+    ping rate and optional range step (reference regridding.py:150-217).
+
+    Returns (data (H', W', C), labels (H', W'), new_range, new_time).
+    Data is regridded area-weighted; labels nearest.
+    """
+    time_vector = np.asarray(echogram.time_vector, dtype=np.float64)
+    range_vector = np.asarray(echogram.range_vector, dtype=np.float64)
+    bad = np.argwhere(time_vector[1:] - time_vector[:-1] < 0)
+    keep = np.setdiff1d(np.arange(time_vector.size),
+                        (bad + 1).ravel())
+    time_vector = time_vector[keep]
+
+    new_time = np.arange(time_vector[0], time_vector[-1],
+                         ping_rate_to_time_difference(ping_rate))
+    new_range = (np.arange(range_vector[0], range_vector[-1], range_diff)
+                 if range_diff is not None else range_vector)
+
+    data = echogram.data_numpy()[:, keep, :]
+    labels = echogram.label_numpy()[:, keep]
+
+    out = np.stack([regrid_data(data[:, :, c], range_vector, time_vector,
+                                new_range, new_time, "area")
+                    for c in range(data.shape[2])], axis=-1)
+    new_labels = regrid_data(labels.astype(np.float64), range_vector,
+                             time_vector, new_range, new_time, "nearest")
+    return out, new_labels.astype(labels.dtype), new_range, new_time
+
+
+def sanity_check(original, regridded, rel_tol=0.05) -> bool:
+    """Energy conservation: total sv mass must be preserved up to rel_tol
+    (reference regridding.py:344-362)."""
+    e0 = np.nansum(original)
+    e1 = np.nansum(regridded) * (original.size / max(regridded.size, 1))
+    if e0 == 0:
+        return e1 == 0
+    return abs(e1 - e0) / abs(e0) < rel_tol

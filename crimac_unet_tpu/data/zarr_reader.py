@@ -251,6 +251,11 @@ class DataReaderZarr:
                                   int(r.endpingindex)]}
                 for _, r in df.iterrows()]
 
+    def visualize(self, **kwargs):
+        """Render a survey window (reference data_reader.py:895-1009)."""
+        from ..utils.plotting import visualize_echogram
+        return visualize_echogram(self, **kwargs)
+
     # ----------------------------------------------------------------- crop
     def crop_data(self, center, window, frequencies):
         """(C, H=range, W=ping) float32 crop in patch orientation with

@@ -1,0 +1,117 @@
+"""Echogram / prediction visualization.
+
+Counterpart of the reference reader ``visualize`` methods
+(data_reader.py:117-350 memmap, :895-1009 zarr) and utils/plotting.py:
+stacked panels of per-frequency dB echograms, the categorical label mask,
+optional prediction maps, and the seabed line.  Headless-safe (Agg).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def db(data, eps=1e-10):
+    return 10 * np.log10(data + eps)
+
+
+def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
+                       range_idx=0, n_range=None, predictions=None,
+                       show_labels=True, show_seabed=True, draw_seabed=None,
+                       save_path=None):
+    """Render one echogram window to a matplotlib figure.
+
+    ``predictions``: optional (2, range, ping) or (range, ping) array of
+    probabilities to add as extra panel(s).  Returns the figure.
+    """
+    plt = _plt()
+    if draw_seabed is not None:  # legacy alias
+        show_seabed = draw_seabed
+
+    is_zarr = reader.data_format == "zarr"
+    if frequencies is None:
+        frequencies = list(np.asarray(reader.frequencies).astype(int))
+    if is_zarr:
+        W, H = reader.shape
+    else:
+        H, W = reader.shape
+    n_pings = n_pings or (W - ping_idx)
+    n_range = n_range or (H - range_idx)
+    n_pings = min(n_pings, W - ping_idx)
+    n_range = min(n_range, H - range_idx)
+
+    # gather (freq, range, ping) data + (range, ping) labels
+    if is_zarr:
+        data = reader.get_data_slice(ping_idx, n_pings, range_idx, n_range,
+                                     frequencies)
+        data = data.swapaxes(1, 2)
+        labels = reader.get_label_slice(ping_idx, n_pings, range_idx,
+                                        n_range)
+        labels = np.nan_to_num(labels.T, nan=-1.0)
+    else:
+        data = np.stack([np.asarray(
+            m[range_idx:range_idx + n_range, ping_idx:ping_idx + n_pings])
+            for m in reader.data_memmaps(frequencies)])
+        labels = np.asarray(reader.label_memmap()[
+            range_idx:range_idx + n_range, ping_idx:ping_idx + n_pings])
+
+    n_panels = len(frequencies) + int(show_labels)
+    preds = None
+    if predictions is not None:
+        preds = np.asarray(predictions)
+        if preds.ndim == 2:
+            preds = preds[None]
+        n_panels += preds.shape[0]
+
+    fig, axes = plt.subplots(n_panels, 1,
+                             figsize=(12, 2.2 * n_panels), sharex=True)
+    axes = np.atleast_1d(axes)
+
+    seabed = None
+    if show_seabed:
+        seabed = np.asarray(reader.get_seabed(ping_idx, n_pings)) - range_idx
+
+    x = np.arange(n_pings)
+    for i, f in enumerate(frequencies):
+        ax = axes[i]
+        ax.imshow(db(np.nan_to_num(data[i], nan=0.0)), aspect="auto",
+                  cmap="viridis", vmin=-75, vmax=0)
+        ax.set_ylabel(f"{f} kHz", fontsize=8)
+        if seabed is not None:
+            ax.plot(x, seabed, "r-", linewidth=0.6)
+
+    p = len(frequencies)
+    if show_labels:
+        ax = axes[p]
+        lab = labels.astype(float)
+        shown = np.zeros_like(lab)
+        shown[lab == 27] = 2.0   # sandeel
+        shown[lab == 1] = 1.0    # other
+        shown[(lab > 0) & (lab != 27) & (lab != 1)] = 3.0
+        ax.imshow(shown, aspect="auto", cmap="inferno", vmin=0, vmax=3)
+        ax.set_ylabel("labels", fontsize=8)
+        if seabed is not None:
+            ax.plot(x, seabed, "r-", linewidth=0.6)
+        p += 1
+
+    if preds is not None:
+        names = ["p(sandeel)", "p(other)"]
+        for k in range(preds.shape[0]):
+            ax = axes[p + k]
+            ax.imshow(preds[k], aspect="auto", cmap="magma", vmin=0, vmax=1)
+            ax.set_ylabel(names[k] if k < 2 else f"pred{k}", fontsize=8)
+
+    axes[-1].set_xlabel("ping")
+    fig.suptitle(getattr(reader, "name", "echogram"), fontsize=10)
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig

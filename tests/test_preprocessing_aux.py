@@ -1,0 +1,166 @@
+"""Aux/preprocessing components: regrid, rechunk, interp, korona,
+mat->memmap, Gridded sampler, plotting."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.data.fixtures import make_survey_dir
+from crimac_unet_tpu.data.memmap_reader import Echogram, get_echograms
+
+
+@pytest.fixture(scope="module")
+def ech(tmp_path_factory):
+    path = tmp_path_factory.mktemp("aux")
+    make_survey_dir(path, year=2014, n_echograms=1, H=80, W=160, seed=13)
+    return get_echograms(years=[2014], path_to_echograms=str(path),
+                         minimum_shape=60)[0]
+
+
+# ----------------------------------------------------------------- regrid
+def test_area_weighted_regrid_identity_and_mass():
+    from crimac_unet_tpu.data.regrid import (area_weighted_regrid_1d,
+                                             regrid_data, sanity_check)
+    rng = np.random.RandomState(0)
+    data = rng.rand(40, 30)
+    src = np.arange(40, dtype=float)
+    # identity grid
+    np.testing.assert_allclose(
+        area_weighted_regrid_1d(data, src, src, axis=0), data, atol=1e-12)
+    # 2x coarsening = pairwise means
+    dst = src[::2] + 0.5
+    out = area_weighted_regrid_1d(data, src, dst, axis=0)
+    np.testing.assert_allclose(out, (data[::2] + data[1::2]) / 2, atol=1e-9)
+    # nan exclusion
+    data2 = data.copy()
+    data2[0, 0] = np.nan
+    out2 = area_weighted_regrid_1d(data2, src, dst, axis=0)
+    np.testing.assert_allclose(out2[0, 0], data[1, 0], atol=1e-9)
+    # full 2-D regrid conserves mass
+    tsrc = np.arange(30, dtype=float)
+    out3 = regrid_data(data, src, tsrc, dst, tsrc[::3] + 1.0)
+    assert sanity_check(data, out3, rel_tol=0.2)
+
+
+def test_regrid_prediction_roundtrip(ech):
+    from crimac_unet_tpu.data.regrid import regrid_prediction
+    pred = np.random.RandomState(1).rand(*ech.shape)
+    out = regrid_prediction(pred, ech)  # same grid -> identity (nearest)
+    np.testing.assert_allclose(out, pred)
+
+
+def test_fix_pings_and_regrid(ech):
+    from crimac_unet_tpu.data.regrid import fix_pings_and_regrid
+    data, labels, new_range, new_time = fix_pings_and_regrid(
+        ech, ping_rate=1.0, range_diff=None)
+    assert data.shape[0] == len(new_range)
+    assert data.shape[1] == len(new_time)
+    assert data.shape[2] == 4
+    assert labels.shape == data.shape[:2]
+
+
+# ----------------------------------------------------------------- interp
+def test_interp_matches_reference_semantics():
+    from crimac_unet_tpu.utils.interp import (get_grid, linear_interpolation,
+                                              nearest_interpolation)
+    g = get_grid([4, 6])
+    assert g.shape == (2, 4, 6)
+    assert g[0].min() == -1 and g[0].max() == 2  # -((N+1)//2)+1 .. N//2
+
+    arr = np.arange(20, dtype=float).reshape(4, 5)
+    inds = np.stack(np.meshgrid(np.arange(4), np.arange(5), indexing="ij"))
+    np.testing.assert_array_equal(
+        nearest_interpolation(arr, inds, out_shape=(4, 5)), arr)
+    np.testing.assert_allclose(
+        linear_interpolation(arr, inds, out_shape=(4, 5)), arr)
+    # fractional point
+    val = linear_interpolation(arr, np.array([[1.5], [2.5]]))
+    assert abs(val[0] - (arr[1, 2] + arr[1, 3] + arr[2, 2] + arr[2, 3]) / 4) \
+        < 1e-9
+    # out of range -> boundary val
+    val = nearest_interpolation(arr, np.array([[-3.0], [0.0]]),
+                                boundary_val=-7)
+    assert val[0] == -7
+
+
+# ---------------------------------------------------------------- rechunk
+def test_rechunk_store(tmp_path, ech):
+    from crimac_unet_tpu.data.preprocess import echograms_to_zarr_survey
+    from crimac_unet_tpu.data.rechunk import rechunk_store
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    echograms_to_zarr_survey([ech], tmp_path, "S2014843")
+    src = tmp_path / "S2014843_sv.zarr"
+    dst = tmp_path / "S2014843_sv_rechunked.zarr"
+    rechunk_store(src, dst, {"frequency": 1, "ping_time": 37, "range": 80})
+    a, b = ZGroup.open(src), ZGroup.open(dst)
+    assert b["sv"].chunks == (1, 37, 80)
+    np.testing.assert_array_equal(a["sv"][:, :, :], b["sv"][:, :, :])
+    np.testing.assert_array_equal(a["ping_time"][:], b["ping_time"][:])
+
+
+# ----------------------------------------------------------------- korona
+def test_korona_labels(ech, tmp_path):
+    from crimac_unet_tpu.data.korona import (get_korona_labels,
+                                             get_korona_list_from_json)
+    from crimac_unet_tpu.data.memmap_reader import _matlab_time_to_datetime
+    t0 = _matlab_time_to_datetime(float(ech.time_vector[5]))
+    korona = [{
+        "time": t0.isoformat() + "Z",
+        "pingNumber": 5,
+        "depthRanges": [{"min": float(ech.range_vector[10]) + 1.0,
+                         "max": float(ech.range_vector[30]) + 1.0}],
+    }]
+    path = tmp_path / "korona.json"
+    path.write_text(json.dumps(korona))
+    klist = get_korona_list_from_json(path)
+    depths = np.zeros((ech.shape[1], 1))
+    labels = get_korona_labels(ech, klist, transducer_depths=depths)
+    assert labels.shape == ech.shape
+    assert labels.sum() > 0
+    cols = np.unique(np.argwhere(labels > 0)[:, 1])
+    assert len(cols) == 1  # one ping annotated
+
+
+# ----------------------------------------------------------- mat -> memmap
+def test_mat_to_memmap_roundtrip(tmp_path):
+    import scipy.io as spio
+    from crimac_unet_tpu.data.mat_to_memmap import convert_mat_file
+    rng = np.random.RandomState(2)
+    H, W, C = 40, 60, 4
+    sv = rng.lognormal(np.log(1e-7), 1.0, (H, W, C)).astype(np.float64)
+    I = np.zeros((H, W))
+    I[10:14, 20:30] = 27
+    mat = {"sv": sv, "I": I, "F": np.array([[18., 38., 120., 200.]]),
+           "range": np.arange(H, dtype=float) * 0.18,
+           "t": 736000.0 + np.arange(W) / 86400.0,
+           "depths": np.zeros((W, 1)), "heave": np.zeros((1, W))}
+    spio.savemat(tmp_path / "2014843-D20140427-T000000.mat", mat)
+    n_obj = convert_mat_file(tmp_path / "2014843-D20140427-T000000.mat",
+                             tmp_path / "2014843-D20140427-T000000")
+    assert n_obj == 1
+    e = Echogram(tmp_path / "2014843-D20140427-T000000")
+    assert e.shape == (H, W)
+    np.testing.assert_allclose(np.asarray(e.data_memmaps(38)[0]),
+                               sv[:, :, 1].astype(np.float32))
+    assert e.objects[0]["fish_type_index"] == 27
+
+
+# ------------------------------------------------------- gridded + plotting
+def test_gridded_sampler(ech):
+    from crimac_unet_tpu.data.samplers import Gridded
+    g = Gridded([ech], [32, 32], patch_overlap=4, mode="all")
+    assert len(g) > 0
+    center, reader = g.get_sample(0)
+    assert reader is ech
+    assert len(center) == 2
+    g2 = Gridded([ech], [32, 32], patch_overlap=4, mode="region")
+    assert len(g2) > 0
+
+
+def test_visualize_smoke(ech, tmp_path):
+    out = tmp_path / "ech.png"
+    fig = ech.visualize(n_pings=100, predictions=np.zeros((2,) + ech.shape),
+                        save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0

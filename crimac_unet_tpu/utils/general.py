@@ -25,20 +25,33 @@ def get_datetime_str() -> str:
 
 class PhaseTimer:
     """Cheap named phase timers — first-class replacement for the reference's
-    ad-hoc wall-clock prints (SURVEY.md §5 tracing)."""
+    ad-hoc wall-clock prints (SURVEY.md §5 tracing).  Thread-safe: phases
+    may start/stop concurrently from prefetch threads."""
 
     def __init__(self):
+        import threading
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
-        self._starts: dict[str, float] = {}
+        self._starts: dict = {}
+        self._lock = threading.Lock()
+
+    def _key(self, name: str):
+        import threading
+        return (name, threading.get_ident())
 
     def start(self, name: str) -> None:
-        self._starts[name] = time.perf_counter()
+        with self._lock:
+            self._starts[self._key(name)] = time.perf_counter()
 
     def stop(self, name: str) -> float:
-        dt = time.perf_counter() - self._starts.pop(name)
-        self.totals[name] = self.totals.get(name, 0.0) + dt
-        self.counts[name] = self.counts.get(name, 0) + 1
+        now = time.perf_counter()
+        with self._lock:
+            t0 = self._starts.pop(self._key(name), None)
+            if t0 is None:
+                return 0.0
+            dt = now - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
         return dt
 
     def report(self) -> str:

@@ -256,6 +256,41 @@ class DataReaderZarr:
         from ..utils.plotting import visualize_echogram
         return visualize_echogram(self, **kwargs)
 
+    def create_label_mask_from_work(self, parquet_path=None, heave=True):
+        """Rasterize an LSSS ``_work.parquet`` annotation table into a
+        (ping, range) categorical mask (reference data_reader.py:1095-1120,
+        which was broken against its own API — rewritten functionally).
+
+        Rows carry pingTime, mask_depth_upper/lower (meters) and an
+        ``ID`` whose suffix is the fish category; depths are shifted by the
+        mean transducer draft and optionally by per-ping heave.
+        """
+        import pandas as pd
+        if parquet_path is None:
+            parquet_path = os.path.join(self.path,
+                                        f"{self.name}_work.parquet")
+        df = pd.read_parquet(parquet_path, engine="pyarrow")
+
+        n_pings, n_range = self.shape
+        labels = np.zeros((n_pings, n_range), dtype=np.int16)
+        rv = np.asarray(self.range_vector)
+        draft = 0.0
+        if "transducer_draft" in self.ds:
+            draft = float(np.nanmean(self.ds["transducer_draft"][:]))
+
+        for _, row in df.iterrows():
+            p = self.get_ping_index(np.datetime64(row["pingTime"]))
+            x0 = float(row["mask_depth_upper"]) - draft
+            x1 = float(row["mask_depth_lower"]) - draft
+            if heave and self.heave is not None:
+                h = float(self.heave[p])
+                x0, x1 = x0 - h, x1 - h
+            fish_id = int(str(row["ID"]).split("-")[-1])
+            i0 = int(np.searchsorted(rv, x0, side="left"))
+            i1 = int(np.searchsorted(rv, x1, side="right"))
+            labels[p, i0:i1] = fish_id
+        return labels
+
     # ----------------------------------------------------------------- crop
     def crop_data(self, center, window, frequencies):
         """(C, H=range, W=ping) float32 crop in patch orientation with

@@ -86,6 +86,54 @@ def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(nll * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
 
 
+def focal_loss(logits, labels, class_weights, gamma=2.0):
+    """Weighted focal loss (the reference YAML documents 'Focal' as an
+    option its code never implemented, config_baseline.yaml:22;
+    provided here as a working extension)."""
+    w = jnp.asarray(class_weights, jnp.float32)
+    valid = labels != LABEL_IGNORE_VAL
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp_t = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    focal = (1.0 - jnp.exp(logp_t)) ** gamma * (-logp_t)
+    pix_w = w[safe] * valid.astype(jnp.float32)
+    return jnp.sum(focal * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
+
+
+def dice_loss(logits, labels, class_weights=None, eps=1e-6):
+    """Soft multiclass Dice over non-ignored pixels (working extension of
+    the reference's documented-but-unimplemented 'Dice' option)."""
+    valid = (labels != LABEL_IGNORE_VAL).astype(jnp.float32)
+    safe = jnp.where(valid > 0, labels, 0).astype(jnp.int32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(safe, probs.shape[-1]) * valid[..., None]
+    probs = probs * valid[..., None]
+    inter = jnp.sum(probs * onehot, axis=(0, 1, 2))
+    union = jnp.sum(probs + onehot, axis=(0, 1, 2))
+    dice = (2 * inter + eps) / (union + eps)
+    return 1.0 - jnp.mean(dice)
+
+
+def make_loss_fn(config: dict):
+    """Loss factory keyed on ``loss_type`` (reference pipeline.py:132-141
+    accepts only 'CE' and raises otherwise; Focal/Dice/Combined are
+    implemented extensions of its documented options)."""
+    loss_type = config.get("loss_type", "CE")
+    weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+    if loss_type == "CE":
+        return lambda logits, labels: weighted_ce_loss(logits, labels,
+                                                       weights)
+    if loss_type == "Focal":
+        return lambda logits, labels: focal_loss(logits, labels, weights)
+    if loss_type == "Dice":
+        return lambda logits, labels: dice_loss(logits, labels)
+    if loss_type == "Combined":
+        return lambda logits, labels: (
+            focal_loss(logits, labels, weights)
+            + weighted_ce_loss(logits, labels, weights))
+    raise ValueError("`loss_type` not recognized")
+
+
 def _train_labels(data, labels, threshold_freq_idx):
     """Train label chain [refine, convert] (reference transforms.py:69-75)."""
     labels = label_ops.refine_label_boundary(
@@ -107,7 +155,7 @@ def _test_labels(data, labels, seabed_row, overlap, threshold_freq_idx):
 def make_train_step(model: UNet, config: dict):
     from ..data.meta_channels import get_in_channels
     tx = make_optimizer(config)
-    class_weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+    loss_fn_impl = make_loss_fn(config)
     use_meta = get_in_channels(config.get("meta_channels")) > 0
     late = bool(config.get("late_meta_inject", False))
 
@@ -124,7 +172,7 @@ def make_train_step(model: UNet, config: dict):
             logits, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, meta=meta_nhwc, train=True, mutable=["batch_stats"])
-            loss = weighted_ce_loss(logits, labels, class_weights)
+            loss = loss_fn_impl(logits, labels)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -157,7 +205,7 @@ def make_train_step(model: UNet, config: dict):
 
 def make_eval_step(model: UNet, config: dict):
     from ..data.meta_channels import get_in_channels
-    class_weights = tuple(config.get("class_weights", (10.0, 300.0, 250.0)))
+    loss_fn_impl = make_loss_fn(config)
     use_meta = get_in_channels(config.get("meta_channels")) > 0
     late = bool(config.get("late_meta_inject", False))
 
@@ -180,7 +228,7 @@ def make_eval_step(model: UNet, config: dict):
         loss = jnp.zeros(())
         if with_loss:
             collapsed = label_ops.set_label_ignore_val(labels_t)
-            loss = weighted_ce_loss(logits, collapsed, class_weights)
+            loss = loss_fn_impl(logits, collapsed)
 
         hist = metrics.update_pr_histogram(hist, probs[..., 1], labels_t)
         return hist, loss

@@ -69,7 +69,31 @@ class GriddedRunner:
         wh, ww = self.window
         self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
 
+        # multi-chip: shard the patch batch over a 1-D data mesh; params
+        # replicated (set mesh_devices > 1 or 0 = all)
+        self.mesh = None
+        n_dev = int(config.get("mesh_devices", 1) or len(jax.devices()))
+        if n_dev > 1 and len(jax.devices()) > 1:
+            from ..parallel.mesh import get_mesh, replicated
+            self.mesh = get_mesh(n_dev)
+            repl = replicated(self.mesh)
+            self.params = jax.device_put(self.params, repl)
+            self.batch_stats = jax.device_put(self.batch_stats, repl)
+            # pad forward batches to a multiple of the mesh size
+            n = len(self.mesh.devices.ravel())
+            self.fwd_batch = _round_up(self.fwd_batch, n)
+
     # ------------------------------------------------------------ forward
+    def _shard(self, x):
+        """Constrain a patch batch to the data mesh (no-op single device);
+        XLA inserts the redistribution and runs the U-Net data-parallel
+        over ICI."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data")))
+
     @partial(jax.jit, static_argnames=("self",))
     def _forward_probs(self, patches_nhwc, meta_nhwc):
         """(nb, B, wh, ww, C) -> (nb, B, wh, ww, 3) softmax probabilities."""
@@ -77,7 +101,7 @@ class GriddedRunner:
             batch, meta = args
             logits = self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
-                batch, meta=meta, train=False)
+                self._shard(batch), meta=self._shard(meta), train=False)
             return jax.nn.softmax(logits, axis=-1)
         return jax.lax.map(one, (patches_nhwc, meta_nhwc))
 
@@ -86,7 +110,7 @@ class GriddedRunner:
         def one(batch):
             logits = self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
-                batch, train=False)
+                self._shard(batch), train=False)
             return jax.nn.softmax(logits, axis=-1)
         return jax.lax.map(one, patches_nhwc)
 
@@ -99,7 +123,10 @@ class GriddedRunner:
             meta = None
         N = patches.shape[0]
         # adaptive sub-batch: don't pad a 20-patch chunk up to 32
-        B = min(self.fwd_batch, _round_up(N, 8))
+        gran = 8
+        if self.mesh is not None:
+            gran = _round_up(gran, len(self.mesh.devices.ravel()))
+        B = min(self.fwd_batch, _round_up(N, gran))
         Np = _round_up(N, B)
         if Np != N:
             pad = ((0, Np - N), (0, 0), (0, 0), (0, 0))

@@ -67,6 +67,22 @@ class SegPipeUNet:
                           "batch_stats": payload["batch_stats"]}
         return self.variables
 
+    def resume_from(self, checkpoint_path):
+        """Resume TRAINING from a checkpoint incl. optimizer state and step
+        counter — a capability the reference lacks (it only saves bare
+        state_dicts, SURVEY.md §5 checkpoint/resume)."""
+        self.init_model()
+        template = {"params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step}
+        payload = engine.load_checkpoint(checkpoint_path, template=template)
+        self.state = engine.TrainState(
+            step=payload["step"], params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"])
+        return self.state
+
     # ------------------------------------------------------------ training
     def train_model(self, train_batches, make_test_batches, logger=None,
                     progress=True):
@@ -78,9 +94,10 @@ class SegPipeUNet:
         of validation batches (the reference re-draws random validation
         samples every validation epoch).
         """
+        resuming = self.state is not None and int(self.state.step) > 0
         if self.state is None:
             self.init_model()
-        assert self.checkpoint_dir is None or \
+        assert resuming or self.checkpoint_dir is None or \
             not (self.checkpoint_dir / "last.msgpack").exists(), \
             f"model already exists at {self.checkpoint_dir}"
 

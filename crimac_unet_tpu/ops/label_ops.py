@@ -24,6 +24,16 @@ from .morphology import DISC_7X7, binary_closing
 
 BIG_ROW = 10 ** 8  # "no seabed in this column" sentinel for seabed vectors
 
+# None = auto (Pallas kernel on TPU, XLA convs elsewhere); set True/False to
+# force an implementation (tests pin the conv path for scipy oracles)
+USE_PALLAS_MORPHOLOGY: bool | None = None
+
+
+def use_pallas_morphology() -> bool:
+    if USE_PALLAS_MORPHOLOGY is not None:
+        return USE_PALLAS_MORPHOLOGY
+    return jax.default_backend() == "tpu"
+
 
 def convert_label_indexing(labels: jnp.ndarray,
                            mark_unused_species: bool = False) -> jnp.ndarray:
@@ -78,7 +88,12 @@ def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
 
     crop_mask = _valid_bbox_mask(valid)
     mask_threshold = ((labels > 0) & (d > threshold_lo) & (d < threshold_hi))
-    closed = binary_closing(mask_threshold, DISC_7X7, clip_mask=crop_mask)
+    if use_pallas_morphology():
+        from .pallas_morphology import binary_closing_pallas
+        closed = binary_closing_pallas(mask_threshold, crop_mask)
+    else:
+        closed = binary_closing(mask_threshold, DISC_7X7,
+                                clip_mask=crop_mask)
 
     relabel = (~closed) & (labels > 0) & crop_mask
     out = jnp.where(relabel, LABEL_REFINE_BOUNDARY_VAL, labels)

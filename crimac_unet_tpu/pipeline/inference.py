@@ -350,10 +350,12 @@ def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
 
 # ============================================================== PREDICTION
 def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
-                   start_ping=0, progress=False):
-    """Yield (chunk_start, chunk_end, (2, n_range, w) float16 predictions)
-    for one reader, reproducing save_predict's chunked sliding window
-    (save_predict.py:137-219)."""
+                   start_ping=0, progress=False, save_labels=False):
+    """Yield (chunk_start, chunk_end, (2, n_range, w) float16 predictions,
+    labels-or-None) for one reader, reproducing save_predict's chunked
+    sliding window (save_predict.py:137-219).  ``save_labels`` additionally
+    emits the masked raw label map per chunk (the reference's save_labels
+    config option, unwired in its snapshot — see DIVERGENCES.md)."""
     wh, ww = runner.window
     o = runner.overlap
     sh, sw = runner.stride
@@ -384,11 +386,17 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     pipeline_depth = 2
 
     def _drain(entry):
-        s0, e0, dev_out = entry
+        s0, e0, dev_out, lab = entry
         runner.timer.start("d2h")
         host = np.asarray(dev_out)[:, :, :e0 - s0]
         runner.timer.stop("d2h")
-        return s0, e0, host
+        if lab is not None:
+            # masked label export (save_labels): raw categorical labels with
+            # the same exclusions as the predictions (zeros elsewhere)
+            lab = np.where(host[0] != 0, np.nan_to_num(lab[:, :e0 - s0],
+                                                       nan=0.0), 0.0)
+            lab = lab.astype(np.float16)
+        return s0, e0, host, lab
 
     def prepare(s, e):
         """Host-side slab construction for one chunk (runs in a prefetch
@@ -491,7 +499,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             stitched, jnp.asarray(label_pad), jnp.asarray(sv_pad),
             jnp.asarray(sb_vec), n_range, C * sw, is_zarr)
         runner.timer.stop("device_chunk")
-        pending.append((s, e, out))
+        pending.append((s, e, out, label_pad if save_labels else None))
         if len(pending) >= pipeline_depth:
             yield _drain(pending.pop(0))
 
@@ -502,11 +510,13 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
 
 def save_survey_predictions_zarr(runner, reader, target_dname,
                                  preload_n_pings=1000, resume_writing=False,
-                                 model_name="model", progress=False):
+                                 model_name="model", progress=False,
+                                 save_labels=False):
     """Write chunked predictions to a ``<name>_pred.zarr`` store with the
     reference's on-disk contract (save_predict.py:87-134): annotation array
     (category [27, 1], ping_time, range) float16, full-range chunks,
-    append along ping_time, resume from the existing ping count."""
+    append along ping_time, resume from the existing ping count.
+    ``save_labels`` adds a masked (ping_time, range) ``labels`` array."""
     import os
     import shutil
 
@@ -527,8 +537,9 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
         group = ZGroup.open(target_dname)
         start_ping = group["annotation"].shape[1]
 
-    for s, e, out in predict_reader(runner, reader, preload_n_pings,
-                                    start_ping, progress):
+    for s, e, out, lab in predict_reader(runner, reader, preload_n_pings,
+                                         start_ping, progress,
+                                         save_labels=save_labels):
         runner.timer.start("zarr_write")
         pred = out.transpose(0, 2, 1)  # -> (category, ping, range)
         if group is None:
@@ -551,7 +562,14 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             group.create_array("ping_time", (0,), (8192,), tv.dtype,
                                fill_value=None, compressor=None,
                                dims=["ping_time"])
+        if save_labels and "labels" not in group:
+            group.create_array(
+                "labels", (0, n_range),
+                (min(1000, max(1, preload_n_pings or 1000)), n_range),
+                np.float16, fill_value=0, dims=["ping_time", "range"])
         group["annotation"].append(pred, axis=1)
+        if save_labels and lab is not None:
+            group["labels"].append(lab.T, axis=0)
         group["ping_time"].append(np.asarray(reader.time_vector[s:e]),
                                   axis=0)
         runner.timer.stop("zarr_write")
@@ -569,8 +587,8 @@ def save_reader_predictions_memm(runner, reader, target_dname,
         return target_dname
     n_range, n_pings = reader.shape
     out = np.zeros((2, n_range, n_pings), np.float16)
-    for s, e, chunk in predict_reader(runner, reader, preload_n_pings, 0,
-                                      progress):
+    for s, e, chunk, _ in predict_reader(runner, reader, preload_n_pings, 0,
+                                         progress):
         out[:, :, s:e] = chunk
     np.save(target_dname, out)
     return target_dname

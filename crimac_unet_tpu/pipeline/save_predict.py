@@ -47,7 +47,9 @@ def run_save_predictions(config, runner, data_obj, predictions_dir,
                     preload_n_pings=config["preload_n_pings"],
                     resume_writing=config["resume_writing"],
                     model_name=runner_model_name(config),
-                    progress=progress)
+                    progress=progress,
+                    save_labels=bool(config.get("save_labels"))
+                    and bool(config.get("labels_available", True)))
 
 
 def runner_model_name(config):

@@ -111,7 +111,7 @@ def test_save_predict_zarr_and_resume(trained, zarr_root, tmp_path):
     # resume: rebuild first chunk only, then resume to complete; must match
     target2 = str(tmp_path / "resume_pred.zarr")
     from crimac_unet_tpu.pipeline.inference import predict_reader
-    s, e, out = next(iter(predict_reader(runner, reader, 60)))
+    s, e, out, _ = next(iter(predict_reader(runner, reader, 60)))
     g2 = ZGroup.create(target2)
     g2.create_array("annotation", (2, 0, reader.shape[1]),
                     (1, 60, reader.shape[1]), np.float16, fill_value=0,

@@ -186,7 +186,7 @@ def test_predict_parity_with_reference_oracle(setup):
     n_pings = reader.shape[0]
     splits = get_data_split([[0, n_pings]], PRELOAD)
 
-    got_chunks = {s: out for s, e, out in
+    got_chunks = {s: out for s, e, out, _ in
                   predict_reader(runner, reader, PRELOAD)}
     assert len(got_chunks) == len(splits)
 

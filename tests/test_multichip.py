@@ -26,8 +26,8 @@ def test_sharded_inference_matches_single_device(tmp_path):
     r8 = GriddedRunner(model, variables, dict(base, mesh_devices=8))
     assert r8.mesh is not None and len(r8.mesh.devices.ravel()) == 8
 
-    out1 = {s: o for s, e, o in predict_reader(r1, reader, 80)}
-    out8 = {s: o for s, e, o in predict_reader(r8, reader, 80)}
+    out1 = {s: o for s, e, o, _ in predict_reader(r1, reader, 80)}
+    out8 = {s: o for s, e, o, _ in predict_reader(r8, reader, 80)}
     for s in out1:
         np.testing.assert_allclose(
             out1[s].astype(np.float32), out8[s].astype(np.float32),

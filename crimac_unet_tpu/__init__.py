@@ -19,3 +19,17 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The installed axon TPU plugin ignores JAX_PLATFORMS; honour an explicit
+# platform override through the config API before any backend initializes
+# (used by tests/CI to force the virtual-CPU mesh in subprocesses).
+if _os.environ.get("CRIMAC_JAX_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["CRIMAC_JAX_PLATFORM"])
+    except Exception:
+        pass

@@ -388,14 +388,22 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     def _drain(entry):
         s0, e0, dev_out, lab = entry
         runner.timer.start("d2h")
-        host = np.asarray(dev_out)[:, :, :e0 - s0]
+        # the device buffer only carries the grid-covered rows (everything
+        # below is identically zero); rebuild full range on the host —
+        # cuts d2h bytes by the below-grid fraction (large for deep surveys)
+        part = np.asarray(dev_out)[:, :, :e0 - s0]
+        host = np.zeros((2, n_range, e0 - s0), np.float16)
+        host[:, :part.shape[1], :] = part
         runner.timer.stop("d2h")
         if lab is not None:
             # masked label export (save_labels): raw categorical labels with
             # the same exclusions as the predictions (zeros elsewhere)
-            lab = np.where(host[0] != 0, np.nan_to_num(lab[:, :e0 - s0],
-                                                       nan=0.0), 0.0)
-            lab = lab.astype(np.float16)
+            nr = part.shape[1]
+            lab_full = np.zeros((n_range, e0 - s0), np.float16)
+            lab_full[:nr] = np.where(
+                part[0] != 0,
+                np.nan_to_num(lab[:nr, :e0 - s0], nan=0.0), 0.0)
+            lab = lab_full
         return s0, e0, host, lab
 
     def prepare(s, e):
@@ -495,9 +503,10 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             jnp.asarray(border_slab), jnp.asarray(meta_slab),
             jnp.asarray(consts), R, C, n_range, border_zero,
             runner.use_meta)
+        nr = min(R * sh, n_range)
         out = runner._mask_output(
-            stitched, jnp.asarray(label_pad), jnp.asarray(sv_pad),
-            jnp.asarray(sb_vec), n_range, C * sw, is_zarr)
+            stitched, jnp.asarray(label_pad[:nr]), jnp.asarray(sv_pad[:nr]),
+            jnp.asarray(sb_vec), nr, C * sw, is_zarr)
         runner.timer.stop("device_chunk")
         pending.append((s, e, out, label_pad if save_labels else None))
         if len(pending) >= pipeline_depth:

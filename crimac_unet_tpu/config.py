@@ -120,6 +120,18 @@ def parse_config_options(configuration: dict, argparse_args=None) -> dict:
     return args_dict
 
 
+def get_experiment_name_from_args(argparse_args) -> str:
+    """Experiment name from the YAML stem + non-default argparse overrides
+    (reference utils/general.py:155-175)."""
+    from collections import OrderedDict
+    args_subset = OrderedDict(vars(argparse_args))
+    for k in ("save_model_params", "checkpoint_path", "num_workers"):
+        args_subset.pop(k, None)
+    if "yaml_path" in args_subset:
+        args_subset["yaml_path"] = Path(args_subset["yaml_path"]).stem
+    return "_".join(str(v) for v in args_subset.values())
+
+
 def config_args_to_markdown(config_args: dict) -> str:
     """Config rendered as a markdown table for logging
     (reference utils/general.py:147-152)."""

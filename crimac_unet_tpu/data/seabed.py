@@ -84,3 +84,21 @@ def estimate_seabed(data: np.ndarray) -> np.ndarray:
 def estimate_seabed_memmap(echogram) -> np.ndarray:
     """Estimate the seabed for a memmap Echogram (all frequencies)."""
     return estimate_seabed(echogram.data_numpy())
+
+
+def estimate_seabed_zarr(reader, chunk_pings: int = 5000) -> np.ndarray:
+    """Estimate the seabed for a zarr survey from its sv data.
+
+    The reference's zarr ``estimate_seabed`` is broken against its own API
+    (reads ``self.seabed_dataset`` which is never set,
+    data_reader.py:1011-1092); this is a working equivalent for surveys
+    without a ``_bottom.zarr``, applying the memmap gradient algorithm in
+    ping chunks and stitching the per-chunk lines."""
+    n_pings, n_range = reader.shape
+    out = np.zeros(n_pings, dtype=int)
+    for s in range(0, n_pings, chunk_pings):
+        e = min(s + chunk_pings, n_pings)
+        slab = reader.get_data_slice(s, e - s)        # (C, ping, range)
+        cube = np.transpose(slab, (2, 1, 0))          # (range, ping, C)
+        out[s:e] = estimate_seabed(np.nan_to_num(cube, nan=0.0))
+    return out

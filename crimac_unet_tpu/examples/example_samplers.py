@@ -13,7 +13,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ..data.dataset import RandomPatchDataset, seabed_patch_row
+    from ..data.dataset import RandomPatchDataset
     from ..data.fixtures import make_survey_dir
     from ..data.memmap_reader import get_echograms
     from ..data.partition import SAMPLER_PROBS

@@ -21,8 +21,6 @@ Weight import from reference ``.pt`` checkpoints lives in
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

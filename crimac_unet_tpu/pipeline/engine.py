@@ -30,7 +30,7 @@ import numpy as np
 import optax
 from flax import serialization, struct
 
-from ..constants import LABEL_IGNORE_VAL, N_CLASSES
+from ..constants import LABEL_IGNORE_VAL
 from ..models.unet import UNet
 from ..ops import augment, data_ops, label_ops, metrics
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.unet import build_unet, count_params
+from ..models.unet import build_unet
 from ..ops import metrics as M
 from ..parallel.mesh import batch_sharding, get_mesh, replicate_tree
 from ..parallel.prefetch import device_prefetch

@@ -116,6 +116,21 @@ class SegPipeUNet:
             total = int(self.config["iterations"])
             it = tqdm(it, total=total, desc="Training model")
 
+        # Per-iteration losses are logged like the reference
+        # (pipeline.py:181) but fetched from device in batches: forcing a
+        # device sync every step serializes dispatch (and wedges the
+        # tunneled test TPU under sustained load)
+        loss_flush = max(1, min(log_step, lr_step, 50))
+        pending_losses: list = []
+
+        def flush_losses(upto):
+            if logger is not None:
+                for j, l in enumerate(pending_losses):
+                    logger.add_scalar(
+                        "train/loss", float(l),
+                        global_step=upto - len(pending_losses) + j + 1)
+            pending_losses.clear()
+
         i = -1
         for i, batch in enumerate(it):
             key, sub = jax.random.split(key)
@@ -126,15 +141,16 @@ class SegPipeUNet:
             else:
                 self.state, loss = self._train_step(
                     self.state, batch["data"], batch["labels"], sub)
-            if logger is not None:
-                logger.add_scalar("train/loss", float(loss),
-                                  global_step=i + 1)
+            pending_losses.append(loss)
+            if len(pending_losses) >= loss_flush:
+                flush_losses(i + 1)
             if (i + 1) % log_step == 0:
                 self.validate_model_training(make_test_batches(), logger,
                                              i)
             if logger is not None and (i + 1) % lr_step == 0:
                 lr = lr0 * gamma ** ((i + 1) // lr_step)
                 logger.add_scalar("learning_rate_0", lr, global_step=i + 1)
+        flush_losses(i + 1)
 
         if self.config.get("save_model_params", True) and \
                 self.checkpoint_dir is not None:

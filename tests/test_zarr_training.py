@@ -1,0 +1,35 @@
+"""Training end-to-end in zarr data mode (exercises the zarr sampler
+battery) + executable examples."""
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.config import parse_config_options
+from crimac_unet_tpu.data.fixtures import make_zarr_survey
+from crimac_unet_tpu.pipeline.train import run_training
+
+
+def test_zarr_mode_training(tmp_path):
+    make_zarr_survey(tmp_path, year=2017, n_echograms=2, H=80, W=200,
+                     seed=17, layout="nested")
+    cfg = parse_config_options({
+        "random_seed": 2, "data_mode": "zarr",
+        "path_to_zarr_files": str(tmp_path),
+        "patch_size": [32, 32], "batch_size": 2, "iterations": 4,
+        "test_iter": 1, "log_step": 2, "lr_step": 2, "num_workers": 2,
+        "depth": 2, "start_filts": 4,
+        "partition_train": "selected surveys", "train_surveys": [2017],
+        "validation_surveys": [2017], "compute_dtype": "float32",
+        "train_dtype": "float32", "mesh_devices": 1})
+    ckpt = tmp_path / "run"
+    pipe = run_training(cfg, ckpt, progress=False)
+    assert (ckpt / "best.msgpack").exists()
+    assert np.isfinite(pipe.best_F1_val)
+
+
+def test_examples_run(capsys):
+    from crimac_unet_tpu.examples import example_samplers, example_zarr_reader
+    example_zarr_reader.main([])
+    example_samplers.main()
+    out = capsys.readouterr().out
+    assert "Survey:" in out and "Batch:" in out

@@ -83,6 +83,10 @@ class GriddedRunner:
             n = len(self.mesh.devices.ravel())
             self.fwd_batch = _round_up(self.fwd_batch, n)
 
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
     # ------------------------------------------------------------ forward
     def _shard(self, x):
         """Constrain a patch batch to the data mesh (no-op single device);
@@ -94,27 +98,27 @@ class GriddedRunner:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, P("data")))
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _forward_probs(self, patches_nhwc, meta_nhwc):
-        """(nb, B, wh, ww, C) -> (nb, B, wh, ww, 3) softmax probabilities."""
+    def _forward_probs(self, variables, patches_nhwc, meta_nhwc):
+        """(nb, B, wh, ww, C) -> (nb, B, wh, ww, 3) softmax probabilities.
+
+        ``variables`` is threaded as an explicit argument (not closed over)
+        so the compiled executables don't embed the 31M parameters and a
+        new checkpoint doesn't force a recompile."""
         def one(args):
             batch, meta = args
-            logits = self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
-                self._shard(batch), meta=self._shard(meta), train=False)
+            logits = self.model.apply(variables, self._shard(batch),
+                                      meta=self._shard(meta), train=False)
             return jax.nn.softmax(logits, axis=-1)
         return jax.lax.map(one, (patches_nhwc, meta_nhwc))
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _forward_probs_nometa(self, patches_nhwc):
+    def _forward_probs_nometa(self, variables, patches_nhwc):
         def one(batch):
-            logits = self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
-                self._shard(batch), train=False)
+            logits = self.model.apply(variables, self._shard(batch),
+                                      train=False)
             return jax.nn.softmax(logits, axis=-1)
         return jax.lax.map(one, patches_nhwc)
 
-    def _run_forward(self, patches, meta=None):
+    def _run_forward(self, variables, patches, meta=None):
         """(N, wh, ww, C)[, meta (N, wh, ww, M)] -> (N, wh, ww, 3), padding
         N to the fwd batch.  meta is concatenated (early inject) or passed
         separately (late inject)."""
@@ -135,10 +139,12 @@ class GriddedRunner:
                 meta = jnp.pad(meta, pad)
         if meta is not None:
             probs = self._forward_probs(
+                variables,
                 patches.reshape(Np // B, B, *patches.shape[1:]),
                 meta.reshape(Np // B, B, *meta.shape[1:]))
         else:
             probs = self._forward_probs_nometa(
+                variables,
                 patches.reshape(Np // B, B, *patches.shape[1:]))
         return probs.reshape(Np, *probs.shape[2:])[:N]
 
@@ -165,8 +171,8 @@ class GriddedRunner:
     # ------------------------------------------------- predict chunk (jit)
     @partial(jax.jit, static_argnames=("self", "R", "C", "n_range",
                                        "border_zero", "use_meta"))
-    def _predict_patches(self, data_slab, y0s, x0s, border_slab, meta_slab,
-                         consts, R, C, n_range, border_zero,
+    def _predict_patches(self, variables, data_slab, y0s, x0s, border_slab,
+                         meta_slab, consts, R, C, n_range, border_zero,
                          use_meta=False):
         """Gather+preprocess patches and forward them; returns stitched
         (Hs, Ws, 2) [sandeel, other] probabilities in grid coords."""
@@ -191,7 +197,7 @@ class GriddedRunner:
         if use_meta:
             meta = self._gather_meta(meta_slab, consts, y0s,
                                      x0s).transpose(0, 2, 3, 1)
-        probs = self._run_forward(d.transpose(0, 2, 3, 1), meta)
+        probs = self._run_forward(variables, d.transpose(0, 2, 3, 1), meta)
         sel = probs[..., jnp.array([1, 2])]           # sandeel, other
         return stitch_patches(sel, R, C, self.overlap)
 
@@ -230,9 +236,9 @@ class GriddedRunner:
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
                                        "zarr_pad", "use_meta"))
-    def _eval_patches(self, hist, data_slab, label_slab, sb_pad, keep_slab,
-                      meta_slab, consts, y0s, x0s, patch_y0_data, use_keep,
-                      border_zero, zarr_pad, use_meta=False):
+    def _eval_patches(self, variables, hist, data_slab, label_slab, sb_pad,
+                      keep_slab, meta_slab, consts, y0s, x0s, patch_y0_data,
+                      use_keep, border_zero, zarr_pad, use_meta=False):
         """Per-patch test label chain + forward + PR histogram update.
 
         label_slab is in the same padded grid coordinates as data_slab;
@@ -293,7 +299,7 @@ class GriddedRunner:
         if use_meta:
             meta = self._gather_meta(meta_slab, consts, y0s,
                                      x0s).transpose(0, 2, 3, 1)
-        probs = self._run_forward(d.transpose(0, 2, 3, 1), meta)
+        probs = self._run_forward(variables, d.transpose(0, 2, 3, 1), meta)
         return metrics.update_pr_histogram(hist, probs[..., 1], lab)
 
 
@@ -499,6 +505,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
 
         runner.timer.start("device_chunk")
         stitched = runner._predict_patches(
+            runner.variables,
             jnp.asarray(data_slab), jnp.asarray(y0s), jnp.asarray(x0s),
             jnp.asarray(border_slab), jnp.asarray(meta_slab),
             jnp.asarray(consts), R, C, n_range, border_zero,
@@ -701,6 +708,7 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         # (define_data_transform_test), zarr eval does not (evaluate.py:47)
         border_zero = not is_zarr
         hist = runner._eval_patches(
+            runner.variables,
             hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
             jnp.asarray(sb_pad), jnp.asarray(keep_slab),
             jnp.asarray(meta_slab), jnp.asarray(consts),

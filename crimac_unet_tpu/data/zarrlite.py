@@ -203,16 +203,28 @@ class ZArray:
                   if s.stop > s.start else range(0)
                   for s, c in zip(sel, self.chunks)]
         import itertools
-        for cidx in itertools.product(*ranges):
-            chunk = self._read_chunk(cidx)
+        chunk_idxs = list(itertools.product(*ranges))
+
+        def place(cidx, chunk):
             src, dst = [], []
-            for ax, (ci, s, c) in enumerate(zip(cidx, sel, self.chunks)):
+            for ci, s, c in zip(cidx, sel, self.chunks):
                 c0 = ci * c
                 a0 = max(s.start, c0)
                 a1 = min(s.stop, c0 + c)
                 src.append(slice(a0 - c0, a1 - c0))
                 dst.append(slice(a0 - s.start, a1 - s.start))
             out[tuple(dst)] = chunk[tuple(src)]
+
+        if len(chunk_idxs) >= 4 and self.compressor is not None:
+            # zlib.decompress releases the GIL: decode chunks in parallel
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                for cidx, chunk in zip(chunk_idxs,
+                                       ex.map(self._read_chunk, chunk_idxs)):
+                    place(cidx, chunk)
+        else:
+            for cidx in chunk_idxs:
+                place(cidx, self._read_chunk(cidx))
         if squeeze:
             out = np.squeeze(out, axis=tuple(squeeze))
         return out

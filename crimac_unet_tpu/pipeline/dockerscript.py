@@ -1,16 +1,15 @@
 """Docker/production entry point.
 
-Env-var contract of the reference dockerscript
-(crimac_unet/dockerscript.py:7-82): reads MODEL / DATA / SURVEY / CONFIG
-dirs + file names from the environment, converts config kHz frequencies to
-Hz for zarr surveys that store Hz, and writes ``<OUTPUT>/<PRED_FILE>``
-predictions for one survey.
+Honours the reference container contract (crimac_unet/dockerscript.py:1-82):
 
-    MODELWEIGHTS  checkpoint file (.msgpack or reference .pt)
-    SURVEY        path to <name>_sv.zarr
-    CONFIG        yaml config path
-    PRED_FILE     output zarr dir name
-    OUTPUT_DIR    output directory
+    env MODEL    -> /model/<MODEL>            checkpoint (.msgpack or .pt)
+    env SURVEY   -> /datain/<SURVEY>/ACOUSTIC/GRIDDED/<SURVEY>_sv.zarr
+    env CONFIG   -> /configs/<CONFIG>         yaml config
+    env ZARRFILE -> /dataout/<ZARRFILE>       prediction store
+
+with the config's kHz frequencies converted to Hz for zarr survey data
+(dockerscript.py:58-60).  Generalized overrides for non-container use:
+MODELWEIGHTS / SURVEY_PATH / CONFIG_PATH / OUTPUT_DIR / PRED_FILE.
 """
 
 from __future__ import annotations
@@ -26,34 +25,55 @@ from .engine import load_checkpoint
 from .inference import GriddedRunner, save_survey_predictions_zarr
 
 
+def resolve_paths() -> dict:
+    """Reference mount-point layout with generalized overrides."""
+    if os.environ.get("MODELWEIGHTS"):
+        return {
+            "model": os.environ["MODELWEIGHTS"],
+            "sv": os.environ["SURVEY_PATH"],
+            "config": os.environ.get("CONFIG_PATH"),
+            "target": os.path.join(os.environ.get("OUTPUT_DIR", "."),
+                                   os.environ.get("PRED_FILE",
+                                                  "predictions.zarr")),
+        }
+    survey = os.environ["SURVEY"]
+    return {
+        "model": os.path.join("/model", os.environ["MODEL"]),
+        "sv": os.path.join("/datain", survey, "ACOUSTIC", "GRIDDED",
+                           f"{survey}_sv.zarr"),
+        "config": os.path.join("/configs", os.environ["CONFIG"]),
+        "target": os.path.join("/dataout", os.environ["ZARRFILE"]),
+    }
+
+
 def main():
     start = time.time()
-    model_path = os.environ["MODELWEIGHTS"]
-    survey_path = os.environ["SURVEY"]
-    config_path = os.environ.get("CONFIG")
-    output_dir = os.environ.get("OUTPUT_DIR", ".")
-    pred_file = os.environ.get("PRED_FILE", "predictions.zarr")
+    paths = resolve_paths()
+    print("Files:")
+    for k, v in paths.items():
+        print(f"  {k}: {v}")
 
-    config = parse_config_options(load_yaml_config(config_path)
-                                  if config_path else {}, None)
+    config = parse_config_options(load_yaml_config(paths["config"])
+                                  if paths["config"] else {}, None)
     fix_seeds(config["random_seed"])
 
-    reader = DataReaderZarr(survey_path)
+    reader = DataReaderZarr(paths["sv"])
     # zarr production data stores Hz; configs use kHz (dockerscript.py:58-60)
     if all(f > 10000 for f in reader.frequencies):
         config["frequencies"] = [f * 1000 for f in config["frequencies"]]
 
-    payload = load_checkpoint(model_path)
+    payload = load_checkpoint(paths["model"])
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
     runner = GriddedRunner(build_unet(config), variables, config)
 
-    target = os.path.join(output_dir, pred_file)
     save_survey_predictions_zarr(
-        runner, reader, target,
+        runner, reader, paths["target"],
         preload_n_pings=config["preload_n_pings"],
         resume_writing=config["resume_writing"],
-        model_name="docker", progress=True)
+        model_name="docker", progress=True,
+        save_labels=bool(config.get("save_labels"))
+        and bool(config.get("labels_available", True)))
     print(f"Executed time (hours): {(time.time() - start) / 3600:.2f}")
 
 

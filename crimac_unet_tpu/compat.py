@@ -57,6 +57,7 @@ from .pipeline.inference import (GriddedRunner, evaluate_reader,
 from .data.meta_channels import get_in_channels
 
 # aux
+from .utils.combine_functions import CombineFunctions
 from .utils.preload_split import get_data_split
 from .utils.interp import (get_grid as getGrid, linear_interpolation,
                            nearest_interpolation)

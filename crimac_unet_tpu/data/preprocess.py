@@ -75,10 +75,14 @@ def batch_estimate_seabed(echograms, force=False) -> None:
 
 
 def echograms_to_zarr_survey(echograms, out_dir, survey_name,
-                             categories=(-1, 1, 27), compressor="zlib"):
+                             categories=(-1, 1, 27), compressor="blosc"):
     """Convert memmap echograms of one survey into the zarr survey triplet
     ``<name>_sv.zarr`` / ``_labels.zarr`` / ``_bottom.zarr`` + objects CSV
     (reference data_preprocessing/memmap_to_zarr.py:34-171).
+
+    ``compressor="blosc"`` (default) writes the production codec (Blosc
+    lz4-5 byte-shuffle, the zarr/xarray default that real CRIMAC survey
+    triplets carry), falling back to zlib when no blosc backend loads.
 
     Padding conventions mirror the reference converter exactly: sv is
     nan-padded in range to the tallest echogram (memmap_to_zarr.py:41-44),

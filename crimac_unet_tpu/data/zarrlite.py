@@ -6,13 +6,21 @@ xarray; reference data/data_reader.py:516-575 and
 pipeline_train_predict/save_predict.py:124-134).  The zarr/xarray packages
 are not available in this environment, so this module implements the zarr v2
 format directly: ``.zgroup`` / ``.zarray`` / ``.zattrs`` JSON metadata,
-C-order chunk files named ``i.j.k``, zlib or raw codecs, and the xarray
-``_ARRAY_DIMENSIONS`` convention — stores written here open unmodified in
-stock zarr+xarray, and vice versa (for zlib/raw-compressed stores).
+C-order chunk files named ``i.j.k``, Blosc (zstd/lz4/zlib/... via the
+native chunkio/libblosc backends in :mod:`.blosc_codec`) / zlib / raw
+codecs, and the xarray ``_ARRAY_DIMENSIONS`` convention — stores written
+here open unmodified in stock zarr+xarray, and vice versa, including the
+production Blosc-compressed CRIMAC stores and the reference's own
+prediction output codec (``Blosc(cname="zstd", clevel=3,
+shuffle=BITSHUFFLE)``, save_predict.py:128).
 
 Supports region reads, region writes, and append along any axis (the
 ``ping_time`` append used by prediction writing with ``resume_writing``,
-reference save_predict.py:124-134).
+reference save_predict.py:124-134).  Writes are crash-consistent: chunk
+files and metadata are written atomically (tmp + rename), and ``append``
+commits chunk data BEFORE growing the ``.zarray`` shape, so a crash
+mid-append leaves a consistent store at the previous high-water mark
+instead of phantom fill-value pings.
 """
 
 from __future__ import annotations
@@ -26,7 +34,28 @@ from pathlib import Path
 
 import numpy as np
 
+from . import blosc_codec
+
 _ZARR_FORMAT = 2
+
+
+def default_blosc_compressor() -> dict | None:
+    """The zarr/xarray default chunk codec (Blosc lz4-5 byte-shuffle) when a
+    blosc backend is loadable, else zlib — used for new survey stores so
+    fixtures match production CRIMAC layouts."""
+    if blosc_codec.available():
+        return {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+                "blocksize": 0}
+    return {"id": "zlib", "level": 1}
+
+
+def prediction_compressor() -> dict | None:
+    """The reference's prediction codec: Blosc zstd-3 BITSHUFFLE
+    (save_predict.py:128); zlib when no blosc backend is loadable."""
+    if blosc_codec.available():
+        return {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2,
+                "blocksize": 0}
+    return {"id": "zlib", "level": 1}
 
 
 def _encode_fill_value(v, dtype: np.dtype):
@@ -58,20 +87,21 @@ def _decode_fill_value(v, dtype: np.dtype):
 
 
 class _Codec:
-    """Chunk compressor registry: ``null`` (raw) and ``zlib``.
-
-    Blosc/zstd (the reference's output codec, save_predict.py:128) is not in
-    this environment; zlib is part of the zarr v2 core codecs and readable by
-    any zarr install.
-    """
+    """Chunk compressor registry: ``null`` (raw), ``zlib`` and ``blosc``
+    (any cname/shuffle, via the native backends in :mod:`.blosc_codec`)."""
 
     @staticmethod
-    def encode(buf: bytes, compressor: dict | None) -> bytes:
+    def encode(buf: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
         if compressor is None:
             return buf
         cid = compressor.get("id")
         if cid == "zlib":
             return zlib.compress(buf, compressor.get("level", 1))
+        if cid == "blosc":
+            return blosc_codec.compress(
+                buf, typesize, clevel=int(compressor.get("clevel", 5)),
+                shuffle=int(compressor.get("shuffle", 1)),
+                cname=compressor.get("cname", "lz4"))
         raise ValueError(f"Unsupported compressor: {compressor}")
 
     @staticmethod
@@ -81,7 +111,18 @@ class _Codec:
         cid = compressor.get("id")
         if cid == "zlib":
             return zlib.decompress(buf)
+        if cid == "blosc":
+            return blosc_codec.decompress(buf)
         raise ValueError(f"Unsupported compressor: {compressor}")
+
+
+def _atomic_write_json(path: Path, obj) -> None:
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 class ZArray:
@@ -124,6 +165,10 @@ class ZArray:
         dtype = np.dtype(dtype)
         if compressor == "zlib":
             compressor = {"id": "zlib", "level": 1}
+        elif compressor == "blosc":
+            compressor = default_blosc_compressor()
+        elif compressor == "blosc-zstd":
+            compressor = prediction_compressor()
         meta = {
             "zarr_format": _ZARR_FORMAT,
             "shape": list(int(s) for s in shape),
@@ -142,10 +187,11 @@ class ZArray:
         return arr
 
     def _write_meta(self) -> None:
-        with open(self.path / ".zarray", "w") as f:
-            json.dump(self.meta, f, indent=2)
-        with open(self.path / ".zattrs", "w") as f:
-            json.dump(self.attrs, f, indent=2)
+        # atomic replace: .zarray is the store's commit point (its shape is
+        # the high-water mark resume_writing trusts) — a torn write must
+        # never be observable
+        _atomic_write_json(self.path / ".zarray", self.meta)
+        _atomic_write_json(self.path / ".zattrs", self.attrs)
 
     @property
     def dims(self):
@@ -168,12 +214,44 @@ class ZArray:
             raw = _Codec.decode(f.read(), self.compressor)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
 
+    def _read_chunks_batch(self, chunk_idxs) -> np.ndarray:
+        """(n, *chunks) buffer for many chunks at once.  Blosc frames go
+        through one native multi-threaded batch-decompress call (chunkio,
+        GIL-free); other codecs through a thread pool (zlib releases the
+        GIL too)."""
+        n = len(chunk_idxs)
+        out = np.empty((n,) + self.chunks, dtype=self.dtype)
+        fill = self.fill_value if self.fill_value is not None else 0
+        is_blosc = (self.compressor or {}).get("id") == "blosc"
+        frames, rows = [], []
+        for i, cidx in enumerate(chunk_idxs):
+            fname = self.path / self._chunk_key(cidx)
+            if not fname.is_file():
+                out[i] = fill
+                continue
+            if is_blosc:
+                with open(fname, "rb") as f:
+                    frames.append(f.read())
+                rows.append(i)
+            else:
+                out[i] = self._read_chunk(cidx)
+        if is_blosc and frames:
+            blosc_codec.batch_decompress_into(frames,
+                                              [out[i] for i in rows])
+        return out
+
     def _write_chunk(self, cidx, chunk: np.ndarray) -> None:
         assert chunk.shape == self.chunks
         buf = _Codec.encode(np.ascontiguousarray(chunk, dtype=self.dtype)
-                            .tobytes(), self.compressor)
-        with open(self.path / self._chunk_key(cidx), "wb") as f:
+                            .tobytes(), self.compressor,
+                            typesize=self.dtype.itemsize)
+        # atomic replace: a read-modify-write of a boundary chunk holds
+        # committed data; a torn rewrite must not destroy it
+        fname = self.path / self._chunk_key(cidx)
+        tmp = fname.with_name(fname.name + ".tmp")
+        with open(tmp, "wb") as f:
             f.write(buf)
+        os.replace(tmp, fname)
 
     # ------------------------------------------------------------- regions
     def _norm_sel(self, sel) -> tuple:
@@ -216,12 +294,19 @@ class ZArray:
             out[tuple(dst)] = chunk[tuple(src)]
 
         if len(chunk_idxs) >= 4 and self.compressor is not None:
-            # zlib.decompress releases the GIL: decode chunks in parallel
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=8) as ex:
-                for cidx, chunk in zip(chunk_idxs,
-                                       ex.map(self._read_chunk, chunk_idxs)):
-                    place(cidx, chunk)
+            if (self.compressor or {}).get("id") == "blosc":
+                # one native batch-decompress call over all chunks
+                buf = self._read_chunks_batch(chunk_idxs)
+                for i, cidx in enumerate(chunk_idxs):
+                    place(cidx, buf[i])
+            else:
+                # zlib.decompress releases the GIL: decode in parallel
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    for cidx, chunk in zip(
+                            chunk_idxs,
+                            ex.map(self._read_chunk, chunk_idxs)):
+                        place(cidx, chunk)
         else:
             for cidx in chunk_idxs:
                 place(cidx, self._read_chunk(cidx))
@@ -263,18 +348,28 @@ class ZArray:
 
     def append(self, value: np.ndarray, axis: int = 0) -> None:
         """Grow the array along ``axis`` and write ``value`` into the new
-        region (the zarr append used for ``resume_writing``)."""
+        region (the zarr append used for ``resume_writing``).
+
+        Crash-consistent: chunk data is written FIRST, and only then is the
+        grown shape committed to ``.zarray`` (atomically).  A crash
+        mid-append leaves the on-disk shape at the old high-water mark —
+        readers and ``resume_writing`` (pipeline/inference.py) never see
+        phantom fill-value pings, and the interrupted append can simply be
+        re-run."""
         value = np.asarray(value, dtype=self.dtype)
         assert value.ndim == self.ndim
         old = self.shape[axis]
         new_shape = list(self.shape)
         new_shape[axis] = old + value.shape[axis]
-        self.meta["shape"] = new_shape
+        # extend the in-memory shape so __setitem__ can address the grown
+        # region; on-disk .zarray still holds the committed (old) shape
         self.shape = tuple(new_shape)
-        self._write_meta()
         sel = [slice(None)] * self.ndim
         sel[axis] = slice(old, old + value.shape[axis])
         self[tuple(sel)] = value
+        # commit point
+        self.meta["shape"] = [int(s) for s in new_shape]
+        self._write_meta()
 
     def resize(self, new_shape) -> None:
         self.meta["shape"] = [int(s) for s in new_shape]
@@ -334,5 +429,4 @@ class ZGroup:
         return arr
 
     def save_attrs(self) -> None:
-        with open(self.path / ".zattrs", "w") as f:
-            json.dump(self.attrs, f, indent=2)
+        _atomic_write_json(self.path / ".zattrs", self.attrs)

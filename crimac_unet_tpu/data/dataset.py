@@ -76,13 +76,26 @@ class RandomPatchDataset:
                            else np.ones(len(samplers)), dtype=float)
         self.cum_probs = np.cumsum(probs) / probs.sum()
         self.rng = np.random.RandomState(seed)
+        self.pool = None  # device sample pool -> coordinate-only batches
 
-    def sample(self):
-        from .meta_channels import crop_meta
+    def use_pool(self, pool):
+        """Switch to coordinate-only batches for an HBM-resident sample
+        pool (data/device_pool.py): the host draws (sampler, center) with
+        the SAME rng sequence as the crop path, but ships only (echogram,
+        start) int32 coordinates; crops are gathered on device inside the
+        pooled train step."""
+        self.pool = pool
+        return self
+
+    def _draw(self):
         i = self.rng.rand()
         sampler = self.samplers[int(np.searchsorted(self.cum_probs, i,
                                                     side="right"))]
-        center, reader = sampler.get_sample(self.rng)
+        return sampler.get_sample(self.rng)
+
+    def sample(self):
+        from .meta_channels import crop_meta
+        center, reader = self._draw()
         data = reader.crop_data(center, self.window_size, self.frequencies)
         labels = reader.crop_labels(center, self.window_size)
         seabed = seabed_patch_row(reader, center, self.window_size)
@@ -93,6 +106,13 @@ class RandomPatchDataset:
             meta
 
     def batch(self, batch_size):
+        if self.pool is not None:
+            samples = [self._draw() for _ in range(batch_size)]
+            idxs, starts = self.pool.prepare_batch(
+                [(reader, center) for center, reader in samples])
+            return {"ech_idx": idxs, "starts": starts,
+                    "centers": np.stack([np.asarray(c)
+                                         for c, _ in samples])}
         parts = [self.sample() for _ in range(batch_size)]
         out = {
             "data": np.stack([p[0] for p in parts]),

@@ -13,7 +13,11 @@ coordinate generation + the pool's `prepare_center`).
 
 Memory: E echograms of (C, H_max, W_max) float32 (+ int32 labels) plus a
 window-sized boundary margin; use for survey subsets that fit HBM
-(e.g. 2 GB holds ~40 echograms of 1000x3000x4).  Opt-in:
+(e.g. 2 GB holds ~40 echograms of 1000x3000x4).  ``pool_bytes`` /
+``fits_budget`` gate the opt-in; ``run_training`` wires this in as the
+default memm path with a host-crop fallback.  The zarr counterpart
+:class:`ZarrSamplePool` uploads whole-survey slabs through ping-chunked
+reads (bounded host RAM) + donated on-device slice updates.
 
     pool = DeviceSamplePool(readers, frequencies, window)
     idxs, centers = pool.prepare_batch(host_samples)
@@ -31,11 +35,32 @@ import numpy as np
 from ..constants import DATA_BOUNDARY_VAL, LABEL_BOUNDARY_VAL
 
 
+def pool_bytes(readers, frequencies, window) -> int:
+    """HBM footprint of pooling these readers: padded float32 data canvas +
+    int32 labels canvas (both with a window-sized boundary margin)."""
+    wh, ww = window
+    if readers[0].data_format == "memmap":
+        H = max(r.shape[0] for r in readers)
+        W = max(r.shape[1] for r in readers)
+    else:
+        H = max(r.shape[1] for r in readers)
+        W = max(r.shape[0] for r in readers)
+    E, C = len(readers), len(frequencies)
+    cells = E * (H + 2 * wh) * (W + 2 * ww)
+    return cells * C * 4 + cells * 4
+
+
+def fits_budget(readers, frequencies, window, budget_mb=2048) -> bool:
+    return pool_bytes(readers, frequencies, window) <= budget_mb * 2 ** 20
+
+
 class DeviceSamplePool:
+    data_format = "memmap"
+
     def __init__(self, readers, frequencies, window):
         assert all(r.data_format == "memmap" for r in readers), \
-            "DeviceSamplePool holds memmap echograms (zarr surveys are " \
-            "chunked; pool whole-survey slabs instead)"
+            "DeviceSamplePool holds memmap echograms; use ZarrSamplePool " \
+            "for zarr surveys"
         self.window = tuple(window)
         self.frequencies = sorted(frequencies)
         self.readers = list(readers)
@@ -94,6 +119,73 @@ class DeviceSamplePool:
         -> data (B, C, wh, ww) float32, labels (B, wh, ww) int32."""
         return _gather_crops(self.data, self.labels, jnp.asarray(ech_idx),
                              jnp.asarray(starts), self.window)
+
+
+class ZarrSamplePool:
+    """HBM-resident zarr survey slabs with the same gather interface.
+
+    Each survey's (freq, range, ping) slab is streamed to the device in
+    ping-chunked reads (bounded host RAM; one donated dynamic_update_slice
+    per chunk, so HBM holds exactly one canvas), nan-scrubbed like
+    ``DataReaderZarr.crop_data`` (reference batch/dataset.py:358-407), with
+    the categorical label overlay (get_label_slice semantics) as int32."""
+
+    data_format = "zarr"
+
+    def __init__(self, readers, frequencies, window, chunk_pings=2048):
+        assert all(r.data_format == "zarr" for r in readers)
+        self.window = tuple(window)
+        self.frequencies = sorted(frequencies)
+        self.readers = list(readers)
+        self.index = {id(r): i for i, r in enumerate(readers)}
+        wh, ww = self.window
+
+        H = max(r.shape[1] for r in readers)   # zarr shape = (ping, range)
+        W = max(r.shape[0] for r in readers)
+        E, C = len(readers), len(self.frequencies)
+        Hp, Wp = H + 2 * wh, W + 2 * ww
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def put_data(buf, chunk, e, x0):
+            return jax.lax.dynamic_update_slice(buf, chunk, (e, 0, wh, x0))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def put_labels(buf, chunk, e, x0):
+            return jax.lax.dynamic_update_slice(buf, chunk, (e, wh, x0))
+
+        data = jnp.zeros((E, C, Hp, Wp), jnp.float32)
+        labels = jnp.full((E, Hp, Wp), LABEL_BOUNDARY_VAL, jnp.int32)
+        for i, r in enumerate(readers):
+            n_pings, n_range = r.shape
+            for s in range(0, n_pings, chunk_pings):
+                n = min(chunk_pings, n_pings - s)
+                raw = r.get_data_slice(s, n, 0, n_range, self.frequencies)
+                raw = np.nan_to_num(raw.swapaxes(1, 2),
+                                    nan=DATA_BOUNDARY_VAL,
+                                    posinf=DATA_BOUNDARY_VAL,
+                                    neginf=DATA_BOUNDARY_VAL)
+                data = put_data(data,
+                                jnp.asarray(raw[None], jnp.float32),
+                                i, ww + s)
+                lab = r.get_label_slice(s, n, 0, n_range)
+                lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
+                labels = put_labels(labels,
+                                    jnp.asarray(lab[None], jnp.int32),
+                                    i, ww + s)
+        self.data = data
+        self.labels = labels
+        self.pad = (wh, ww)
+
+    def prepare_center(self, reader, center):
+        """Zarr crops never recenter (reference get_crop_zarr clips + pads
+        instead, dataset.py:358-407)."""
+        wh, ww = self.window
+        y0 = int(center[0]) - wh // 2 + 1 + wh
+        x0 = int(center[1]) - ww // 2 + 1 + ww
+        return self.index[id(reader)], y0, x0
+
+    prepare_batch = DeviceSamplePool.prepare_batch
+    gather = DeviceSamplePool.gather
 
 
 @partial(jax.jit, static_argnames=("window",))

@@ -203,6 +203,34 @@ def make_train_step(model: UNet, config: dict):
     return train_step
 
 
+def make_train_step_pooled(model: UNet, config: dict):
+    """Train step over an HBM-resident sample pool (data/device_pool.py):
+    crops are gathered ON DEVICE from (echogram, start) coordinates, so the
+    per-step h2d is a few dozen bytes instead of ~8 MB of host crops, and
+    the gather fuses into the same augmentation/label/forward program.
+
+    Signature: (state, pool_data, pool_labels, ech_idx, starts, rng).
+    Pool arrays are explicit arguments (not closed over) so the compiled
+    program references the resident HBM buffers instead of embedding them.
+    Metadata-channel runs use the host path (meta crops are host-derived).
+    """
+    from ..data.device_pool import _gather_crops
+    from ..data.meta_channels import get_in_channels
+    assert get_in_channels(config.get("meta_channels")) == 0, \
+        "pooled training does not support metadata channels (host path)"
+    window = tuple(config["patch_size"])
+    base = make_train_step(model, config)  # inlined when traced below
+
+    @jax.jit
+    def train_step(state: TrainState, pool_data, pool_labels, ech_idx,
+                   starts, rng):
+        data, labels = _gather_crops(pool_data, pool_labels, ech_idx,
+                                     starts, window)
+        return base(state, data, labels, rng)
+
+    return train_step
+
+
 def make_eval_step(model: UNet, config: dict):
     from ..data.meta_channels import get_in_channels
     loss_fn_impl = make_loss_fn(config)

@@ -47,6 +47,21 @@ class SegPipeUNet:
             self.mesh = get_mesh(1)
         self._train_step = engine.make_train_step(self.model, config)
         self._eval_step = engine.make_eval_step(self.model, config)
+        self.pool = None
+        self._train_step_pooled = None
+
+    def attach_pool(self, pool):
+        """Use an HBM-resident sample pool for training: batches become
+        (echogram, start) coordinates, crops gather on device inside the
+        train step (data/device_pool.py; the reference ships every crop
+        through DataLoader workers instead, train.py:73-79)."""
+        self._train_step_pooled = engine.make_train_step_pooled(
+            self.model, self.config)
+        if len(self.mesh.devices.ravel()) > 1:
+            pool.data = replicate_tree(self.mesh, pool.data)
+            pool.labels = replicate_tree(self.mesh, pool.labels)
+        self.pool = pool
+        return self
 
     # ----------------------------------------------------------- lifecycle
     def init_model(self, seed=None):
@@ -134,7 +149,11 @@ class SegPipeUNet:
         i = -1
         for i, batch in enumerate(it):
             key, sub = jax.random.split(key)
-            if "meta" in batch:
+            if "ech_idx" in batch:  # pooled: on-device crop gather
+                self.state, loss = self._train_step_pooled(
+                    self.state, self.pool.data, self.pool.labels,
+                    batch["ech_idx"], batch["starts"], sub)
+            elif "meta" in batch:
                 self.state, loss = self._train_step(
                     self.state, batch["data"], batch["labels"],
                     batch["meta"], sub)

@@ -27,7 +27,8 @@ from .segpipe import SegPipeUNet
 
 def make_datasets(config, data_obj):
     """Partition + sampler battery -> train/test dataset factories
-    (reference train.py:35-110)."""
+    (reference train.py:35-110).  Also returns the train readers so the
+    caller can build a device sample pool over them."""
     readers_train, readers_test = data_obj.partition_data_train()
     samplers_train, samplers_test, probs = data_obj.get_samplers_train(
         readers_train, readers_test)
@@ -46,14 +47,50 @@ def make_datasets(config, data_obj):
                                   sampler_probs=probs, meta_channels=meta,
                                   seed=config["random_seed"] + 10_000
                                   + seed_offset)
-    return train_factory, test_factory
+    return train_factory, test_factory, readers_train
+
+
+def maybe_build_pool(config, readers_train):
+    """HBM-resident sample pool when enabled and within the HBM budget.
+
+    ``use_device_pool``: ``"auto"`` (default) pools whenever the train
+    readers fit ``device_pool_budget_mb`` (default 2048); ``True`` forces
+    pooling (raises if impossible); ``False`` keeps host crops.  Metadata
+    runs always use host crops (meta channels are host-derived)."""
+    from ..data import device_pool as dp
+    mode = config.get("use_device_pool", "auto")
+    if not mode or config.get("meta_channels"):
+        return None
+    window = tuple(config["patch_size"])
+    freqs = sorted(config["frequencies"])
+    if not readers_train:
+        return None
+    if mode == "auto" and not dp.fits_budget(
+            readers_train, freqs, window,
+            config.get("device_pool_budget_mb", 2048)):
+        mb = dp.pool_bytes(readers_train, freqs, window) / 2 ** 20
+        print(f"device pool would need {mb:.0f} MB > budget; "
+              f"training from host crops")
+        return None
+    cls = (dp.DeviceSamplePool
+           if readers_train[0].data_format == "memmap"
+           else dp.ZarrSamplePool)
+    return cls(readers_train, freqs, window)
 
 
 def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
                  logger=None, progress=True):
     fix_seeds(config["random_seed"])
     data_obj = make_partition(config)
-    train_factory, test_factory = make_datasets(config, data_obj)
+    train_factory, test_factory, readers_train = make_datasets(config,
+                                                               data_obj)
+
+    pool = maybe_build_pool(config, readers_train)
+    if pool is not None:
+        base_factory = train_factory
+
+        def train_factory(seed_offset=0):  # noqa: F811 — pooled wrapper
+            return base_factory(seed_offset).use_pool(pool)
 
     train_batches = BatchPrefetcher(
         train_factory, config["batch_size"], config["iterations"],
@@ -66,6 +103,8 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
 
     segpipe = SegPipeUNet(config, checkpoint_dir=checkpoint_dir,
                           experiment_name=experiment_name or "model")
+    if pool is not None:
+        segpipe.attach_pool(pool)
     try:
         segpipe.train_model(train_batches, make_test_batches, logger,
                             progress=progress)

@@ -65,3 +65,122 @@ def test_pool_feeds_train_step(pool_and_readers):
     data, labels = pool.gather(idxs, starts)  # stays on device
     state, loss = step(state, data, labels, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_zarr_pool_gather_matches_host_crops(tmp_path, rng):
+    """ZarrSamplePool slab gather must reproduce DataReaderZarr.crop_data /
+    crop_labels bit-exactly (clip+pad semantics, no recentering;
+    reference batch/dataset.py:358-407)."""
+    from crimac_unet_tpu.data.device_pool import ZarrSamplePool
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=80, W=220,
+                          seed=7)
+    reader = DataReaderZarr(sv)
+    window = [48, 48]
+    freqs = [18, 38, 120, 200]
+    pool = ZarrSamplePool([reader], freqs, window, chunk_pings=64)
+
+    samples = []
+    for _ in range(12):
+        y = rng.randint(-10, reader.shape[1] + 10)   # range axis
+        x = rng.randint(-10, reader.shape[0] + 10)   # ping axis
+        samples.append((reader, [y, x]))
+
+    idxs, starts = pool.prepare_batch(samples)
+    data, labels = pool.gather(idxs, starts)
+    data, labels = np.asarray(data), np.asarray(labels)
+    for k, (r, center) in enumerate(samples):
+        want_d = r.crop_data(list(center), window, freqs)
+        want_l = r.crop_labels(list(center), window)
+        np.testing.assert_allclose(data[k], want_d, rtol=1e-6,
+                                   err_msg=f"sample {k} data")
+        np.testing.assert_array_equal(labels[k], want_l,
+                                      err_msg=f"sample {k} labels")
+
+
+def test_pooled_train_step_matches_host_path(pool_and_readers):
+    """make_train_step_pooled (on-device gather) and the host-crop path
+    must produce the same losses/params for the same samples and rng —
+    the pool is a transport optimization, not a semantic change."""
+    from crimac_unet_tpu.models.unet import UNet
+    from crimac_unet_tpu.pipeline import engine
+
+    pool, readers = pool_and_readers
+    config = {"patch_size": [48, 48], "frequencies": [18, 38, 120, 200],
+              "lr": 0.005, "lr_step": 5, "lr_reduction": 0.5,
+              "momentum": 0.95, "depth": 2, "start_filts": 4,
+              "compute_dtype": "float32"}
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    s_host = engine.init_train_state(model, config, jax.random.PRNGKey(0))
+    s_pool = engine.init_train_state(model, config, jax.random.PRNGKey(0))
+    host_step = engine.make_train_step(model, config)
+    pool_step = engine.make_train_step_pooled(model, config)
+
+    rng_np = np.random.RandomState(5)
+    for it in range(3):
+        samples = []
+        for _ in range(4):
+            r = readers[rng_np.randint(len(readers))]
+            samples.append((r, [rng_np.randint(-5, r.shape[0] + 5),
+                                rng_np.randint(-5, r.shape[1] + 5)]))
+        key = jax.random.PRNGKey(100 + it)
+        data = np.stack([r.crop_data(list(c), [48, 48],
+                                     [18, 38, 120, 200])
+                         for r, c in samples])
+        labels = np.stack([r.crop_labels(list(c), [48, 48])
+                           for r, c in samples]).astype(np.int32)
+        s_host, l_host = host_step(s_host, jnp.asarray(data),
+                                   jnp.asarray(labels), key)
+        idxs, starts = pool.prepare_batch(samples)
+        s_pool, l_pool = pool_step(s_pool, pool.data, pool.labels,
+                                   jnp.asarray(idxs), jnp.asarray(starts),
+                                   key)
+        np.testing.assert_allclose(float(l_host), float(l_pool),
+                                   rtol=1e-5, err_msg=f"iter {it}")
+    flat_h = jax.tree_util.tree_leaves(s_host.params)
+    flat_p = jax.tree_util.tree_leaves(s_pool.params)
+    for a, b in zip(flat_h, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_run_training_pooled_end_to_end(tmp_path, monkeypatch):
+    """run_training with use_device_pool wires the pool in (coordinate
+    batches -> pooled step) and trains end-to-end with checkpoints."""
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.pipeline.train import run_training, maybe_build_pool
+    from crimac_unet_tpu.data.partition import make_partition
+    from crimac_unet_tpu import paths
+
+    make_survey_dir(tmp_path / "memm", year=2017, n_echograms=2, H=80,
+                    W=200, seed=9)
+    make_survey_dir(tmp_path / "memm", year=2016, n_echograms=1, H=80,
+                    W=200, seed=10)
+    monkeypatch.setattr(paths, "path_to_echograms",
+                        lambda: str(tmp_path / "memm"))
+
+    config = {"frequencies": [18, 38, 120, 200], "data_mode": "memm",
+              "patch_size": [48, 48], "loss_type": "CE", "batch_size": 2,
+              "lr": 0.005, "lr_reduction": 0.5, "momentum": 0.95,
+              "iterations": 3, "test_iter": 1, "log_step": 3, "lr_step": 3,
+              "num_workers": 1, "partition_train": "selected surveys",
+              "train_surveys": [2017], "validation_surveys": [2016],
+              "eval_mode": "all", "patch_overlap": 5, "random_seed": 10,
+              "partition_predict": "all surveys",
+              "evaluation_surveys": [], "save_prediction_surveys": [],
+              "depth": 2, "start_filts": 4, "min_shape": 40,
+              "use_device_pool": True}
+
+    # the pool really engages for this config
+    data_obj = make_partition(config)
+    readers_train, _ = data_obj.partition_data_train()
+    pool = maybe_build_pool(config, readers_train)
+    assert pool is not None
+
+    segpipe = run_training(config, tmp_path / "ckpt", progress=False)
+    assert segpipe.pool is not None
+    assert (tmp_path / "ckpt" / "last.msgpack").exists()
+    assert (tmp_path / "ckpt" / "best.msgpack").exists()
+    assert int(segpipe.state.step) == 3

@@ -40,6 +40,10 @@ class Background:
         else:
             half = ww // 2 - 20
             x = rng.randint(half, W - half)
+        # the reference draws x in [w/2-20, W-w/2+20) (seabed.py:32-54);
+        # for small windows that range leaves the survey — clamp so the
+        # seabed lookup stays in bounds (no-op for reference-size windows)
+        x = int(np.clip(x, 0, W - 1))
         seabed = int(ech.get_seabed(x, 1)[0])
         if seabed <= wh:
             y = H // 2
@@ -102,6 +106,10 @@ class Seabed:
         else:
             half = ww // 2 - 20
             x = rng.randint(half, W - half)
+        # the reference draws x in [w/2-20, W-w/2+20) (seabed.py:32-54);
+        # for small windows that range leaves the survey — clamp so the
+        # seabed lookup stays in bounds (no-op for reference-size windows)
+        x = int(np.clip(x, 0, W - 1))
         seabed = int(ech.get_seabed(x, 1)[0])
         y = random_point_containing(H, wh, seabed, rng=rng)
         return [y, x], ech
@@ -295,6 +303,10 @@ class BackgroundSeabed(Background):
         else:
             half = ww // 2 - 20
             x = rng.randint(half, W - half)
+        # the reference draws x in [w/2-20, W-w/2+20) (seabed.py:32-54);
+        # for small windows that range leaves the survey — clamp so the
+        # seabed lookup stays in bounds (no-op for reference-size windows)
+        x = int(np.clip(x, 0, W - 1))
         seabed = int(ech.get_seabed(x, 1)[0])
         y = random_point_containing(H, wh, seabed, rng=rng)
         return [y, x], ech

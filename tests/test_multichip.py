@@ -45,3 +45,113 @@ def test_graft_entry_forward_compiles():
     fn, (variables, x) = g.entry()
     lowered = jax.jit(fn).lower(variables, x)
     assert lowered.compile() is not None
+
+
+def test_sharded_gather_no_redistribute(tmp_path):
+    """The compiled 8-device predict program must gather patches locally:
+    no all-to-all / collective-permute anywhere (the round-1 design
+    resharded the flat gather output before every forward batch), and the
+    patch gather's output shape must be the per-device shard."""
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=60, W=160,
+                          seed=34)
+    reader = DataReaderZarr(sv)
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    x = jnp.zeros((1, 32, 32, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    r8 = GriddedRunner(model, variables,
+                       {"patch_size": [32, 32], "patch_overlap": 4,
+                        "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+                        "mesh_devices": 8})
+
+    # stage one chunk's inputs by intercepting the device call
+    staged = {}
+    real = r8._predict_patches
+
+    def capture(variables, *args, **kw):
+        staged["args"] = args
+        staged["kw"] = kw
+        return real(variables, *args, **kw)
+
+    r8._predict_patches = capture
+    next(iter(predict_reader(r8, reader, 80)))
+    r8._predict_patches = real
+
+    lowered = jax.jit(
+        real.__wrapped__, static_argnames=("self", "R", "C", "n_range",
+                                           "border_zero", "use_meta")
+    ).lower(r8, r8.variables, *staged["args"], **staged["kw"])
+    hlo = lowered.compile().as_text()
+    assert "all-to-all" not in hlo
+    assert "collective-permute" not in hlo
+    # per-device gather shard: fwd_batch 8 over 8 devices -> each device
+    # slices 1 patch per sub-batch (f32[1,1,32,32,4] gather results); the
+    # unsharded (nb, B, ...) gather would read f32[nb,8,32,32,4]
+    flat = hlo.replace(" ", "")
+    assert "f32[1,1,32,32,4]" in flat, "patch gather does not run sharded"
+    n = staged["args"][1].shape[0]        # y0s is padded to nb * B inside
+    nb = -(-n // 8)
+    assert f"f32[{nb},8,32,32,4]" not in flat
+
+
+class _CaptureLogger:
+    """Minimal TB-logger stand-in recording (tag, value, step)."""
+
+    def __init__(self):
+        self.scalars = []
+
+    def add_scalar(self, tag, value, global_step=None):
+        self.scalars.append((tag, float(value), global_step))
+
+    def series(self, tag):
+        return [v for t, v, _ in self.scalars if t == tag]
+
+
+def _train_cfg(path, ckpt_suffix, mesh_devices):
+    return {"frequencies": [18, 38, 120, 200], "data_mode": "memm",
+            "path_to_echograms": str(path), "patch_size": [32, 32],
+            "loss_type": "CE", "batch_size": 8, "lr": 0.005,
+            "lr_reduction": 0.5, "momentum": 0.95, "iterations": 4,
+            "test_iter": 1, "log_step": 4, "lr_step": 4, "num_workers": 1,
+            "partition_train": "selected surveys", "train_surveys": [2017],
+            "validation_surveys": [2016], "partition_predict": "all surveys",
+            "evaluation_surveys": [], "save_prediction_surveys": [],
+            "eval_mode": "all", "patch_overlap": 4, "random_seed": 10,
+            "depth": 2, "start_filts": 4, "mesh_devices": mesh_devices}
+
+
+def test_multidevice_training_loss_parity(tmp_path):
+    """run_training over the 8-device CPU mesh end-to-end (prefetch
+    sharding + pooled gather + validation + checkpoint on sharded state)
+    must reproduce the single-device loss trajectory and final parameters
+    (same seeds; tolerance covers sharded-reduction reordering)."""
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.pipeline.train import run_training
+
+    make_survey_dir(tmp_path / "memm", year=2017, n_echograms=2, H=80,
+                    W=200, seed=21)
+    make_survey_dir(tmp_path / "memm", year=2016, n_echograms=1, H=80,
+                    W=200, seed=22)
+
+    logs, pipes = {}, {}
+    for n in (1, 8):
+        cfg = _train_cfg(tmp_path / "memm", n, mesh_devices=n)
+        log = _CaptureLogger()
+        pipes[n] = run_training(cfg, tmp_path / f"ckpt{n}", logger=log,
+                                progress=False)
+        logs[n] = log
+        assert (tmp_path / f"ckpt{n}" / "last.msgpack").exists()
+        assert (tmp_path / f"ckpt{n}" / "best.msgpack").exists()
+        assert pipes[n].pool is not None  # pooled path engaged
+
+    l1, l8 = logs[1].series("train/loss"), logs[8].series("train/loss")
+    assert len(l1) == len(l8) == 4
+    np.testing.assert_allclose(l1, l8, rtol=1e-3, atol=1e-4)
+    f1 = logs[1].series("test/F1_score")
+    f8 = logs[8].series("test/F1_score")
+    np.testing.assert_allclose(f1, f8, rtol=1e-3, atol=1e-3)
+
+    p1 = jax.tree_util.tree_leaves(pipes[1].state.params)
+    p8 = jax.tree_util.tree_leaves(pipes[8].state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

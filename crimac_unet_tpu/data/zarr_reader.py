@@ -128,7 +128,14 @@ class DataReaderZarr:
         ping_sl = slice(idx_ping, None if n_pings is None
                         else idx_ping + n_pings)
         rng_sl = self._range_slice(idx_range, n_range)
-        out = np.stack([self.sv[f, ping_sl, rng_sl] for f in freq_idx], axis=0)
+        if freq_idx == list(range(freq_idx[0], freq_idx[0] + len(freq_idx))):
+            # contiguous frequencies (the standard 4-band read): one region
+            # read -> one native batch-decompress over all chunks
+            out = self.sv[freq_idx[0]:freq_idx[0] + len(freq_idx),
+                          ping_sl, rng_sl]
+        else:
+            out = np.stack([self.sv[f, ping_sl, rng_sl] for f in freq_idx],
+                           axis=0)
         if drop_na:
             keep = ~np.all(np.isnan(out), axis=(0, 1))
             out = out[:, :, keep]

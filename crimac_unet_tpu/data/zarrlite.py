@@ -293,20 +293,20 @@ class ZArray:
                 dst.append(slice(a0 - s.start, a1 - s.start))
             out[tuple(dst)] = chunk[tuple(src)]
 
-        if len(chunk_idxs) >= 4 and self.compressor is not None:
-            if (self.compressor or {}).get("id") == "blosc":
-                # one native batch-decompress call over all chunks
-                buf = self._read_chunks_batch(chunk_idxs)
-                for i, cidx in enumerate(chunk_idxs):
-                    place(cidx, buf[i])
-            else:
-                # zlib.decompress releases the GIL: decode in parallel
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=8) as ex:
-                    for cidx, chunk in zip(
-                            chunk_idxs,
-                            ex.map(self._read_chunk, chunk_idxs)):
-                        place(cidx, chunk)
+        if len(chunk_idxs) >= 2 and \
+                (self.compressor or {}).get("id") == "blosc":
+            # one native batch-decompress call over all chunks (chunkio
+            # fans out std::threads; no per-chunk Python overhead)
+            buf = self._read_chunks_batch(chunk_idxs)
+            for i, cidx in enumerate(chunk_idxs):
+                place(cidx, buf[i])
+        elif len(chunk_idxs) >= 4 and self.compressor is not None:
+            # zlib.decompress releases the GIL: decode in parallel
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                for cidx, chunk in zip(chunk_idxs,
+                                       ex.map(self._read_chunk, chunk_idxs)):
+                    place(cidx, chunk)
         else:
             for cidx in chunk_idxs:
                 place(cidx, self._read_chunk(cidx))

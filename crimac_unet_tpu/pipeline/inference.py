@@ -218,6 +218,9 @@ class GriddedRunner:
                                          (Cf, wh, ww))
         patches = jax.vmap(jax.vmap(gather))(y0r, x0r)  # (nb,B,Cf,wh,ww)
         patches = self._shard_nb(patches)
+        # slabs may arrive bfloat16 (halved h2d bytes); the dB transform
+        # and net input math run in float32 regardless
+        patches = patches.astype(jnp.float32)
         patches = jnp.where(jnp.isfinite(patches), patches, 0.0)
         if use_meta:  # metadata runs use the [0,1]-scaled dB transform
             d = data_ops.db_with_limits_scaled(patches)
@@ -550,33 +553,56 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, s - o, centers_x)
         runner.timer.stop("host_slab")
-        return (s, e, w, R, C, data_slab, border_slab, border_zero,
-                label_pad, sv_pad, sb_vec, y0s, x0s, meta_slab, consts)
 
+        # h2d from the prefetch thread (device_put is async), in bfloat16:
+        # halves tunnel/PCIe bytes, and every consumer is exactness-safe —
+        # the data slab feeds the bf16 U-Net after a device-side dB
+        # transform (<=0.02 dB perturbation), and the label/sv slabs are
+        # only tested for finiteness / ==0, which bf16 preserves for the
+        # small-integer categorical codes and nan/inf
+        runner.timer.start("h2d_dispatch")
+        import ml_dtypes
+        bf16 = ml_dtypes.bfloat16
+        nr = min(R * sh, n_range)
+        dev = dict(
+            data_slab=jax.device_put(data_slab.astype(bf16)),
+            border_slab=jax.device_put(border_slab),
+            label_pad=jax.device_put(label_pad[:nr].astype(bf16)),
+            sv_pad=jax.device_put(sv_pad[:nr].astype(bf16)),
+            sb_vec=jax.device_put(sb_vec),
+            y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
+            meta_slab=jax.device_put(meta_slab),
+            consts=jax.device_put(consts))
+        runner.timer.stop("h2d_dispatch")
+        return (s, e, w, R, C, nr, border_zero, dev,
+                label_pad if save_labels else None)
+
+    import collections
     from concurrent.futures import ThreadPoolExecutor
-    executor = ThreadPoolExecutor(max_workers=1)
-    fut = executor.submit(prepare, *splits[0]) if len(splits) else None
+    executor = ThreadPoolExecutor(max_workers=2)
+    futs = collections.deque(executor.submit(prepare, *sp)
+                             for sp in splits[:2])
+    n_submitted = len(futs)
 
     for idx, _ in enumerate(it):
-        (s, e, w, R, C, data_slab, border_slab, border_zero, label_pad,
-         sv_pad, sb_vec, y0s, x0s, meta_slab, consts) = fut.result()
-        if idx + 1 < len(splits):
-            fut = executor.submit(prepare, *splits[idx + 1])
+        (s, e, w, R, C, nr, border_zero, dev, lab_host) = \
+            futs.popleft().result()
+        if n_submitted < len(splits):
+            futs.append(executor.submit(prepare, *splits[n_submitted]))
+            n_submitted += 1
 
-        runner.patches_processed += len(y0s)
+        runner.patches_processed += int(dev["y0s"].shape[0])
         runner.timer.start("device_chunk")
         stitched = runner._predict_patches(
             runner.variables,
-            jnp.asarray(data_slab), jnp.asarray(y0s), jnp.asarray(x0s),
-            jnp.asarray(border_slab), jnp.asarray(meta_slab),
-            jnp.asarray(consts), R, C, n_range, border_zero,
+            dev["data_slab"], dev["y0s"], dev["x0s"], dev["border_slab"],
+            dev["meta_slab"], dev["consts"], R, C, n_range, border_zero,
             runner.use_meta)
-        nr = min(R * sh, n_range)
         out = runner._mask_output(
-            stitched, jnp.asarray(label_pad[:nr]), jnp.asarray(sv_pad[:nr]),
-            jnp.asarray(sb_vec), nr, C * sw, is_zarr)
+            stitched, dev["label_pad"], dev["sv_pad"], dev["sb_vec"],
+            nr, C * sw, is_zarr)
         runner.timer.stop("device_chunk")
-        pending.append((s, e, out, label_pad if save_labels else None))
+        pending.append((s, e, out, lab_host))
         if len(pending) >= pipeline_depth:
             yield _drain(pending.pop(0))
 

@@ -182,8 +182,11 @@ def make_train_step(model: UNet, config: dict):
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt), loss
 
+    # donate the state: params/opt-state buffers are updated in place on
+    # device instead of allocating a second copy every step (callers all
+    # rebind `state` from the return)
     if use_meta:
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, data, labels, meta, rng):
             data, meta, labels = augment.augment_train_meta(
                 rng, data, meta, labels)
@@ -192,7 +195,7 @@ def make_train_step(model: UNet, config: dict):
                                                          scaled=True)
             return _update(state, data, labels, meta)
     else:
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, data, labels, rng):
             """data (B,C,H,W) raw sv float32; labels (B,H,W) raw int32."""
             data, labels = augment.augment_train(rng, data, labels)
@@ -221,7 +224,7 @@ def make_train_step_pooled(model: UNet, config: dict):
     window = tuple(config["patch_size"])
     base = make_train_step(model, config)  # inlined when traced below
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pool_data, pool_labels, ech_idx,
                    starts, rng):
         data, labels = _gather_crops(pool_data, pool_labels, ech_idx,

@@ -133,36 +133,6 @@ class GriddedRunner:
             return jax.nn.softmax(logits, axis=-1)
         return jax.lax.map(one, patches_nhwc)
 
-    def _run_forward(self, variables, patches, meta=None):
-        """(N, wh, ww, C)[, meta (N, wh, ww, M)] -> (N, wh, ww, 3), padding
-        N to the fwd batch.  meta is concatenated (early inject) or passed
-        separately (late inject)."""
-        if meta is not None and not self.late_meta:
-            patches = jnp.concatenate([patches, meta], axis=-1)
-            meta = None
-        N = patches.shape[0]
-        # adaptive sub-batch: don't pad a 20-patch chunk up to 32
-        gran = 8
-        if self.mesh is not None:
-            gran = _round_up(gran, len(self.mesh.devices.ravel()))
-        B = min(self.fwd_batch, _round_up(N, gran))
-        Np = _round_up(N, B)
-        if Np != N:
-            pad = ((0, Np - N), (0, 0), (0, 0), (0, 0))
-            patches = jnp.pad(patches, pad)
-            if meta is not None:
-                meta = jnp.pad(meta, pad)
-        if meta is not None:
-            probs = self._forward_probs(
-                variables,
-                patches.reshape(Np // B, B, *patches.shape[1:]),
-                meta.reshape(Np // B, B, *meta.shape[1:]))
-        else:
-            probs = self._forward_probs_nometa(
-                variables,
-                patches.reshape(Np // B, B, *patches.shape[1:]))
-        return probs.reshape(Np, *probs.shape[2:])[:N]
-
     def _gather_meta(self, meta_slab, consts, y0s, x0s):
         """(N, M, wh, ww) metadata patches: per-patch constant channels
         (portion_year/day) broadcast + per-pixel channels gathered from the
@@ -298,8 +268,31 @@ class GriddedRunner:
         same compiled shape (their pixels are force-ignored — the reference
         grid has no such patches).
         """
+        from ..constants import LABEL_IGNORE_VAL
         wh, ww = self.window
         Cf = data_slab.shape[0]
+        N = y0s.shape[0]
+
+        # pre-shard the patch indices in (nb, fwd_batch) layout (same
+        # scheme as _predict_patches) and lax.scan the sub-batches with
+        # the PR histogram as carry: memory stays bounded at one
+        # sub-batch of patches, and each device gathers + evaluates only
+        # its own shard — no redistribute.  Index pads carry col_valid=0
+        # so padded patches contribute nothing.
+        gran = 8
+        if self.mesh is not None:
+            gran = _round_up(gran, len(self.mesh.devices.ravel()))
+        B = min(self.fwd_batch, _round_up(N, gran))
+        Np = _round_up(N, B)
+        nb = Np // B
+
+        def pad1(a):
+            return jnp.pad(a, (0, Np - N)).reshape(nb, B)
+        y0r = self._shard_nb(pad1(y0s))
+        x0r = self._shard_nb(pad1(x0s))
+        py0r = pad1(patch_y0_data)
+        cvr = pad1(col_valid)
+        consts_r = jnp.pad(consts, ((0, Np - N), (0, 0))).reshape(nb, B, -1)
 
         def gather3(y0, x0):
             return jax.lax.dynamic_slice(data_slab, (0, y0, x0),
@@ -308,56 +301,70 @@ class GriddedRunner:
         def gather2(slab, y0, x0):
             return jax.lax.dynamic_slice(slab, (y0, x0), (wh, ww))
 
-        # eval reads crops through get_crop_* which scrub non-finite data
-        # BEFORE any transform (dataset.py:275-277, :404) — so refine sees
-        # zeros, and remove_nan_inf never marks labels in the eval paths
-        data = jax.vmap(gather3)(y0s, x0s)
-        data = jnp.where(jnp.isfinite(data), data, 0.0)
-        labels = jax.vmap(gather2, in_axes=(None, 0, 0))(
-            label_slab, y0s, x0s).astype(jnp.int32)
+        def body(hist, inp):
+            y0b, x0b, py0b, cvb, consts_b = inp
+            # eval reads crops through get_crop_* which scrub non-finite
+            # data BEFORE any transform (dataset.py:275-277, :404) — so
+            # refine sees zeros, and remove_nan_inf never marks labels in
+            # the eval paths
+            data = self._shard(jax.vmap(gather3)(y0b, x0b)).astype(
+                jnp.float32)
+            data = jnp.where(jnp.isfinite(data), data, 0.0)
+            labels = jax.vmap(gather2, in_axes=(None, 0, 0))(
+                label_slab, y0b, x0b).astype(jnp.int32)
 
-        def gather_sb(x0):
-            return jax.lax.dynamic_slice(sb_pad, (x0,), (ww,))
-        sb_abs = jax.vmap(gather_sb)(x0s)              # absolute data rows
-        sy0 = jnp.maximum(patch_y0_data, 0)[:, None]
-        if zarr_pad:
-            # zarr: max(seabed, patch_top) + pad (data_reader.py:841-846)
-            thresh = jnp.maximum(sb_abs, sy0) + SEABED_PAD
-        else:
-            # memmap: max(seabed + pad, patch_top) (data_reader.py:407-431)
-            thresh = jnp.maximum(sb_abs + SEABED_PAD, sy0)
-        sb_rows = thresh - patch_y0_data[:, None]
-        sb_rows = jnp.clip(sb_rows, -(10 ** 6), BIG_ROW).astype(jnp.int32)
+            def gather_sb(x0):
+                return jax.lax.dynamic_slice(sb_pad, (x0,), (ww,))
+            sb_abs = jax.vmap(gather_sb)(x0b)      # absolute data rows
+            sy0 = jnp.maximum(py0b, 0)[:, None]
+            if zarr_pad:
+                # zarr: max(seabed, patch_top) + pad
+                # (data_reader.py:841-846)
+                thresh = jnp.maximum(sb_abs, sy0) + SEABED_PAD
+            else:
+                # memmap: max(seabed + pad, patch_top)
+                # (data_reader.py:407-431)
+                thresh = jnp.maximum(sb_abs + SEABED_PAD, sy0)
+            sb_rows = thresh - py0b[:, None]
+            sb_rows = jnp.clip(sb_rows, -(10 ** 6), BIG_ROW).astype(
+                jnp.int32)
 
-        # label test chain (transforms.py:78-92)
-        lab = label_ops.convert_label_indexing(labels,
-                                               mark_unused_species=True)
-        lab = label_ops.refine_label_boundary(data, lab,
-                                              threshold_freq_idx=-1)
-        lab = label_ops.mask_label_seabed(lab, sb_rows)
-        lab = label_ops.mask_label_overlap(lab, self.overlap)
-        if use_keep:
-            keep = jax.vmap(gather2, in_axes=(None, 0, 0))(
-                keep_slab, y0s, x0s)
-            lab = jnp.where(keep > 0, lab, -1)  # reference ignore_val=-1
-        # virtual pad patches contribute nothing (must come after the keep
-        # override, which would otherwise turn them into -1 negatives)
-        from ..constants import LABEL_IGNORE_VAL
-        lab = jnp.where(col_valid[:, None, None] > 0, lab,
-                        LABEL_IGNORE_VAL)
+            # label test chain (transforms.py:78-92)
+            lab = label_ops.convert_label_indexing(
+                labels, mark_unused_species=True)
+            lab = label_ops.refine_label_boundary(data, lab,
+                                                  threshold_freq_idx=-1)
+            lab = label_ops.mask_label_seabed(lab, sb_rows)
+            lab = label_ops.mask_label_overlap(lab, self.overlap)
+            if use_keep:
+                keep = jax.vmap(gather2, in_axes=(None, 0, 0))(
+                    keep_slab, y0b, x0b)
+                lab = jnp.where(keep > 0, lab, -1)  # reference ignore=-1
+            # padded patches contribute nothing (after the keep override,
+            # which would otherwise turn them into -1 negatives)
+            lab = jnp.where(cvb[:, None, None] > 0, lab, LABEL_IGNORE_VAL)
 
-        if use_meta:
-            d = data_ops.db_with_limits_scaled(data)
-        else:
-            d = data_ops.db_with_limits(data)
-        if border_zero:
-            d = data_ops.set_data_border_value(d, lab)
-        meta = None
-        if use_meta:
-            meta = self._gather_meta(meta_slab, consts, y0s,
-                                     x0s).transpose(0, 2, 3, 1)
-        probs = self._run_forward(variables, d.transpose(0, 2, 3, 1), meta)
-        return metrics.update_pr_histogram(hist, probs[..., 1], lab)
+            if use_meta:
+                d = data_ops.db_with_limits_scaled(data)
+            else:
+                d = data_ops.db_with_limits(data)
+            if border_zero:
+                d = data_ops.set_data_border_value(d, lab)
+            x = d.transpose(0, 2, 3, 1)
+            meta = None
+            if use_meta:
+                meta = self._shard(self._gather_meta(
+                    meta_slab, consts_b, y0b, x0b).transpose(0, 2, 3, 1))
+                if not self.late_meta:  # early inject: extra input bands
+                    x = jnp.concatenate([x, meta], axis=-1)
+                    meta = None
+            logits = self.model.apply(variables, self._shard(x), meta=meta,
+                                      train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return metrics.update_pr_histogram(hist, probs[..., 1], lab), 0
+
+        hist, _ = jax.lax.scan(body, hist, (y0r, x0r, py0r, cvr, consts_r))
+        return hist
 
 
 def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,

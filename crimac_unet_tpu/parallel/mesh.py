@@ -15,6 +15,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> bool:
+    """Multi-host scale-out entry point (SURVEY.md §5 distributed backend:
+    the reference has none; ours is ``jax.distributed`` over DCN with the
+    data mesh spanning all hosts' devices).
+
+    Initializes ``jax.distributed`` from explicit arguments or, when they
+    are omitted, from the standard environment (``JAX_COORDINATOR_ADDRESS``
+    / cloud-TPU metadata).  Idempotent; returns True when a multi-process
+    runtime was initialized, False for the single-host no-op.  After a
+    successful init, :func:`get_mesh` spans the devices of every host, and
+    the existing batch shardings scale unchanged (gradient all-reduce rides
+    ICI within a slice and DCN across slices, chosen by XLA)."""
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    explicit = coordinator_address is not None
+    if not explicit and os.environ.get("CRIMAC_MULTIHOST") != "1":
+        return False  # single-host: do not touch the runtime
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True
+    except RuntimeError as exc:  # already initialized
+        if "already" in str(exc).lower():
+            return True
+        raise
+
+
 def get_mesh(n_devices: int = 0) -> Mesh:
     """1-D data mesh over the first ``n_devices`` devices (0 = all)."""
     devs = jax.devices()

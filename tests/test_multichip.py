@@ -155,3 +155,13 @@ def test_multidevice_training_loss_parity(tmp_path):
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_init_distributed_single_host_noop(monkeypatch):
+    """Without coordinator config, init_distributed must not touch the
+    runtime (single-host no-op)."""
+    from crimac_unet_tpu.parallel.mesh import init_distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("CRIMAC_MULTIHOST", raising=False)
+    assert init_distributed() is False
+    assert len(jax.devices()) == 8  # still the virtual CPU mesh

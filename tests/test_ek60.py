@@ -1,0 +1,155 @@
+"""EK60 raw onboarding: datagram parsing, Sv round-trip, grid assembly.
+
+Closes the last SURVEY §2 gap (the reference ships the raw->mat step only
+as MATLAB, generate_mat_files.m): synthetic .raw/.bot/.snap fixtures are
+written from the Simrad datagram spec, parsed back, converted to Sv, and
+assembled into the .mat contract that mat_to_memmap consumes.
+"""
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.data import ek60
+
+
+@pytest.fixture
+def times():
+    t0 = 1.5e9  # unix seconds
+    return t0 + np.arange(20) * 1.0
+
+
+def _make_sv(rng, n_range=50, n_pings=20, n_freq=3):
+    return rng.lognormal(np.log(1e-6), 1.0,
+                         (n_range, n_pings, n_freq)).astype(np.float64)
+
+
+def test_raw_roundtrip_sv(tmp_path, rng, times):
+    sv = _make_sv(rng)
+    heave = rng.randn(20) * 0.3
+    path = ek60.write_raw_fixture(tmp_path / "a.raw", sv, [38, 120, 200],
+                                  times, heave=heave)
+    raw = ek60.read_raw(path)
+    assert [c.frequency for c in raw.channels] == [38e3, 120e3, 200e3]
+    assert sorted(raw.pings) == [1, 2, 3]
+    assert len(raw.pings[1]) == 20
+    np.testing.assert_allclose(
+        [p.time for p in raw.pings[2]], times, atol=1e-6)
+    np.testing.assert_allclose(
+        [p.heave for p in raw.pings[1]], heave, atol=1e-6)
+
+    # Sv inverts the fixture's power synthesis within int16 quantization
+    cfg = raw.channels[0]
+    got, r = ek60.power_to_sv(raw.pings[1][0], cfg)
+    want = sv[:, 0, 0]
+    db_err = np.abs(10 * np.log10(got) - 10 * np.log10(want))
+    assert db_err.max() < 0.02  # power int16 step is ~0.012 dB
+    assert r.shape == (50,)
+
+
+def test_raw_to_arrays_contract(tmp_path, rng, times):
+    """Full assembly: keys, shapes, NaN-filled missing pings, bottom crop,
+    school label rasterization (generate_mat_files.m:74-206)."""
+    sv = _make_sv(rng)
+    # drop two pings from channel 1 (38 kHz) -> NaN columns for it only
+    path = ek60.write_raw_fixture(tmp_path / "a.raw", sv, [38, 120, 200],
+                                  times, drop_pings={1: [3, 7]})
+    dr = 1500.0 * 1e-4 / 2.0  # 0.075 m
+    bot = ek60.write_bot_fixture(tmp_path / "a.bot", times,
+                                 np.full((20, 3), 40 * dr))
+    td = 5.0
+    snap = ek60.write_snap_fixture(tmp_path / "a.snap", [{
+        "x": [5, 12, 12, 5], "y": np.array([10 * dr, 10 * dr, 20 * dr,
+                                            20 * dr]) + td,
+        "species": [(27, 0.8), (1, 0.2)],
+    }])
+
+    out = ek60.raw_to_arrays(path, bot_path=bot, snap_path=snap,
+                             range_frequency=200, depthoffset=2 * dr,
+                             bottomoutlier=98)
+    assert set(out) == {"I", "sv", "F", "t", "range", "depths", "heave"}
+    np.testing.assert_array_equal(out["F"], [38, 120, 200])
+    n_keep = out["range"].size
+    # crop: range < percentile(40*dr) + 2*dr
+    assert 40 <= n_keep <= 43
+    assert out["sv"].shape == (n_keep, 20, 3)
+    assert out["t"].shape == (20,) and out["heave"].shape == (20,)
+    assert out["depths"].shape == (20, 3)
+    np.testing.assert_allclose(out["depths"], 40 * dr)
+
+    # dropped pings are NaN for channel 0 only, data elsewhere
+    assert np.isnan(out["sv"][:, 3, 0]).all()
+    assert np.isnan(out["sv"][:, 7, 0]).all()
+    assert np.isfinite(out["sv"][:, 3, 1]).all()
+    got_db = 10 * np.log10(out["sv"][:, 5, 2])
+    want_db = 10 * np.log10(sv[:n_keep, 5, 2])
+    assert np.abs(got_db - want_db).max() < 0.02
+
+    # label rasterization: species 27 (max fraction) inside the polygon
+    I = out["I"]
+    assert I.shape == (n_keep, 20)
+    assert (I == 27).any() and set(np.unique(I)) <= {0.0, 27.0}
+    rows, cols = np.where(I == 27)
+    assert rows.min() >= 9 and rows.max() <= 21
+    assert cols.min() >= 4 and cols.max() <= 12
+
+
+def test_range_regridding_paths(tmp_path, rng, times):
+    """Coarser/finer channels bin-average / interpolate onto the main
+    range vector (generate_mat_files.m:132-156) — exercised by asking for
+    a dz different from native."""
+    sv = _make_sv(rng)
+    path = ek60.write_raw_fixture(tmp_path / "a.raw", sv, [38, 120, 200],
+                                  times)
+    native_dz = 1500.0 * 1e-4 / 2.0
+    out = ek60.raw_to_arrays(path, range_frequency=200,
+                             dz=2 * native_dz, dzdiff=1e-4)
+    # averaged onto half as many bins
+    assert out["sv"].shape[0] == pytest.approx(25, abs=1)
+    mid_db = 10 * np.log10(out["sv"][:, 5, 2])
+    assert np.isfinite(mid_db).all()
+
+
+def test_raw_to_matfile_feeds_memmap_converter(tmp_path, rng, times):
+    """The produced .mat flows through mat_to_memmap and the resulting
+    echogram dir opens in the memmap reader (full onboarding chain)."""
+    import scipy.io as spio
+
+    from crimac_unet_tpu.data.mat_to_memmap import convert_mat_file
+    from crimac_unet_tpu.data.memmap_reader import Echogram
+
+    sv = _make_sv(rng, n_freq=4)
+    path = ek60.write_raw_fixture(tmp_path / "b.raw", sv,
+                                  [18, 38, 120, 200], times)
+    dr = 1500.0 * 1e-4 / 2.0
+    snap = ek60.write_snap_fixture(tmp_path / "b.snap", [{
+        "x": [2, 9, 9, 2], "y": np.array([12 * dr, 12 * dr, 22 * dr,
+                                          22 * dr]) + 5.0,
+        "species": [(27, 1.0)],
+    }])
+    mat = ek60.raw_to_matfile(path, tmp_path / "b.mat", snap_path=snap,
+                              range_frequency=200)
+    loaded = spio.loadmat(mat)
+    assert loaded["sv"].shape == (50, 20, 4)
+
+    out_dir = tmp_path / "2017843-D20170427-T062615"
+    out_dir.mkdir()
+    convert_mat_file(mat, str(out_dir))
+    e = Echogram(str(out_dir))
+    assert e.shape == (50, 20)
+    assert len(e.frequencies) == 4
+    assert e.n_objects >= 1
+
+
+def test_transducer_depths(tmp_path, rng, times):
+    sv = _make_sv(rng)
+    path = ek60.write_raw_fixture(tmp_path / "c.raw", sv, [38, 120, 200],
+                                  times, transducer_depth=7.5)
+    d = ek60.extract_transducer_depths(path)
+    assert sorted(d) == [1, 2, 3]
+    np.testing.assert_allclose(d[2], 7.5)
+
+
+def test_corrupt_framing_rejected(tmp_path):
+    (tmp_path / "bad.raw").write_bytes(b"\x10\x00\x00\x00RAW0junk")
+    with pytest.raises(ValueError):
+        ek60.read_raw(tmp_path / "bad.raw")

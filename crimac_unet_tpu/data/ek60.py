@@ -368,6 +368,54 @@ def extract_transducer_depths(raw_path) -> dict:
             for ch, pings in raw.pings.items()}
 
 
+# ========================================================= survey driver
+def convert_survey_raw(data_dir, scratch_dir, resume=True, **par) -> dict:
+    """Survey-level onboarding driver (reference
+    generate_mat_main.m:83-143): walk
+    ``<data_dir>/ACOUSTIC/EK60/EK60_RAWDATA/*.raw``, pair each with its
+    ``.bot`` (same dir) and ``.snap`` (``ACOUSTIC/LSSS/WORK``), convert to
+    per-rawfile ``.mat`` under ``scratch_dir``, tracking progress in a
+    ``datastatus.json`` (succeeded files are skipped on resume, failures
+    are recorded with their error and retried).  Returns
+    {name: 'ok'|'skipped'|error string}.  Chain with
+    :func:`mat_to_memmap.convert_survey_tree` to reach memmap echogram
+    dirs."""
+    import json
+    import os
+    from glob import glob
+
+    os.makedirs(scratch_dir, exist_ok=True)
+    status_file = os.path.join(scratch_dir, "datastatus.json")
+    status = {}
+    if resume and os.path.isfile(status_file):
+        with open(status_file) as f:
+            status = json.load(f)
+
+    raw_dir = os.path.join(data_dir, "ACOUSTIC", "EK60", "EK60_RAWDATA")
+    snap_dir = os.path.join(data_dir, "ACOUSTIC", "LSSS", "WORK")
+    results = {}
+    for raw_path in sorted(glob(os.path.join(raw_dir, "*.raw"))):
+        name = os.path.splitext(os.path.basename(raw_path))[0]
+        if status.get(name) == "ok":
+            results[name] = "skipped"
+            continue
+        bot = os.path.join(raw_dir, name + ".bot")
+        snap = os.path.join(snap_dir, name + ".snap")
+        try:
+            raw_to_matfile(raw_path, os.path.join(scratch_dir,
+                                                  name + ".mat"),
+                           bot_path=bot if os.path.isfile(bot) else None,
+                           snap_path=snap if os.path.isfile(snap) else None,
+                           **par)
+            status[name] = results[name] = "ok"
+        except Exception as exc:  # record + continue (m:124-138)
+            status[name] = results[name] = f"failed: {exc}"
+        with open(status_file + ".tmp", "w") as f:
+            json.dump(status, f, indent=2)
+        os.replace(status_file + ".tmp", status_file)
+    return results
+
+
 # ========================================================== fixture writers
 def write_raw_fixture(path, sv_linear, frequencies_khz, times,
                       sample_interval=1e-4, sound_velocity=1500.0,

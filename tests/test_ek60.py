@@ -153,3 +153,34 @@ def test_corrupt_framing_rejected(tmp_path):
     (tmp_path / "bad.raw").write_bytes(b"\x10\x00\x00\x00RAW0junk")
     with pytest.raises(ValueError):
         ek60.read_raw(tmp_path / "bad.raw")
+
+
+def test_convert_survey_raw_driver(tmp_path, rng, times):
+    """Survey driver walks the production raw layout, resumes via the
+    status file, and records failures without aborting
+    (generate_mat_main.m:83-143)."""
+    raw_dir = tmp_path / "S2017843" / "ACOUSTIC" / "EK60" / "EK60_RAWDATA"
+    snap_dir = tmp_path / "S2017843" / "ACOUSTIC" / "LSSS" / "WORK"
+    raw_dir.mkdir(parents=True)
+    snap_dir.mkdir(parents=True)
+
+    sv = _make_sv(rng)
+    for name in ("2017843-D1-T1", "2017843-D2-T2"):
+        ek60.write_raw_fixture(raw_dir / f"{name}.raw", sv,
+                               [38, 120, 200], times)
+    (raw_dir / "2017843-D3-T3.raw").write_bytes(b"garbage!")  # bad file
+
+    scratch = tmp_path / "scratch"
+    res = ek60.convert_survey_raw(str(tmp_path / "S2017843"), str(scratch),
+                                  range_frequency=200)
+    assert res["2017843-D1-T1"] == "ok"
+    assert res["2017843-D2-T2"] == "ok"
+    assert res["2017843-D3-T3"].startswith("failed")
+    assert (scratch / "2017843-D1-T1.mat").is_file()
+    assert (scratch / "datastatus.json").is_file()
+
+    # resume: done files skipped, the broken one retried
+    res2 = ek60.convert_survey_raw(str(tmp_path / "S2017843"), str(scratch),
+                                   range_frequency=200)
+    assert res2["2017843-D1-T1"] == "skipped"
+    assert res2["2017843-D3-T3"].startswith("failed")

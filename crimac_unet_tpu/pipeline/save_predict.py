@@ -73,8 +73,14 @@ def main(argv=None):
     runner = GriddedRunner(model, variables, config)
 
     data_obj = make_partition(config)
-    run_save_predictions(config, runner, data_obj, predictions_dir,
-                         progress=True)
+    # device-trace capture when CRIMAC_PROFILE_DIR is set (SURVEY.md §5
+    # tracing: jax.profiler traces are first-class here)
+    from ..utils.profiling import device_trace
+    with device_trace() as trace_dir:
+        run_save_predictions(config, runner, data_obj, predictions_dir,
+                             progress=True)
+    if trace_dir:
+        print(f"profiler trace written to {trace_dir}")
     print(runner.timer.report())
 
 

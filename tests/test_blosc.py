@@ -276,3 +276,17 @@ def test_resume_truncates_to_joint_commit_point(tmp_path):
     assert g2["annotation"].shape == (2, 10, 16)
     assert g2["ping_time"].shape == (10,)
     assert inf is not None
+
+
+def test_corrupt_chunk_file_raises_clear_error(tmp_path):
+    """Fault injection: a truncated/garbage blosc chunk file must surface
+    as a ValueError at read, never as silent wrong data."""
+    arr = _make_store(tmp_path / "a.zarr")
+    chunk_files = [p for p in (tmp_path / "a.zarr").iterdir()
+                   if p.name[0].isdigit()]
+    assert chunk_files
+    # garbage bytes with a plausible-looking header start
+    chunk_files[0].write_bytes(b"\x02\x01\x24\x02" + b"\x99" * 40)
+    with pytest.raises(ValueError):
+        arr2 = ZArray.open(tmp_path / "a.zarr")
+        arr2[:]

@@ -41,7 +41,8 @@ def new_histogram() -> jnp.ndarray:
 
 
 def update_pr_histogram(hist: jnp.ndarray, preds: jnp.ndarray,
-                        labels: jnp.ndarray) -> jnp.ndarray:
+                        labels: jnp.ndarray, impl: str | None = None
+                        ) -> jnp.ndarray:
     """Accumulate a batch of sandeel probabilities + sentinel labels.
 
     Reproduces the reference's validation filtering
@@ -49,16 +50,34 @@ def update_pr_histogram(hist: jnp.ndarray, preds: jnp.ndarray,
     seabed, sentinels are collapsed via ``set_label_ignore_val``, and IGNORE
     pixels are dropped.  ``preds``: (...,) sandeel probabilities;
     ``labels``: (...,) int sentinel labels (pre-collapse).
+
+    Two exactly-equivalent implementations (tests assert bit-equality):
+    ``scatter`` (one scatter-add per class row) and ``sort`` (pack
+    bin+class into one key, sort, count bins via searchsorted edges).  On
+    TPU the scatter-add serializes and costs as much as the whole U-Net
+    forward on the same batch; the sort formulation rides XLA's efficient
+    sort and measured 1.6x faster, so it is the TPU default.  ``scatter``
+    stays the default elsewhere (CPU scatter is cheap; and under a sharded
+    batch it needs no key all-gather).
     """
     preds = jnp.where(labels == LABEL_SEABED_MASK_VAL, 0.0,
                       preds.astype(jnp.float32))
     collapsed = set_label_ignore_val(labels)
-    valid = collapsed != LABEL_IGNORE_VAL
-    pos = collapsed == SANDEEL
-
+    valid = (collapsed != LABEL_IGNORE_VAL).ravel()
+    pos = (collapsed == SANDEEL).ravel()
     bits = f16_bits(preds).ravel()
-    valid = valid.ravel()
-    pos = pos.ravel()
+
+    if impl is None:
+        impl = "sort" if jax.default_backend() == "tpu" else "scatter"
+    if impl == "sort":
+        # invalid pixels -> sentinel key beyond every real (bin, class)
+        key = jnp.where(valid, bits * 2 + pos.astype(jnp.int32),
+                        2 * N_F16_BINS)
+        skey = jnp.sort(key)
+        edges = jnp.searchsorted(skey, jnp.arange(2 * N_F16_BINS + 1))
+        counts = jnp.diff(edges).reshape(N_F16_BINS, 2)
+        return hist + jnp.stack(
+            [counts[:, 1], counts[:, 0]]).astype(jnp.int32)
 
     hist = hist.at[0, bits].add((valid & pos).astype(jnp.int32))
     hist = hist.at[1, bits].add((valid & ~pos).astype(jnp.int32))

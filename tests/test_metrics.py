@@ -76,3 +76,25 @@ def test_histogram_counts(rng):
     assert hist[0, half_bin] == 1   # pred 0.5, label 1
     assert hist[1, half_bin] == 1   # pred 0.5, label 2 -> negative
     assert hist[1, one_bin] == 1    # pred 1.0, label 0 -> negative
+
+
+def test_histogram_impls_bit_equal(rng):
+    """The sort-based histogram (TPU default) must equal the scatter-add
+    formulation bit-for-bit on every input class."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.ops import metrics as M
+
+    preds = jnp.asarray(rng.rand(7, 64, 64).astype(np.float32))
+    labels = jnp.asarray(rng.choice(
+        [0, 1, 2, -100, -50, -1], size=(7, 64, 64)).astype(np.int32))
+    h0 = M.new_histogram()
+    a = np.asarray(jax.jit(
+        lambda h, p, l: M.update_pr_histogram(h, p, l, impl="scatter"))(
+            h0, preds, labels))
+    b = np.asarray(jax.jit(
+        lambda h, p, l: M.update_pr_histogram(h, p, l, impl="sort"))(
+            h0, preds, labels))
+    assert np.array_equal(a, b)
+    assert a.sum() == int(np.isin(np.asarray(labels), [0, 1, 2, -50, -1])
+                          .sum())

@@ -160,10 +160,13 @@ class DataReaderZarr:
         rng_sl = self._range_slice(idx_range, n_range)
 
         cat_list = [int(c) for c in self.categories]
-        base = self.labels[cat_list.index(-1), ping_sl, rng_sl] * 0
-        out = base
+        # one region read over ALL categories -> a single (batched,
+        # natively decompressed) pass over the chunk files instead of one
+        # read per category
+        masks = self.labels[:, ping_sl, rng_sl]
+        out = masks[cat_list.index(-1)] * 0
         for cat in categories:
-            mask = self.labels[cat_list.index(int(cat)), ping_sl, rng_sl]
+            mask = masks[cat_list.index(int(cat))]
             out = np.where(mask > 0, float(cat), out)
         return out
 

@@ -146,3 +146,69 @@ def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def visualize_predictions_vs_labels(reader, pred_store, threshold=0.5,
+                                    ping_idx=0, n_pings=None,
+                                    save_path=None):
+    """Prediction-vs-label comparison panels (the reference's zarr
+    ``visualize`` offers prediction overlays next to the annotation,
+    data_reader.py:895-1009): main-frequency dB echogram with school
+    bboxes, the categorical labels, p(sandeel) from a written
+    ``<name>_pred.zarr`` store, and an agreement map (true/false
+    positives/negatives at ``threshold``).  Returns the figure."""
+    plt = _plt()
+    from ..data.zarrlite import ZGroup
+
+    g = ZGroup.open(pred_store)
+    ann = g["annotation"]          # (2, ping, range), [sandeel, other]
+    n_store = ann.shape[1]
+    if n_pings is None:
+        n_pings = n_store - ping_idx
+    n_pings = min(n_pings, n_store - ping_idx)
+    p_sandeel = np.asarray(
+        ann[0, ping_idx:ping_idx + n_pings, :]).astype(np.float32).T
+
+    is_zarr = reader.data_format == "zarr"
+    f0 = int(np.asarray(reader.frequencies).astype(int)[-1])
+    n_range = p_sandeel.shape[0]
+    if is_zarr:
+        data = reader.get_data_slice(ping_idx, n_pings, 0, n_range,
+                                     [f0])[0].T
+        labels = np.nan_to_num(
+            reader.get_label_slice(ping_idx, n_pings, 0, n_range).T,
+            nan=-1.0)
+    else:
+        data = np.asarray(reader.data_memmaps([f0])[0][
+            :n_range, ping_idx:ping_idx + n_pings])
+        labels = np.asarray(reader.label_memmap()[
+            :n_range, ping_idx:ping_idx + n_pings])
+
+    truth = labels == 27
+    pred = p_sandeel >= threshold
+    # 0 TN, 1 FP, 2 FN, 3 TP
+    agreement = (pred.astype(int) + 2 * truth.astype(int)).astype(float)
+
+    fig, axes = plt.subplots(4, 1, figsize=(12, 9), sharex=True)
+    axes[0].imshow(db(np.nan_to_num(data, nan=0.0)), aspect="auto",
+                   cmap="viridis", vmin=-75, vmax=0)
+    axes[0].set_ylabel(f"{f0} kHz", fontsize=8)
+    shown = np.zeros_like(labels, dtype=float)
+    shown[labels == 27] = 2.0
+    shown[labels == 1] = 1.0
+    axes[1].imshow(shown, aspect="auto", cmap="inferno", vmin=0, vmax=3)
+    axes[1].set_ylabel("labels", fontsize=8)
+    axes[2].imshow(p_sandeel, aspect="auto", cmap="magma", vmin=0, vmax=1)
+    axes[2].set_ylabel("p(sandeel)", fontsize=8)
+    im = axes[3].imshow(agreement, aspect="auto", cmap="RdYlGn",
+                        vmin=0, vmax=3)
+    axes[3].set_ylabel(f"TP/FP/FN @ {threshold}", fontsize=8)
+    axes[3].set_xlabel("ping")
+    fig.colorbar(im, ax=axes[3], ticks=[0, 1, 2, 3], fraction=0.02)
+    fig.suptitle(f"{getattr(reader, 'name', 'echogram')} — predictions vs "
+                 f"labels", fontsize=10)
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig

@@ -164,3 +164,26 @@ def test_visualize_smoke(ech, tmp_path):
     fig = ech.visualize(n_pings=100, predictions=np.zeros((2,) + ech.shape),
                         save_path=str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_visualize_predictions_vs_labels(tmp_path, rng):
+    """Prediction-vs-label comparison panels over a written pred store
+    (reference data_reader.py:895-1009 prediction overlays)."""
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    from crimac_unet_tpu.utils.plotting import visualize_predictions_vs_labels
+
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=60, W=120,
+                          seed=8)
+    reader = DataReaderZarr(sv)
+    g = ZGroup.create(tmp_path / "pred.zarr")
+    probs = rng.rand(2, 120, 60).astype(np.float16)
+    g.create_array("annotation", probs.shape, (1, 60, 60), np.float16,
+                   fill_value=0, compressor="blosc-zstd",
+                   dims=["category", "ping_time", "range"])[:] = probs
+
+    out = tmp_path / "cmp.png"
+    fig = visualize_predictions_vs_labels(reader, tmp_path / "pred.zarr",
+                                          save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0

@@ -28,7 +28,11 @@ def test_zarr_mode_training(tmp_path):
 
 
 def test_examples_run(capsys):
-    from crimac_unet_tpu.examples import example_samplers, example_zarr_reader
+    from crimac_unet_tpu.examples import (example_ek60_onboarding,
+                                          example_samplers,
+                                          example_zarr_reader)
+    e = example_ek60_onboarding.main([])
+    assert e.shape[0] > 0
     example_zarr_reader.main([])
     example_samplers.main()
     out = capsys.readouterr().out

@@ -85,6 +85,13 @@ def get_argparse_parser(mode: str = "train") -> argparse.ArgumentParser:
     parser.add_argument("--yaml_path", dest="yaml_path",
                         type=lambda p: Path(p).resolve(strict=True),
                         required=True)
+    if mode == "train":
+        # capability extension: the reference cannot resume training at
+        # all (its checkpoints are bare state_dicts, SURVEY.md §5); ours
+        # carry optimizer state + step counter
+        parser.add_argument("--resume_checkpoint", dest="resume_checkpoint",
+                            type=lambda p: Path(p).resolve(strict=True),
+                            required=False)
 
     if mode in ("eval", "save_predict"):
         parser.add_argument("--checkpoint_path", dest="checkpoint_path",

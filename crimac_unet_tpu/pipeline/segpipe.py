@@ -96,6 +96,8 @@ class SegPipeUNet:
             step=payload["step"], params=payload["params"],
             batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"])
+        if len(self.mesh.devices.ravel()) > 1:
+            self.state = replicate_tree(self.mesh, self.state)
         return self.state
 
     # ------------------------------------------------------------ training
@@ -115,12 +117,17 @@ class SegPipeUNet:
         assert resuming or self.checkpoint_dir is None or \
             not (self.checkpoint_dir / "last.msgpack").exists(), \
             f"model already exists at {self.checkpoint_dir}"
+        start = int(self.state.step)  # 0 unless resumed (resume_from)
 
         log_step = int(self.config["log_step"])
         lr_step = int(self.config["lr_step"])
         lr0 = float(self.config["lr"])
         gamma = float(self.config["lr_reduction"])
-        key = jax.random.PRNGKey(int(self.config.get("random_seed", 10)))
+        # periodic resumable checkpointing (crash recovery mid-training;
+        # the reference has nothing comparable — SURVEY.md §5)
+        ckpt_every = int(self.config.get("checkpoint_every", 0) or 0)
+        key = jax.random.PRNGKey(int(self.config.get("random_seed", 10))
+                                 + start)
 
         sharding = (batch_sharding(self.mesh)
                     if len(self.mesh.devices.ravel()) > 1 else None)
@@ -146,8 +153,9 @@ class SegPipeUNet:
                         global_step=upto - len(pending_losses) + j + 1)
             pending_losses.clear()
 
-        i = -1
-        for i, batch in enumerate(it):
+        i = start - 1
+        for batch in it:
+            i += 1  # global step index (continues across resumes)
             key, sub = jax.random.split(key)
             if "ech_idx" in batch:  # pooled: on-device crop gather
                 self.state, loss = self._train_step_pooled(
@@ -169,6 +177,10 @@ class SegPipeUNet:
             if logger is not None and (i + 1) % lr_step == 0:
                 lr = lr0 * gamma ** ((i + 1) // lr_step)
                 logger.add_scalar("learning_rate_0", lr, global_step=i + 1)
+            if ckpt_every and self.checkpoint_dir is not None and \
+                    (i + 1) % ckpt_every == 0:
+                engine.save_checkpoint(
+                    self.checkpoint_dir / "last.msgpack", self.state)
         flush_losses(i + 1)
 
         if self.config.get("save_model_params", True) and \

@@ -92,8 +92,23 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
         def train_factory(seed_offset=0):  # noqa: F811 — pooled wrapper
             return base_factory(seed_offset).use_pool(pool)
 
+    segpipe = SegPipeUNet(config, checkpoint_dir=checkpoint_dir,
+                          experiment_name=experiment_name or "model")
+    if pool is not None:
+        segpipe.attach_pool(pool)
+
+    n_batches = int(config["iterations"])
+    if config.get("resume_checkpoint"):
+        # resume training (optimizer state + step counter) — a capability
+        # the reference lacks (bare state_dicts, SURVEY.md §5); only the
+        # remaining iterations are run
+        segpipe.resume_from(config["resume_checkpoint"])
+        n_batches = max(0, n_batches - int(segpipe.state.step))
+        print(f"Resumed from step {int(segpipe.state.step)}; "
+              f"{n_batches} iterations remaining")
+
     train_batches = BatchPrefetcher(
-        train_factory, config["batch_size"], config["iterations"],
+        train_factory, config["batch_size"], n_batches,
         num_workers=config.get("num_workers", 4))
 
     def make_test_batches():
@@ -101,10 +116,6 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
         return (ds.batch(config["batch_size"])
                 for _ in range(int(config["test_iter"])))
 
-    segpipe = SegPipeUNet(config, checkpoint_dir=checkpoint_dir,
-                          experiment_name=experiment_name or "model")
-    if pool is not None:
-        segpipe.attach_pool(pool)
     try:
         segpipe.train_model(train_batches, make_test_batches, logger,
                             progress=progress)

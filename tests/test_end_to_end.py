@@ -250,3 +250,62 @@ def test_multidevice_eval_histogram_parity(trained, zarr_root):
     # the bin assignment is identical because scores are f16-quantized
     assert (hists[1] != hists[8]).sum() <= 4 * 2  # allow <=4 moved pixels
     assert hists[1].sum() == hists[8].sum()
+
+
+def test_training_crash_resume(memm_dir, tmp_path, monkeypatch):
+    """Periodic resumable checkpoints + --resume_checkpoint: kill training
+    mid-run, resume from last.msgpack with optimizer state and step
+    counter, finish the remaining iterations (capability the reference
+    lacks: its checkpoints are bare state_dicts, SURVEY.md §5)."""
+    from crimac_unet_tpu.pipeline.segpipe import SegPipeUNet
+
+    cfg = _config(data_mode="memm", path_to_echograms=memm_dir,
+                  iterations=8, log_step=8, checkpoint_every=2,
+                  num_workers=1)
+    ckpt = tmp_path / "ckpt"
+
+    class _Kill(RuntimeError):
+        pass
+
+    orig = SegPipeUNet.validate_model_training
+
+    real_step_holder = {}
+
+    def crash_on_step3(self, *a, **kw):
+        return orig(self, *a, **kw)
+
+    # crash by intercepting the train step after 3 iterations
+    import crimac_unet_tpu.pipeline.train as T
+
+    orig_train_model = SegPipeUNet.train_model
+
+    def wrapped_train_model(self, train_batches, make_test_batches,
+                            logger=None, progress=True):
+        inner = iter(train_batches)
+
+        def limited():
+            for k, b in enumerate(inner):
+                if k == 6:
+                    raise _Kill()
+                yield b
+        return orig_train_model(self, limited(), make_test_batches,
+                                logger, progress)
+
+    monkeypatch.setattr(SegPipeUNet, "train_model", wrapped_train_model)
+    with pytest.raises(_Kill):
+        run_training(cfg, ckpt, progress=False)
+    monkeypatch.setattr(SegPipeUNet, "train_model", orig_train_model)
+
+    # a periodic checkpoint exists mid-run (exact step depends on the
+    # prefetch lookahead at kill time, but it is an even step < 8)
+    from crimac_unet_tpu.pipeline.engine import load_checkpoint
+    payload = load_checkpoint(ckpt / "last.msgpack")
+    saved = int(payload["step"])
+    assert 0 < saved < 8 and saved % 2 == 0
+    assert "opt_state" in payload  # resumable, not a bare state_dict
+
+    cfg2 = dict(cfg, resume_checkpoint=str(ckpt / "last.msgpack"))
+    segpipe = run_training(cfg2, ckpt, progress=False)
+    assert int(segpipe.state.step) == 8
+    payload = load_checkpoint(ckpt / "last.msgpack")
+    assert int(payload["step"]) == 8

@@ -86,10 +86,13 @@ def run_ours(sv_path):
 
     out_dir = Path(__file__).resolve().parent / ".bench_cache" / "pred.zarr"
 
-    # warm-up/compile on the first chunk
+    # warm-up/compile on the first chunk (generator closed so its
+    # prefetch threads cannot stage chunks into the timed window)
     from crimac_unet_tpu.pipeline.inference import predict_reader
     t = time.time()
-    next(iter(predict_reader(runner, reader, PRELOAD)))
+    warm = predict_reader(runner, reader, PRELOAD)
+    next(warm)
+    warm.close()
     print(f"# ours compile+first chunk: {time.time() - t:.1f}s",
           file=sys.stderr)
 
@@ -159,10 +162,12 @@ def _device_only_chunk_time(runner, reader, reps=3):
                        meta_slab, consts, R, C, n_range, border_zero,
                        use_meta)
 
+    gen = predict_reader(runner, reader, PRELOAD)
     try:
         runner._predict_patches = capture
-        next(iter(predict_reader(runner, reader, PRELOAD)))
+        next(gen)
     finally:
+        gen.close()
         runner._predict_patches = real_pp
     if not staged:
         return None, 0

@@ -237,10 +237,16 @@ def batch_decompress_into(frames: list, dsts: list) -> None:
         results = (ctypes.c_int64 * n)()
         failed = lib.cio_batch_decompress(n, srcs, src_sizes, dptr,
                                           dst_sizes, results, 0)
-        if failed:
-            bad = [i for i in range(n) if results[i] < 0]
-            raise ValueError(f"blosc batch decompress failed for chunks "
-                             f"{bad[:8]} (rc={results[bad[0]]})")
+        # a frame must fill its destination EXACTLY: a valid frame whose
+        # nbytes is short of the chunk size would otherwise leave an
+        # uninitialized tail (the single-frame path raises for this too)
+        bad = [i for i in range(n)
+               if results[i] != dsts[i].nbytes]
+        if failed or bad:
+            raise ValueError(
+                f"blosc batch decompress failed/short for chunks "
+                f"{bad[:8]} (rc={results[bad[0]]}, "
+                f"wanted {dsts[bad[0]].nbytes})")
         return
     if _load_libblosc() is not None and n >= 4:
         from concurrent.futures import ThreadPoolExecutor

@@ -48,6 +48,11 @@ _NT_UNIX_OFFSET = 116444736000000000
 #   short spare1, spare2; int32 offset, count  (Simrad EK60 ref manual)
 _RAW0_FIXED = struct.Struct("<hh12fhhll")
 _POWER_DB = 10.0 * math.log10(2.0) / 256.0  # int16 power -> dB
+# SaCorrectionTable[0] offset inside a CON0 transducer block: channelid
+# (128) + beamtype/freq/gain/eba (16) + beamwidths+angle sens+offsets
+# (24) + pos+dir (24) + pulselengthtable (20) + spare (8) + gaintable
+# (20) + spare (8) = 248
+_SA_OFFSET = 248
 
 
 def _nt_to_unix(low: int, high: int) -> float:
@@ -128,9 +133,11 @@ def read_raw(path) -> RawFile:
         if dtype == "CON0":
             # header: survey/transect/sounder names (char[128] x3),
             # version char[30], spare char[98], int32 transducercount;
-            # then 320-byte transducer blocks: channelid char[128],
-            # beamtype int32, frequency f32, gain f32, equivalent beam
-            # angle f32, ... (only the leading fields are consumed)
+            # then 320-byte transducer blocks (Simrad EK60 ref manual):
+            #   channelid char[128] | beamtype l | frequency f | gain f |
+            #   equivalentbeamangle f | beamwidths/angle-sens/offsets 6f |
+            #   pos 3f dir 3f | pulselengthtable 5f | spare char[8] |
+            #   gaintable 5f | spare char[8] | sacorrectiontable 5f @ +248
             (count,) = struct.unpack_from("<l", body, 128 * 3 + 30 + 98)
             off = 128 * 3 + 30 + 98 + 4
             for _ in range(count):
@@ -138,7 +145,7 @@ def read_raw(path) -> RawFile:
                     "ascii", "replace")
                 beamtype, freq, gain, eba = struct.unpack_from(
                     "<lfff", body, off + 128)
-                (sa,) = struct.unpack_from("<f", body, off + 128 + 16)
+                (sa,) = struct.unpack_from("<f", body, off + _SA_OFFSET)
                 out.channels.append(ChannelConfig(
                     channel_id=cid, frequency=freq, gain=gain,
                     equivalent_beam_angle=eba, sa_correction=sa))
@@ -324,8 +331,18 @@ def raw_to_arrays(raw_path, bot_path=None, snap_path=None,
                 sv[:, j, k] = np.interp(R, rng_ch[ch], dum[:, j],
                                         left=np.nan, right=np.nan)
 
+    # per-ping vectors on the SAME union time grid as sv's ping axis
+    # (one entry per t_final slot; the main channel's exact times where it
+    # pinged, the rounded grid time where only another channel did —
+    # keeps t/heave/depths length-consistent with sv for any missing-ping
+    # pattern)
+    t = t_final.astype(np.float64) * tol
+    locb_main = np.searchsorted(t_final, tround[main])
+    t[locb_main] = t_ch[main]
+    heave = np.zeros(len(t_final))
+    heave[locb_main] = [p.heave for p in raw.pings[main]]
+
     # bottom depths -> maxrange crop + per-channel depth vectors
-    t = t_ch[main]
     if bot_path is not None:
         bt, bd = read_bot(bot_path)
         maxrange = float(np.percentile(bd, bottomoutlier) + depthoffset)
@@ -341,7 +358,6 @@ def raw_to_arrays(raw_path, bot_path=None, snap_path=None,
     I = _rasterize_schools(schools, t_final, R, td)
 
     rind = R < maxrange
-    heave = np.array([p.heave for p in raw.pings[main]])
     # the reference's readEKRaw emits MATLAB serial date numbers; the
     # memmap reader (and its reference counterpart data_reader.py:56-100)
     # expects that convention in ``t``
@@ -438,10 +454,11 @@ def write_raw_fixture(path, sv_linear, frequencies_khz, times,
            + b"\x00" * 98 + struct.pack("<l", n_freq))
     blocks = b""
     for f in frequencies_khz:
-        block = (f"GPT {f} kHz".encode().ljust(128, b"\x00")
-                 + struct.pack("<lfff", 1, f * 1000.0, gain, eba)
-                 + struct.pack("<f", sa))
-        blocks += block.ljust(320, b"\x00")
+        block = bytearray(320)
+        block[:128] = f"GPT {f} kHz".encode().ljust(128, b"\x00")
+        struct.pack_into("<lfff", block, 128, 1, f * 1000.0, gain, eba)
+        struct.pack_into("<f", block, _SA_OFFSET, sa)  # SaCorrection[0]
+        blocks += bytes(block)
     body += _frame(b"CON0", float(times[0]), bytes(hdr) + blocks)
 
     dr = sound_velocity * sample_interval / 2.0

@@ -23,6 +23,17 @@ from ..utils.grids import random_point_containing
 _MAX_RETRIES = 200
 
 
+def _draw_ping(rng, W: int, ww: int) -> int:
+    """Reference ping draw for seabed-anchored samplers
+    (seabed.py:32-54): x in [w/2-20, W-w/2+20), clamped into the survey —
+    for small windows that raw range leaves it (no-op for reference-size
+    windows)."""
+    if W <= ww:
+        return W // 2
+    half = ww // 2 - 20
+    return int(np.clip(rng.randint(half, W - half), 0, W - 1))
+
+
 class Background:
     """Random location above the seabed with zero fish labels in the crop
     (reference background.py:23-63)."""
@@ -35,15 +46,7 @@ class Background:
         ech = self.readers[rng.randint(len(self.readers))]
         H, W = ech.shape
         wh, ww = self.window_size
-        if W <= ww:
-            x = W // 2
-        else:
-            half = ww // 2 - 20
-            x = rng.randint(half, W - half)
-        # the reference draws x in [w/2-20, W-w/2+20) (seabed.py:32-54);
-        # for small windows that range leaves the survey — clamp so the
-        # seabed lookup stays in bounds (no-op for reference-size windows)
-        x = int(np.clip(x, 0, W - 1))
+        x = _draw_ping(rng, W, ww)
         seabed = int(ech.get_seabed(x, 1)[0])
         if seabed <= wh:
             y = H // 2
@@ -101,15 +104,7 @@ class Seabed:
         ech = self.readers[rng.randint(len(self.readers))]
         H, W = ech.shape
         wh, ww = self.window_size
-        if W <= ww:
-            x = W // 2
-        else:
-            half = ww // 2 - 20
-            x = rng.randint(half, W - half)
-        # the reference draws x in [w/2-20, W-w/2+20) (seabed.py:32-54);
-        # for small windows that range leaves the survey — clamp so the
-        # seabed lookup stays in bounds (no-op for reference-size windows)
-        x = int(np.clip(x, 0, W - 1))
+        x = _draw_ping(rng, W, ww)
         seabed = int(ech.get_seabed(x, 1)[0])
         y = random_point_containing(H, wh, seabed, rng=rng)
         return [y, x], ech
@@ -298,15 +293,7 @@ class BackgroundSeabed(Background):
         ech = self.readers[rng.randint(len(self.readers))]
         H, W = ech.shape
         wh, ww = self.window_size
-        if W <= ww:
-            x = W // 2
-        else:
-            half = ww // 2 - 20
-            x = rng.randint(half, W - half)
-        # the reference draws x in [w/2-20, W-w/2+20) (seabed.py:32-54);
-        # for small windows that range leaves the survey — clamp so the
-        # seabed lookup stays in bounds (no-op for reference-size windows)
-        x = int(np.clip(x, 0, W - 1))
+        x = _draw_ping(rng, W, ww)
         seabed = int(ech.get_seabed(x, 1)[0])
         y = random_point_containing(H, wh, seabed, rng=rng)
         return [y, x], ech

@@ -29,9 +29,11 @@ def init_distributed(coordinator_address=None, num_processes=None,
     the existing batch shardings scale unchanged (gradient all-reduce rides
     ICI within a slice and DCN across slices, chosen by XLA)."""
     import os
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    explicit = coordinator_address is not None
+    explicit = explicit or coordinator_address is not None
     if not explicit and os.environ.get("CRIMAC_MULTIHOST") != "1":
         return False  # single-host: do not touch the runtime
     kwargs = {}

@@ -587,35 +587,39 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     import collections
     from concurrent.futures import ThreadPoolExecutor
     executor = ThreadPoolExecutor(max_workers=2)
-    futs = collections.deque(executor.submit(prepare, *sp)
-                             for sp in splits[:2])
-    n_submitted = len(futs)
+    try:
+        futs = collections.deque(executor.submit(prepare, *sp)
+                                 for sp in splits[:2])
+        n_submitted = len(futs)
 
-    for idx, _ in enumerate(it):
-        (s, e, w, R, C, nr, border_zero, dev, lab_host) = \
-            futs.popleft().result()
-        if n_submitted < len(splits):
-            futs.append(executor.submit(prepare, *splits[n_submitted]))
-            n_submitted += 1
+        for idx, _ in enumerate(it):
+            (s, e, w, R, C, nr, border_zero, dev, lab_host) = \
+                futs.popleft().result()
+            if n_submitted < len(splits):
+                futs.append(executor.submit(prepare, *splits[n_submitted]))
+                n_submitted += 1
 
-        runner.patches_processed += int(dev["y0s"].shape[0])
-        runner.timer.start("device_chunk")
-        stitched = runner._predict_patches(
-            runner.variables,
-            dev["data_slab"], dev["y0s"], dev["x0s"], dev["border_slab"],
-            dev["meta_slab"], dev["consts"], R, C, n_range, border_zero,
-            runner.use_meta)
-        out = runner._mask_output(
-            stitched, dev["label_pad"], dev["sv_pad"], dev["sb_vec"],
-            nr, C * sw, is_zarr)
-        runner.timer.stop("device_chunk")
-        pending.append((s, e, out, lab_host))
-        if len(pending) >= pipeline_depth:
-            yield _drain(pending.pop(0))
+            runner.patches_processed += int(dev["y0s"].shape[0])
+            runner.timer.start("device_chunk")
+            stitched = runner._predict_patches(
+                runner.variables,
+                dev["data_slab"], dev["y0s"], dev["x0s"],
+                dev["border_slab"], dev["meta_slab"], dev["consts"],
+                R, C, n_range, border_zero, runner.use_meta)
+            out = runner._mask_output(
+                stitched, dev["label_pad"], dev["sv_pad"], dev["sb_vec"],
+                nr, C * sw, is_zarr)
+            runner.timer.stop("device_chunk")
+            pending.append((s, e, out, lab_host))
+            if len(pending) >= pipeline_depth:
+                yield _drain(pending.pop(0))
 
-    for entry in pending:
-        yield _drain(entry)
-    executor.shutdown(wait=False)
+        for entry in pending:
+            yield _drain(entry)
+    finally:
+        # deterministic teardown: generator.close() (early abandonment)
+        # must not leave prefetch threads staging chunks in the background
+        executor.shutdown(wait=True, cancel_futures=True)
 
 
 def save_survey_predictions_zarr(runner, reader, target_dname,
@@ -841,27 +845,30 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
 
     from concurrent.futures import ThreadPoolExecutor
     executor = ThreadPoolExecutor(max_workers=1)
-    fut = executor.submit(prepare, *col_groups[0]) if col_groups else None
+    try:
+        fut = executor.submit(prepare, *col_groups[0]) if col_groups \
+            else None
 
-    # reference asymmetry: memm eval zeroes dB data at the boundary
-    # (define_data_transform_test), zarr eval does not (evaluate.py:47)
-    border_zero = not is_zarr
-    for idx, _ in enumerate(it):
-        (data_slab, label_slab, keep_slab, sb_pad, y0s, x0s, patch_y0_data,
-         col_valid, meta_slab, consts) = fut.result()
-        if idx + 1 < len(col_groups):
-            fut = executor.submit(prepare, *col_groups[idx + 1])
-        runner.timer.start("eval_device_chunk")
-        hist = runner._eval_patches(
-            runner.variables,
-            hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
-            jnp.asarray(sb_pad), jnp.asarray(keep_slab),
-            jnp.asarray(meta_slab), jnp.asarray(consts),
-            jnp.asarray(y0s), jnp.asarray(x0s),
-            jnp.asarray(patch_y0_data), jnp.asarray(col_valid), use_keep,
-            border_zero, is_zarr, runner.use_meta)
-        runner.timer.stop("eval_device_chunk")
-    executor.shutdown(wait=False)
+        # reference asymmetry: memm eval zeroes dB data at the boundary
+        # (define_data_transform_test), zarr eval does not (evaluate.py:47)
+        border_zero = not is_zarr
+        for idx, _ in enumerate(it):
+            (data_slab, label_slab, keep_slab, sb_pad, y0s, x0s,
+             patch_y0_data, col_valid, meta_slab, consts) = fut.result()
+            if idx + 1 < len(col_groups):
+                fut = executor.submit(prepare, *col_groups[idx + 1])
+            runner.timer.start("eval_device_chunk")
+            hist = runner._eval_patches(
+                runner.variables,
+                hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
+                jnp.asarray(sb_pad), jnp.asarray(keep_slab),
+                jnp.asarray(meta_slab), jnp.asarray(consts),
+                jnp.asarray(y0s), jnp.asarray(x0s),
+                jnp.asarray(patch_y0_data), jnp.asarray(col_valid),
+                use_keep, border_zero, is_zarr, runner.use_meta)
+            runner.timer.stop("eval_device_chunk")
+    finally:
+        executor.shutdown(wait=True, cancel_futures=True)
     return hist
 
 

@@ -103,8 +103,17 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
         # the reference lacks (bare state_dicts, SURVEY.md §5); only the
         # remaining iterations are run
         segpipe.resume_from(config["resume_checkpoint"])
-        n_batches = max(0, n_batches - int(segpipe.state.step))
-        print(f"Resumed from step {int(segpipe.state.step)}; "
+        resume_step = int(segpipe.state.step)
+        n_batches = max(0, n_batches - resume_step)
+        # salt the sampler seeds with the resumed step so the continued
+        # run draws FRESH samples instead of replaying the beginning of
+        # the seeded stream it already trained on (the samplers' RNG
+        # state is not part of the checkpoint)
+        resumed_factory = train_factory
+
+        def train_factory(seed_offset=0):  # noqa: F811
+            return resumed_factory(seed_offset + 100003 * resume_step)
+        print(f"Resumed from step {resume_step}; "
               f"{n_batches} iterations remaining")
 
     train_batches = BatchPrefetcher(

@@ -290,3 +290,14 @@ def test_corrupt_chunk_file_raises_clear_error(tmp_path):
     with pytest.raises(ValueError):
         arr2 = ZArray.open(tmp_path / "a.zarr")
         arr2[:]
+
+
+def test_batch_decode_rejects_short_frames(tmp_path):
+    """A valid frame that decodes to FEWER bytes than its destination
+    chunk must raise in the batch path too (code-review finding: the
+    native batch path skipped the size check and left garbage tails)."""
+    good = bc.compress(np.arange(1000, dtype=np.float32), 4)
+    short = bc.compress(np.arange(10, dtype=np.float32), 4)
+    dsts = [np.empty(1000, np.float32), np.empty(1000, np.float32)]
+    with pytest.raises(ValueError):
+        bc.batch_decompress_into([good, short], dsts)

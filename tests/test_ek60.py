@@ -184,3 +184,47 @@ def test_convert_survey_raw_driver(tmp_path, rng, times):
                                    range_frequency=200)
     assert res2["2017843-D1-T1"] == "skipped"
     assert res2["2017843-D3-T3"].startswith("failed")
+
+
+def test_main_channel_missing_pings_keep_axes_consistent(tmp_path, rng,
+                                                         times):
+    """When the MAIN (range-frequency) channel misses pings that other
+    channels have, t/heave/depths must still align with sv's union ping
+    axis (code-review finding: they were main-channel-length before)."""
+    sv = _make_sv(rng)
+    path = ek60.write_raw_fixture(tmp_path / "m.raw", sv, [38, 120, 200],
+                                  times, drop_pings={3: [4, 9]})  # main=200
+    dr = 1500.0 * 1e-4 / 2.0
+    bot = ek60.write_bot_fixture(tmp_path / "m.bot", times,
+                                 np.full((20, 3), 45 * dr))
+    out = ek60.raw_to_arrays(path, bot_path=bot, range_frequency=200)
+    n_pings = out["sv"].shape[1]
+    assert n_pings == 20  # union still covers all pings
+    assert out["t"].shape == (20,)
+    assert out["heave"].shape == (20,)
+    assert out["depths"].shape == (20, 3)
+    # the main channel's NaN columns are where it was dropped
+    assert np.isnan(out["sv"][:, 4, 2]).all()
+    assert np.isfinite(out["sv"][:, 4, 0]).all()
+    # t stays monotone across the grid-filled slots
+    assert (np.diff(out["t"]) > 0).all()
+
+
+def test_sa_correction_roundtrip_offset(tmp_path, rng, times):
+    """Sa correction lives at SaCorrectionTable[0] (+248 in the CON0
+    transducer block) and flows into the Sv equation."""
+    sv = _make_sv(rng, n_freq=1)
+    p1 = ek60.write_raw_fixture(tmp_path / "s0.raw", sv, [200], times,
+                                sa=0.0)
+    p2 = ek60.write_raw_fixture(tmp_path / "s1.raw", sv, [200], times,
+                                sa=0.7)
+    r1, r2 = ek60.read_raw(p1), ek60.read_raw(p2)
+    assert r1.channels[0].sa_correction == 0.0
+    assert abs(r2.channels[0].sa_correction - 0.7) < 1e-6
+    # both fixtures invert their own Sa in the synthesized power, so the
+    # decoded Sv agrees with the target either way
+    got1, _ = ek60.power_to_sv(r1.pings[1][0], r1.channels[0])
+    got2, _ = ek60.power_to_sv(r2.pings[1][0], r2.channels[0])
+    db = lambda x: 10 * np.log10(x)
+    assert np.abs(db(got1) - db(sv[:, 0, 0])).max() < 0.02
+    assert np.abs(db(got2) - db(sv[:, 0, 0])).max() < 0.02

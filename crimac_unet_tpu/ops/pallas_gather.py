@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: fused patch gather + dB preprocessing.
+
+The predict path's hot front end is "gather a (Cf, wh, ww) window per
+patch from the HBM-resident chunk slab, scrub non-finite, dB-transform,
+clip, emit NHWC" (pipeline/inference.py _predict_patches; reference
+semantics batch/data_transforms/db_with_limits.py:20-35 +
+remove_nan_inf.py:22-33).  XLA implements it as a vmapped dynamic_slice
+followed by fused elementwise ops — already good.  This kernel is the
+explicit Pallas formulation: patch start coordinates arrive as
+scalar-prefetch operands, each grid step DMAs its window straight from the
+HBM slab into VMEM (double-buffer-free: one async copy per patch, the
+grid pipelines across patches), and the dB math runs on the VPU before a
+single NHWC store.
+
+Status: the kernel is bit-parity-validated against the XLA formulation in
+interpret mode (tests/test_pallas_gather.py).  Mosaic requires
+tiling-aligned dynamic DMA starts (8 sublanes x 128 lanes for f32), which
+this kernel satisfies by DMAing an aligned superset window and peeling
+the residuals (8-way static-slice switch for rows, dynamic lane rotate
+for columns).  On this build rig the tunnel's chipless remote-AOT
+compiler rejects the compiled kernel with an anomalous fixed 65.5 MB
+scoped-vmem stack claim independent of the actual shapes (its own error
+text says "It should not be possible to run out of scoped vmem"), so
+hardware timings are pending a standard TPU runtime; the XLA gather
+fusion — already HBM-bound-optimal for these window sizes — remains the
+production path either way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .data_ops import DB_EPS, DB_HIGH, DB_LOW
+
+
+def _gather_db_kernel(y0s_ref, x0s_ref, slab_ref, out_ref, scratch, sem,
+                      *, scaled: bool):
+    """One patch per grid step: DMA an aligned superset window
+    slab[:, ya:ya+wh+8, xa:xa+ww+128] -> VMEM (Mosaic requires
+    tiling-aligned dynamic DMA starts: 8 sublanes x 128 lanes for f32),
+    slice off the (dy, dx) residual in VMEM, scrub + dB + clip, store
+    NHWC."""
+    i = pl.program_id(0)
+    wh, ww = out_ref.shape[0], out_ref.shape[1]
+    y0 = y0s_ref[i]
+    x0 = x0s_ref[i]
+    # Mosaic requires tiling-aligned dynamic DMA starts (8 sublanes x
+    # 128 lanes for f32): DMA the aligned superset window, then peel the
+    # row residual with static slices (8-way switch) and the lane
+    # residual with a dynamic lane rotate.
+    ya = pl.multiple_of((y0 // 8) * 8, 8)
+    xa = pl.multiple_of((x0 // 128) * 128, 128)
+
+    copy = pltpu.make_async_copy(
+        slab_ref.at[:, pl.ds(ya, wh + 8), pl.ds(xa, ww + 128)],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    x = jax.lax.switch(y0 - ya,
+                       [lambda k=k: scratch[:, k:k + wh, :]
+                        for k in range(8)])
+    x = pltpu.roll(x, shift=-(x0 - xa), axis=2)[:, :, :ww].astype(
+        jnp.float32)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    d = 10.0 * jnp.log10(x + DB_EPS)
+    if scaled:  # metadata runs use the [0, 1]-scaled variant
+        d = jnp.minimum(d, 0.0)
+        d = jnp.clip(d, DB_LOW, DB_HIGH)
+        d = 1.0 + d / abs(DB_LOW)
+    else:
+        d = jnp.clip(d, DB_LOW, DB_HIGH)
+    out_ref[...] = jnp.transpose(d, (1, 2, 0))   # (wh, ww, Cf) NHWC
+
+
+@partial(jax.jit,
+         static_argnames=("window", "scaled", "interpret"))
+def gather_db_pallas(data_slab: jnp.ndarray, y0s: jnp.ndarray,
+                     x0s: jnp.ndarray, window: tuple,
+                     scaled: bool = False,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(Cf, Hp, Wp) slab + (N,) patch starts -> (N, wh, ww, Cf) float32
+    dB-transformed NHWC patches (fused gather + remove_nan_inf +
+    db_with_limits)."""
+    wh, ww = window
+    n = y0s.shape[0]
+    cf = data_slab.shape[0]
+    # pad so the aligned superset window (wh+8, ww+128) stays in bounds
+    data_slab = jnp.pad(data_slab, ((0, 0), (0, 8), (0, 128)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, wh, ww, cf),
+                               lambda i, y0s, x0s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cf, wh + 8, ww + 128), data_slab.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(y0s_ref, x0s_ref, slab_ref, out_ref, scratch, sem):
+        _gather_db_kernel(y0s_ref, x0s_ref, slab_ref,
+                          out_ref.at[0], scratch, sem, scaled=scaled)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, wh, ww, cf), jnp.float32),
+        interpret=interpret,
+    )(y0s.astype(jnp.int32), x0s.astype(jnp.int32), data_slab)

@@ -25,6 +25,9 @@ def test_zarr_mode_training(tmp_path):
     pipe = run_training(cfg, ckpt, progress=False)
     assert (ckpt / "best.msgpack").exists()
     assert np.isfinite(pipe.best_F1_val)
+    # the ZarrSamplePool engages by default for surveys that fit HBM
+    assert pipe.pool is not None
+    assert pipe.pool.data_format == "zarr"
 
 
 def test_examples_run(capsys):

@@ -40,3 +40,33 @@ def test_examples_run(capsys):
     example_samplers.main()
     out = capsys.readouterr().out
     assert "Survey:" in out and "Batch:" in out
+
+
+def test_batch_prefetcher_surfaces_worker_crash():
+    """A crash inside a prefetch worker must propagate to the consumer
+    (not hang the queue or silently drop batches)."""
+    import pytest
+
+    from crimac_unet_tpu.data.dataset import BatchPrefetcher
+
+    class Boom(RuntimeError):
+        pass
+
+    class BadDataset:
+        def __init__(self, n_ok):
+            self.n_ok = n_ok
+
+        def batch(self, bs):
+            if self.n_ok <= 0:
+                raise Boom("worker died")
+            self.n_ok -= 1
+            return {"data": np.zeros((bs, 1))}
+
+    pf = BatchPrefetcher(lambda seed_offset=0: BadDataset(2), 2, 6,
+                         num_workers=1)
+    try:
+        with pytest.raises(Boom):
+            for _ in pf:
+                pass
+    finally:
+        pf.close()

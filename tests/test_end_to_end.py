@@ -267,16 +267,7 @@ def test_training_crash_resume(memm_dir, tmp_path, monkeypatch):
     class _Kill(RuntimeError):
         pass
 
-    orig = SegPipeUNet.validate_model_training
-
-    real_step_holder = {}
-
-    def crash_on_step3(self, *a, **kw):
-        return orig(self, *a, **kw)
-
-    # crash by intercepting the train step after 3 iterations
-    import crimac_unet_tpu.pipeline.train as T
-
+    # crash by cutting the batch stream mid-run
     orig_train_model = SegPipeUNet.train_model
 
     def wrapped_train_model(self, train_batches, make_test_batches,

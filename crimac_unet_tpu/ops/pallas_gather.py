@@ -12,18 +12,20 @@ HBM slab into VMEM (double-buffer-free: one async copy per patch, the
 grid pipelines across patches), and the dB math runs on the VPU before a
 single NHWC store.
 
-Status: the kernel is bit-parity-validated against the XLA formulation in
-interpret mode (tests/test_pallas_gather.py).  Mosaic requires
-tiling-aligned dynamic DMA starts (8 sublanes x 128 lanes for f32), which
-this kernel satisfies by DMAing an aligned superset window and peeling
-the residuals (8-way static-slice switch for rows, dynamic lane rotate
-for columns).  On this build rig the tunnel's chipless remote-AOT
-compiler rejects the compiled kernel with an anomalous fixed 65.5 MB
-scoped-vmem stack claim independent of the actual shapes (its own error
-text says "It should not be possible to run out of scoped vmem"), so
-hardware timings are pending a standard TPU runtime; the XLA gather
-fusion — already HBM-bound-optimal for these window sizes — remains the
-production path either way.
+Status: validated bit-exact against the XLA formulation BOTH in interpret
+mode and compiled on real v5e hardware (tests/test_pallas_gather.py +
+driver runs).  Mosaic requires tiling-aligned dynamic DMA starts (8
+sublanes x 128 lanes for f32); the kernel DMAs an aligned superset window
+and peels the residuals — rows via an 8-way static-slice switch, lanes
+via a binary decomposition of STATIC rolls (this toolchain's dynamic lane
+rotate lands one 128-lane tile off jnp.roll semantics; static shifts are
+exact).  Measured on the v5e: 34.3 ms vs XLA's 28.5 ms for 32 patches of
+256x256x4 — XLA's gather fusion is already HBM-bound-optimal here, so it
+remains the production path and this kernel stands as the explicit,
+hardware-verified Pallas formulation (and the template for gathers XLA
+handles less well).  Note: pltpu.CompilerParams(vmem_limit_bytes=...)
+must be raised above the default 16 MB — the remote-AOT compiler accounts
+the whole pipeline footprint against it.
 """
 
 from __future__ import annotations
@@ -65,8 +67,17 @@ def _gather_db_kernel(y0s_ref, x0s_ref, slab_ref, out_ref, scratch, sem,
     x = jax.lax.switch(y0 - ya,
                        [lambda k=k: scratch[:, k:k + wh, :]
                         for k in range(8)])
-    x = pltpu.roll(x, shift=-(x0 - xa), axis=2)[:, :, :ww].astype(
-        jnp.float32)
+    # lane residual via binary decomposition of STATIC rolls (observed on
+    # this toolchain: Mosaic's dynamic lane rotate lands one 128-lane tile
+    # off vs jnp.roll semantics; static shifts are well-defined)
+    dx = x0 - xa
+    n_lanes = ww + 128
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        # left-roll by `bit` expressed as the equivalent non-negative
+        # right-roll (pltpu.roll requires shift >= 0)
+        rolled = pltpu.roll(x, shift=n_lanes - bit, axis=2)
+        x = jnp.where((dx & bit) != 0, rolled, x)
+    x = x[:, :, :ww].astype(jnp.float32)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     d = 10.0 * jnp.log10(x + DB_EPS)
     if scaled:  # metadata runs use the [0, 1]-scaled variant
@@ -114,5 +125,10 @@ def gather_db_pallas(data_slab: jnp.ndarray, y0s: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, wh, ww, cf), jnp.float32),
+        # generous cap: the kernel's live VMEM is scratch (+ its double
+        # buffer) + one output block; some AOT compilers account the
+        # whole pipeline footprint against the default 16 MB limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(y0s.astype(jnp.int32), x0s.astype(jnp.int32), data_slab)

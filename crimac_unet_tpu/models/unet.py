@@ -40,6 +40,7 @@ def _bias_init_like_torch(key, shape, dtype, fan_in):
 class ConvBNRelu(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True  # False: BN folded into the conv (inference)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -49,8 +50,9 @@ class ConvBNRelu(nn.Module):
                     bias_init=lambda k, s, d=jnp.float32:
                         _bias_init_like_torch(k, s, d, fan_in),
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -60,11 +62,14 @@ class DownConv(nn.Module):
     features: int
     pooling: bool
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBNRelu(self.features, self.dtype, name="unit1")(x, train)
-        x = ConvBNRelu(self.features, self.dtype, name="unit2")(x, train)
+        x = ConvBNRelu(self.features, self.dtype, self.use_bn,
+                       name="unit1")(x, train)
+        x = ConvBNRelu(self.features, self.dtype, self.use_bn,
+                       name="unit2")(x, train)
         before_pool = x
         if self.pooling:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -76,6 +81,7 @@ class UpConv(nn.Module):
     (reference unet.py:96-137)."""
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, from_down, from_up, train: bool):
@@ -87,8 +93,10 @@ class UpConv(nn.Module):
                                   _bias_init_like_torch(k, s, d, fan_in),
                               name="upconv")(from_up)
         x = jnp.concatenate([up, from_down], axis=-1)
-        x = ConvBNRelu(self.features, self.dtype, name="unit1")(x, train)
-        x = ConvBNRelu(self.features, self.dtype, name="unit2")(x, train)
+        x = ConvBNRelu(self.features, self.dtype, self.use_bn,
+                       name="unit1")(x, train)
+        x = ConvBNRelu(self.features, self.dtype, self.use_bn,
+                       name="unit2")(x, train)
         return x
 
 
@@ -119,14 +127,18 @@ class UNet(nn.Module):
     start_filts: int = 64
     late_meta_inject: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_bn: bool = True  # False: run with BN folded into the convs
+                         # (inference; see models/fold_bn.py)
 
     @nn.compact
     def __call__(self, x, meta=None, train: bool = False):
+        assert self.use_bn or not train, "BN-folded models are eval-only"
         encoder_outs = []
         for i in range(self.depth):
             feats = self.start_filts * (2 ** i)
             pooling = i < self.depth - 1
             x, before_pool = DownConv(feats, pooling, self.dtype,
+                                      self.use_bn,
                                       name=f"down{i}")(x, train)
             encoder_outs.append(before_pool)
 
@@ -134,7 +146,8 @@ class UNet(nn.Module):
         for i in range(self.depth - 1):
             feats //= 2
             skip = encoder_outs[-(i + 2)]
-            x = UpConv(feats, self.dtype, name=f"up{i}")(skip, x, train)
+            x = UpConv(feats, self.dtype, self.use_bn,
+                       name=f"up{i}")(skip, x, train)
 
         if self.late_meta_inject:
             assert meta is not None, "late_meta_inject requires meta input"

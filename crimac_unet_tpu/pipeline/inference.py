@@ -52,11 +52,22 @@ class GriddedRunner:
     """Shared device programs for gridded predict/eval over one model."""
 
     def __init__(self, model, variables, config):
+        import dataclasses
+
         from ..data.meta_channels import (get_in_channels,
                                           validate_meta_channels)
         self.model = model
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
+        # serving optimization: fold BatchNorm (a frozen per-channel
+        # affine at inference) into the conv kernels/biases — removes
+        # every BN op from the forward (models/fold_bn.py). Default on;
+        # disable with fold_bn: false for A/B checks.
+        if config.get("fold_bn", True) and getattr(model, "use_bn", True):
+            from ..models.fold_bn import fold_batchnorm
+            self.params = fold_batchnorm(self.params, self.batch_stats)
+            self.batch_stats = {}
+            self.model = dataclasses.replace(model, use_bn=False)
         self.window = tuple(config["patch_size"])       # (wh, ww)
         self.overlap = int(config["patch_overlap"])
         self.frequencies = sorted(config["frequencies"])

@@ -165,3 +165,43 @@ def test_init_distributed_single_host_noop(monkeypatch):
     monkeypatch.delenv("CRIMAC_MULTIHOST", raising=False)
     assert init_distributed() is False
     assert len(jax.devices()) == 8  # still the virtual CPU mesh
+
+
+def test_sharded_eval_no_redistribute(tmp_path):
+    """The compiled 8-device eval scan must gather + evaluate locally:
+    no all-to-all / collective-permute in the HLO (the histogram carry
+    all-reduces, which is the one intended collective)."""
+    from crimac_unet_tpu.ops import metrics as M
+    from crimac_unet_tpu.pipeline.inference import evaluate_reader
+
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=60, W=160,
+                          seed=35)
+    reader = DataReaderZarr(sv)
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    x = jnp.zeros((1, 32, 32, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    r8 = GriddedRunner(model, variables,
+                       {"patch_size": [32, 32], "patch_overlap": 4,
+                        "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+                        "mesh_devices": 8})
+
+    staged = {}
+    real = r8._eval_patches
+
+    def capture(variables, *args, **kw):
+        staged["args"] = args
+        staged["kw"] = kw
+        return real(variables, *args, **kw)
+
+    r8._eval_patches = capture
+    evaluate_reader(r8, reader, M.new_histogram(), eval_mode="all")
+    r8._eval_patches = real
+
+    lowered = jax.jit(
+        real.__wrapped__,
+        static_argnames=("self", "use_keep", "border_zero", "zarr_pad",
+                         "use_meta")
+    ).lower(r8, r8.variables, *staged["args"], **staged["kw"])
+    hlo = lowered.compile().as_text()
+    assert "all-to-all" not in hlo
+    assert "collective-permute" not in hlo

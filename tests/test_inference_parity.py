@@ -201,3 +201,28 @@ def test_predict_parity_with_reference_oracle(setup):
         # zero/nonzero pattern (the masks) must agree exactly
         np.testing.assert_array_equal(got != 0, want != 0,
                                       err_msg=f"mask mismatch chunk {s}")
+
+
+def test_sub_batch_shape_minimizes_padding():
+    """B/Np/nb choice: padding minimized at 8-patch granularity (measured
+    faster than exact-fit off-multiple batches on v5e); mesh granularity
+    honored on a mesh."""
+    from crimac_unet_tpu.pipeline.inference import GriddedRunner
+
+    r = GriddedRunner.__new__(GriddedRunner)
+    r.mesh = None
+    r.fwd_batch = 32
+    assert r._sub_batch_shape(25) == (32, 32, 1)
+    assert r._sub_batch_shape(32) == (32, 32, 1)
+    assert r._sub_batch_shape(33) == (24, 48, 2)     # 15 pad, not 31
+    assert r._sub_batch_shape(100) == (32, 128, 4)
+    assert r._sub_batch_shape(1) == (8, 8, 1)
+
+    class FakeMesh:
+        class devices:
+            @staticmethod
+            def ravel():
+                return [None] * 8
+    r.mesh = FakeMesh()
+    B, Np, nb = r._sub_batch_shape(25)
+    assert B % 8 == 0 and Np == nb * B and Np >= 25

@@ -169,3 +169,25 @@ def test_build_unet_from_config():
                         "start_filts": 64})
     assert model.dtype == jnp.bfloat16
     assert model.depth == 5
+
+
+def test_dts_upsample_exact_vs_conv_transpose():
+    """The matmul+depth-to-space upsampling (Transpose2x2) is bit-exact vs
+    lax.conv_transpose in float32, with an identical parameter pytree."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 24, 24, 4).astype(np.float32))
+    m_dts = UNet(n_classes=3, depth=3, start_filts=8, dts_upsample=True)
+    m_ct = UNet(n_classes=3, depth=3, start_filts=8, dts_upsample=False)
+    v = m_dts.init(jax.random.PRNGKey(3), x, train=False)
+    # identical param trees: the conv_transpose variant accepts the same
+    # variables unchanged
+    y_dts = m_dts.apply(v, x, train=False)
+    y_ct = m_ct.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_dts), np.asarray(y_ct),
+                               atol=1e-5, rtol=1e-5)
+    # and gradients flow through both identically-shaped trees
+    g = jax.grad(lambda p: m_dts.apply(
+        {"params": p, "batch_stats": v["batch_stats"]}, x,
+        train=False).sum())(v["params"])
+    assert g["up0"]["upconv"]["kernel"].shape == \
+        v["params"]["up0"]["upconv"]["kernel"].shape

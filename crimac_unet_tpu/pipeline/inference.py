@@ -73,6 +73,7 @@ class GriddedRunner:
         self.frequencies = sorted(config["frequencies"])
         self.fwd_batch = int(config.get("fwd_batch", 32))
         self.meta_channels = config.get("meta_channels") or None
+        self.pipeline_depth = int(config.get("pipeline_depth", 3))
         validate_meta_channels(self.meta_channels)
         self.use_meta = get_in_channels(self.meta_channels) > 0
         self.late_meta = bool(config.get("late_meta_inject", False))
@@ -484,10 +485,13 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         it = tqdm(splits, desc="Predicting ...")
 
     # software pipeline: device dispatch is async; keep `pipeline_depth`
-    # chunks in flight and only synchronize (d2h) one chunk behind, so the
-    # transfer of chunk k overlaps compute of chunk k+1
+    # chunks in flight and only synchronize (d2h) that many chunks behind,
+    # so the (async-started) transfer of chunk k overlaps compute of
+    # chunks k+1..k+depth.  Each pending chunk holds one small float16
+    # output (~4 MB at 1000x1000) on device — depth 3 is noise against
+    # v5e HBM and rides out the tunnel's latency swings better than 2.
     pending: list = []
-    pipeline_depth = 2
+    pipeline_depth = int(getattr(runner, "pipeline_depth", 3))
 
     def _drain(entry):
         s0, e0, dev_out, lab = entry

@@ -184,12 +184,18 @@ def _device_only_chunk_time(runner, reader, reps=3):
     jax.block_until_ready(args)
     out = real_pp(runner.variables, *args, *statics)   # warm (cached)
     jax.block_until_ready(out)
+    # dispatch a burst back-to-back and synchronize once: executions queue
+    # on the device, so total/burst amortizes the per-dispatch tunnel
+    # round-trip (~30 ms here) that a per-call block_until_ready would add
+    # to every rep and mis-book as device time
+    burst = 8
     best = float("inf")
     for _ in range(reps):
         t = time.time()
-        out = real_pp(runner.variables, *args, *statics)
+        for _ in range(burst):
+            out = real_pp(runner.variables, *args, *statics)
         jax.block_until_ready(out)
-        best = min(best, time.time() - t)
+        best = min(best, (time.time() - t) / burst)
     return best, int(args[1].shape[0])
 
 

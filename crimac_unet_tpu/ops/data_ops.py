@@ -48,11 +48,15 @@ def db_with_limits_scaled(data, limit_low=DB_LOW, limit_high=DB_HIGH):
     return 1.0 + d / abs(limit_low)
 
 
-def set_data_border_value(data, labels, border_value=0.0):
+def set_data_border_value(data, labels, border_value=0.0,
+                          channels_last=False):
     """Zero data (in dB space — applied after db_with_limits) where labels
     mark the data boundary; test-time only
-    (reference set_data_border_value.py:19-23, transforms.py:57-64)."""
-    border = (labels == LABEL_BOUNDARY_VAL)[:, None, :, :]
+    (reference set_data_border_value.py:19-23, transforms.py:57-64).
+    ``channels_last`` broadcasts over NHWC patch batches."""
+    border = (labels == LABEL_BOUNDARY_VAL)
+    border = border[:, :, :, None] if channels_last \
+        else border[:, None, :, :]
     return jnp.where(border, border_value, data)
 
 

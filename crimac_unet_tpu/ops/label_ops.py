@@ -68,11 +68,12 @@ def _valid_bbox_mask(valid: jnp.ndarray) -> jnp.ndarray:
             & (cols >= x0[:, None, None]) & (cols < x1[:, None, None]))
 
 
-@partial(jax.jit, static_argnames=("threshold_freq_idx",))
+@partial(jax.jit, static_argnames=("threshold_freq_idx", "channels_last"))
 def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
                           threshold_freq_idx: int = -1,
                           threshold_lo: float = 1e-7,
-                          threshold_hi: float = 1e-4) -> jnp.ndarray:
+                          threshold_hi: float = 1e-4,
+                          channels_last: bool = False) -> jnp.ndarray:
     """Inside labelled regions, mark pixels whose high-frequency sv falls
     outside [lo, hi] (after 7x7-disc binary closing of the in-threshold mask)
     as LABEL_REFINE_BOUNDARY_VAL (reference refine_label_boundary.py:24-104).
@@ -82,7 +83,10 @@ def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
     Patches that are entirely boundary are passed through unchanged
     (the reference's empty-patch guard, :78-84).
     """
-    d = data[:, threshold_freq_idx]  # (B, H, W)
+    # (B, H, W) threshold channel; channels_last supports NHWC patch
+    # batches (the TPU-preferred gather layout) without a relayout
+    d = data[..., threshold_freq_idx] if channels_last \
+        else data[:, threshold_freq_idx]
     valid = labels != LABEL_BOUNDARY_VAL
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
 

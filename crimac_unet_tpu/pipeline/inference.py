@@ -203,17 +203,22 @@ class GriddedRunner:
         replicated stitch (asserted on the compiled HLO in
         tests/test_multichip.py)."""
         wh, ww = self.window
-        Cf = data_slab.shape[0]
+        Cf = data_slab.shape[-1]  # slab arrives (Hp, Wp, C): HWC layout
         N = y0s.shape[0]
 
         B, Np, nb = self._sub_batch_shape(N)
         y0r = self._shard_nb(jnp.pad(y0s, (0, Np - N)).reshape(nb, B))
         x0r = self._shard_nb(jnp.pad(x0s, (0, Np - N)).reshape(nb, B))
 
+        # the slab lives in HWC so each gathered patch is already NHWC —
+        # the old CHW slab forced a full (nb,B,wh,ww,C) device relayout
+        # between the gather and the convs, and the forward alone measures
+        # 60% MFU while the fused chunk sat at ~45 TFLOP/s: the relayout
+        # was a big slice of the non-conv half of the program
         def gather(y0, x0):
-            return jax.lax.dynamic_slice(data_slab, (0, y0, x0),
-                                         (Cf, wh, ww))
-        patches = jax.vmap(jax.vmap(gather))(y0r, x0r)  # (nb,B,Cf,wh,ww)
+            return jax.lax.dynamic_slice(data_slab, (y0, x0, 0),
+                                         (wh, ww, Cf))
+        patches = jax.vmap(jax.vmap(gather))(y0r, x0r)  # (nb,B,wh,ww,C)
         patches = self._shard_nb(patches)
         # slabs may arrive bfloat16 (halved h2d bytes); the dB transform
         # and net input math run in float32 regardless
@@ -227,8 +232,8 @@ class GriddedRunner:
             def gatherb(y0, x0):
                 return jax.lax.dynamic_slice(border_slab, (y0, x0), (wh, ww))
             border = jax.vmap(jax.vmap(gatherb))(y0r, x0r)
-            d = jnp.where(border[:, :, None, :, :], 0.0, d)
-        x = d.transpose(0, 1, 3, 4, 2)                  # NHWC sub-batches
+            d = jnp.where(border[:, :, :, :, None], 0.0, d)
+        x = d                                           # NHWC sub-batches
         meta = None
         if use_meta:
             consts_r = jnp.pad(consts, ((0, Np - N), (0, 0))).reshape(
@@ -285,7 +290,7 @@ class GriddedRunner:
         w2 = min(chunk_w, n_pings)
         sv_fin = jnp.ones((n_range, n_pings), bool)
         sv_fin = sv_fin.at[:, :w2].set(
-            jnp.isfinite(data_slab[0, o:o + n_range, o:o + w2]))
+            jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
         keep = (jnp.isfinite(label_slab) & sv_fin
                 & ~(below & (label_slab == 0)))
         img = jnp.where(keep[:, :, None], img, 0.0)
@@ -310,7 +315,7 @@ class GriddedRunner:
         """
         from ..constants import LABEL_IGNORE_VAL
         wh, ww = self.window
-        Cf = data_slab.shape[0]
+        Cf = data_slab.shape[-1]  # slab arrives (Hp, Wp, C): HWC layout
         N = y0s.shape[0]
 
         # pre-shard the patch indices in (nb, fwd_batch) layout (same
@@ -330,8 +335,10 @@ class GriddedRunner:
         consts_r = jnp.pad(consts, ((0, Np - N), (0, 0))).reshape(nb, B, -1)
 
         def gather3(y0, x0):
-            return jax.lax.dynamic_slice(data_slab, (0, y0, x0),
-                                         (Cf, wh, ww))
+            # HWC slab -> NHWC patches straight off the gather (no device
+            # relayout before the convs; same rationale as the predict path)
+            return jax.lax.dynamic_slice(data_slab, (y0, x0, 0),
+                                         (wh, ww, Cf))
 
         def gather2(slab, y0, x0):
             return jax.lax.dynamic_slice(slab, (y0, x0), (wh, ww))
@@ -368,7 +375,8 @@ class GriddedRunner:
             lab = label_ops.convert_label_indexing(
                 labels, mark_unused_species=True)
             lab = label_ops.refine_label_boundary(data, lab,
-                                                  threshold_freq_idx=-1)
+                                                  threshold_freq_idx=-1,
+                                                  channels_last=True)
             lab = label_ops.mask_label_seabed(lab, sb_rows)
             lab = label_ops.mask_label_overlap(lab, self.overlap)
             if use_keep:
@@ -384,8 +392,9 @@ class GriddedRunner:
             else:
                 d = data_ops.db_with_limits(data)
             if border_zero:
-                d = data_ops.set_data_border_value(d, lab)
-            x = d.transpose(0, 2, 3, 1)
+                d = data_ops.set_data_border_value(d, lab,
+                                                   channels_last=True)
+            x = d
             meta = None
             if use_meta:
                 meta = self._shard(self._gather_meta(
@@ -553,16 +562,19 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         slab_x0 = max(slab_x0, s - o)
         slab_x1 = min(slab_x1, s + C * sw + o)
 
-        data_slab = np.zeros((len(runner.frequencies), Hp, Wp), np.float32)
+        # HWC layout: gathered patches come out NHWC with no device
+        # relayout between the gather and the convs
+        data_slab = np.zeros((Hp, Wp, len(runner.frequencies)), np.float32)
         if is_zarr:
             raw = reader.get_data_slice(slab_x0, slab_x1 - slab_x0, 0,
                                         slab_y1, runner.frequencies)
-            raw = raw.swapaxes(1, 2)  # (C, range, ping)
+            raw = raw.transpose(2, 1, 0)  # (range, ping, C)
         else:
             raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
-                            for m in reader.data_memmaps(runner.frequencies)])
+                            for m in reader.data_memmaps(runner.frequencies)],
+                           axis=-1)
         x_off = o + (slab_x0 - s)
-        data_slab[:, o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = raw
+        data_slab[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0), :] = raw
 
         border_slab = np.zeros((1, 1), np.float32)
         border_zero = not is_zarr
@@ -583,8 +595,8 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                 reader.label_memmap()[:, s:e]).astype(np.float32)
         # raw-ch0 finiteness over the chunk (nan => excluded from write via
         # remove_nan_inf label marking in the preload path,
-        # remove_nan_inf.py:22-33) is read on device from data_slab[0]
-        # inside _mask_output — no separate sv transfer
+        # remove_nan_inf.py:22-33) is read on device from channel 0 of
+        # the data slab inside _mask_output — no separate sv transfer
         sb_vec = np.full(C * sw, BIG_ROW, np.int64)
         sb_vec[:w] = np.where(seabed_has[s:e], sb_chunk, BIG_ROW)
 
@@ -849,7 +861,9 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         sw_w = max(slab_x1 - slab_x0, 0)
 
         runner.timer.start("eval_host_slab")
-        data_slab = np.zeros((len(runner.frequencies), Hp, Wp), np.float32)
+        # HWC layout, matching the predict slab (NHWC patches off the
+        # gather with no device relayout)
+        data_slab = np.zeros((Hp, Wp, len(runner.frequencies)), np.float32)
         label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL),
                              np.float32)
         keep_slab = np.zeros((1, 1), np.float32)
@@ -860,16 +874,17 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
             if is_zarr:
                 raw = reader.get_data_slice(slab_x0, sw_w, 0, slab_y1,
                                             runner.frequencies)
-                raw = raw.swapaxes(1, 2)
+                raw = raw.transpose(2, 1, 0)  # (range, ping, C)
                 lab = reader.get_label_slice(slab_x0, sw_w, 0, slab_y1)
                 lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
             else:
                 raw = np.stack([
                     np.asarray(m[:slab_y1, slab_x0:slab_x1])
-                    for m in reader.data_memmaps(runner.frequencies)])
+                    for m in reader.data_memmaps(runner.frequencies)],
+                    axis=-1)
                 lab = np.asarray(reader.label_memmap()[:slab_y1,
                                                        slab_x0:slab_x1])
-            data_slab[:, o:o + slab_y1, x_off:x_off + sw_w] = raw
+            data_slab[o:o + slab_y1, x_off:x_off + sw_w, :] = raw
             label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
 
         if use_keep:

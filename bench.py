@@ -99,20 +99,31 @@ def run_ours(sv_path):
     # the tunnel's transfer rate swings 2-3x between (and within) runs;
     # time the warm full-survey pass more than once and report the best as
     # the pipeline's capability, with every pass in extras for honesty
-    passes = []
-    for i in range(int(os.environ.get("BENCH_PASSES", "2"))):
+    passes, summaries, reports = [], [], []
+    try:
+        n_passes = max(1, int(os.environ.get("BENCH_PASSES", "2")))
+    except ValueError:
+        n_passes = 2
+    for i in range(n_passes):
         runner.timer.reset()
         runner.patches_processed = 0
         t0 = time.time()
         save_survey_predictions_zarr(runner, reader, str(out_dir),
                                      preload_n_pings=PRELOAD)
         passes.append(time.time() - t0)
+        summaries.append(runner.timer.summary())
+        reports.append(runner.timer.report())
         print(f"# ours pass {i}: {N_PINGS / passes[-1]:.1f} pings/s",
               file=sys.stderr)
-    dt = min(passes)
-    print("# ours timers (non-overlapping phases, last pass):\n" + "\n".join(
-        "#   " + l for l in runner.timer.report().splitlines()),
-        file=sys.stderr)
+    best_i = passes.index(min(passes))
+    dt = passes[best_i]
+    # phase walls are attributed per thread; the writer/prefetch threads
+    # overlap the main loop, so summed phases can exceed wall-clock —
+    # they explain where each thread spends time, not a wall breakdown
+    print(f"# ours timers (per-thread phase walls, best pass {best_i}; "
+          "overlapped phases may sum past wall):\n" + "\n".join(
+              "#   " + l for l in reports[best_i].splitlines()),
+          file=sys.stderr)
 
     # MFU accounting: analytic forward FLOPs over (a) the e2e wall and
     # (b) device-only compute time measured on one staged chunk
@@ -126,7 +137,9 @@ def run_ours(sv_path):
         "fwd_flops_per_patch": fwd_flops,
         "e2e_tflops_per_sec": round(total_flops / dt / 1e12, 2),
         "pass_pings_per_sec": [round(N_PINGS / p, 1) for p in passes],
-        "timers": runner.timer.summary(),
+        # per-thread phase walls of the SAME (best) pass as the headline
+        # number; overlapped threads can sum past wall-clock
+        "timers": summaries[best_i],
     }
     wall_mfu = F.mfu(total_flops, dt)
     if wall_mfu is not None:

@@ -88,8 +88,10 @@ def scan_cruise_files(cruise_dir) -> tuple[list[int], dict[str, list[str]]]:
         ext = p.suffix.lower()
         if ext not in _EXT_STD or not p.is_file():
             continue
-        in_std = _EXT_STD[ext] in p.parent.relative_to(cruise_dir).parents \
-            or p.parent.relative_to(cruise_dir) == _EXT_STD[ext]
+        # "standard location" means the exact convention directory; a file
+        # in any sub- or side-directory (backup/, processing copies, ...)
+        # counts as NotStdLocation
+        in_std = p.parent.relative_to(cruise_dir) == _EXT_STD[ext]
         (std if in_std else nonstd)[ext].append(str(p))
     filecount = [len(std[".raw"]), len(std[".snap"]), len(std[".work"]),
                  len(nonstd[".raw"]), len(nonstd[".snap"]),
@@ -179,16 +181,19 @@ def save_overview(series: dict, data_root, out_dir) -> dict[str, str]:
 
 
 def stage_paired_files(series: dict, data_root, out_root,
-                       overwrite=False) -> list[str]:
+                       overwrite=False, overview=None) -> list[str]:
     """Copy each paired (snap, raw[, bot]) triplet into
     ``<out_root>/data/<series>/<year>/<rawstem>.*`` —
     generate_metadata2.m:42-64.  Work files are not staged (the MATLAB
     uses columns 1 and 3 only, :41); a ``.bot`` sitting next to the raw
     file is staged when present (:50-57).  Pairs missing either member are
-    skipped (:44).  Returns the created file paths."""
+    skipped (:44).  Returns the created file paths.  Pass ``overview`` =
+    a prior ``build_data_overview`` result to skip re-walking the cruise
+    tree (large IMR trees live on network storage)."""
     out_root = Path(out_root)
     created: list[str] = []
-    rows, paired = build_data_overview(series, data_root)
+    rows, paired = overview if overview is not None \
+        else build_data_overview(series, data_root)
     for row, plist in zip(rows[1:], paired):
         year = row[1]
         dest = out_root / "data" / series["name"] / str(year)

@@ -48,6 +48,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fill_hwc_slab(reader, frequencies, data_slab, slab_x0, slab_x1,
+                   slab_y1, row_off, x_off):
+    """Read survey columns [slab_x0, slab_x1) x rows [0, slab_y1) for all
+    ``frequencies`` and write them into ``data_slab`` (an (Hp, Wp, C)
+    HWC-layout host array) at (row_off, x_off).  Shared by the predict and
+    eval slab builders so their device layouts cannot diverge."""
+    w = slab_x1 - slab_x0
+    if w <= 0:
+        return
+    if reader.data_format == "zarr":
+        raw = reader.get_data_slice(slab_x0, w, 0, slab_y1, frequencies)
+        raw = raw.transpose(2, 1, 0)  # (C, ping, range) -> (range, ping, C)
+    else:
+        raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
+                        for m in reader.data_memmaps(frequencies)], axis=-1)
+    data_slab[row_off:row_off + slab_y1, x_off:x_off + w, :] = raw
+
+
 class GriddedRunner:
     """Shared device programs for gridded predict/eval over one model."""
 
@@ -112,12 +130,18 @@ class GriddedRunner:
         B=32 beats the zero-padding B=25 version in absolute wall
         (53.2 ms vs 56.0 ms for the same 25 useful patches) — XLA tiles
         the off-multiple batch shapes worse than it pays for the padded
-        patches."""
-        gran = 8
+        patches.  ``fwd_batch`` stays a hard cap (it bounds peak
+        activation memory): the mesh size is a correctness constraint,
+        but the 8-granularity is applied only when it fits under the cap.
+        """
+        hard = 1
         if self.mesh is not None:
-            gran = _round_up(gran, len(self.mesh.devices.ravel()))
+            hard = len(self.mesh.devices.ravel())
         nb = max(1, -(-N // max(self.fwd_batch, 1)))
-        B = _round_up(-(-N // nb), gran)
+        B = _round_up(-(-N // nb), hard)
+        soft = _round_up(B, _round_up(8, hard))
+        if soft <= max(self.fwd_batch, B):
+            B = soft
         return B, nb * B, nb
 
     # ------------------------------------------------------------ forward
@@ -565,16 +589,9 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # HWC layout: gathered patches come out NHWC with no device
         # relayout between the gather and the convs
         data_slab = np.zeros((Hp, Wp, len(runner.frequencies)), np.float32)
-        if is_zarr:
-            raw = reader.get_data_slice(slab_x0, slab_x1 - slab_x0, 0,
-                                        slab_y1, runner.frequencies)
-            raw = raw.transpose(2, 1, 0)  # (range, ping, C)
-        else:
-            raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
-                            for m in reader.data_memmaps(runner.frequencies)],
-                           axis=-1)
         x_off = o + (slab_x0 - s)
-        data_slab[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0), :] = raw
+        _fill_hwc_slab(reader, runner.frequencies, data_slab, slab_x0,
+                       slab_x1, slab_y1, o, x_off)
 
         border_slab = np.zeros((1, 1), np.float32)
         border_zero = not is_zarr
@@ -871,20 +888,14 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         x_off = slab_x0 - want_x0
 
         if sw_w > 0:
+            _fill_hwc_slab(reader, runner.frequencies, data_slab, slab_x0,
+                           slab_x1, slab_y1, o, x_off)
             if is_zarr:
-                raw = reader.get_data_slice(slab_x0, sw_w, 0, slab_y1,
-                                            runner.frequencies)
-                raw = raw.transpose(2, 1, 0)  # (range, ping, C)
                 lab = reader.get_label_slice(slab_x0, sw_w, 0, slab_y1)
                 lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
             else:
-                raw = np.stack([
-                    np.asarray(m[:slab_y1, slab_x0:slab_x1])
-                    for m in reader.data_memmaps(runner.frequencies)],
-                    axis=-1)
                 lab = np.asarray(reader.label_memmap()[:slab_y1,
                                                        slab_x0:slab_x1])
-            data_slab[o:o + slab_y1, x_off:x_off + sw_w, :] = raw
             label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
 
         if use_keep:

@@ -68,6 +68,26 @@ def test_scan_counts_std_vs_nonstd(tree):
     assert len(files[".raw"]) == 4 and files[".raw"][-1].endswith("z.raw")
 
 
+def test_subdir_of_std_location_counts_nonstd(tmp_path):
+    """Only the exact convention directory is 'standard'; backup/ copies
+    below it count as NotStdLocation."""
+    d = tmp_path / "C"
+    (d / cc.STD_RAW_DIR).mkdir(parents=True)
+    (d / cc.STD_RAW_DIR / "a.raw").write_bytes(b"r")
+    (d / cc.STD_RAW_DIR / "backup").mkdir()
+    (d / cc.STD_RAW_DIR / "backup" / "old.raw").write_bytes(b"r")
+    filecount, _ = cc.scan_cruise_files(d)
+    assert filecount == [1, 0, 0, 1, 0, 0]
+
+
+def test_stage_accepts_precomputed_overview(tree, tmp_path):
+    root, series, _ = tree
+    overview = cc.build_data_overview(series, root)
+    created = cc.stage_paired_files(series, root, tmp_path,
+                                    overview=overview)
+    assert len(created) == 5
+
+
 def test_pairing_by_stem(tree):
     root, *_ = tree
     _, files = cc.scan_cruise_files(root / "S2011_PGOS" / "2011")

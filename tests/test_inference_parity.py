@@ -217,6 +217,13 @@ def test_sub_batch_shape_minimizes_padding():
     assert r._sub_batch_shape(33) == (24, 48, 2)     # 15 pad, not 31
     assert r._sub_batch_shape(100) == (32, 128, 4)
     assert r._sub_batch_shape(1) == (8, 8, 1)
+    # fwd_batch is a hard cap (activation-memory bound): the 8-rounding
+    # must not exceed it
+    r.fwd_batch = 4
+    assert r._sub_batch_shape(8) == (4, 8, 2)
+    r.fwd_batch = 20
+    assert r._sub_batch_shape(40) == (20, 40, 2)
+    r.fwd_batch = 32
 
     class FakeMesh:
         class devices:

@@ -923,8 +923,18 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, want_x0, centers_x)
         runner.timer.stop("eval_host_slab")
-        return (data_slab, label_slab, keep_slab, sb_pad, y0s, x0s,
-                patch_y0_data, col_valid, meta_slab, consts)
+        # h2d from the prefetch thread (device_put is async) so transfers
+        # overlap the previous group's device work.  Eval slabs stay
+        # float32: refine_label_boundary compares raw sv against the
+        # 1e-7/1e-4 thresholds and bf16 rounding could flip pixels at the
+        # threshold edge (the predict path ships bf16 because its masks
+        # only test finiteness).
+        runner.timer.start("eval_h2d_dispatch")
+        dev = tuple(jax.device_put(a) for a in (
+            data_slab, label_slab, sb_pad, keep_slab, meta_slab, consts,
+            y0s, x0s, patch_y0_data, col_valid))
+        runner.timer.stop("eval_h2d_dispatch")
+        return dev
 
     it = col_groups
     if progress:
@@ -941,18 +951,15 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         # (define_data_transform_test), zarr eval does not (evaluate.py:47)
         border_zero = not is_zarr
         for idx, _ in enumerate(it):
-            (data_slab, label_slab, keep_slab, sb_pad, y0s, x0s,
-             patch_y0_data, col_valid, meta_slab, consts) = fut.result()
+            (data_slab, label_slab, sb_pad, keep_slab, meta_slab, consts,
+             y0s, x0s, patch_y0_data, col_valid) = fut.result()
             if idx + 1 < len(col_groups):
                 fut = executor.submit(prepare, *col_groups[idx + 1])
             runner.timer.start("eval_device_chunk")
             hist = runner._eval_patches(
                 runner.variables,
-                hist, jnp.asarray(data_slab), jnp.asarray(label_slab),
-                jnp.asarray(sb_pad), jnp.asarray(keep_slab),
-                jnp.asarray(meta_slab), jnp.asarray(consts),
-                jnp.asarray(y0s), jnp.asarray(x0s),
-                jnp.asarray(patch_y0_data), jnp.asarray(col_valid),
+                hist, data_slab, label_slab, sb_pad, keep_slab,
+                meta_slab, consts, y0s, x0s, patch_y0_data, col_valid,
                 use_keep, border_zero, is_zarr, runner.use_meta)
             runner.timer.stop("eval_device_chunk")
     finally:

@@ -47,10 +47,12 @@ import numpy as np
 # IMR standard locations of acoustic files inside a cruise directory
 # (the MATLAB NMDAPIreader_getLSSSdatastatus convention: EK60 raw data and
 # LSSS interpretation files; anything found elsewhere in the tree counts as
-# "NotStdLocation", generate_metadata.m:120-123).
-STD_RAW_DIR = Path("ACOUSTIC_DATA/EK60/EK60_RAWDATA")
-STD_SNAP_DIR = Path("ACOUSTIC_DATA/LSSS/INTERPRETATION")
-STD_WORK_DIR = Path("ACOUSTIC_DATA/LSSS/WORK")
+# "NotStdLocation", generate_metadata.m:120-123).  Same ACOUSTIC/...
+# convention as data/ek60.py's convert_survey_raw, so the catalog and the
+# raw-onboarding driver agree on what a cruise tree looks like.
+STD_RAW_DIR = Path("ACOUSTIC/EK60/EK60_RAWDATA")
+STD_SNAP_DIR = Path("ACOUSTIC/LSSS/INTERPRETATION")
+STD_WORK_DIR = Path("ACOUSTIC/LSSS/WORK")
 
 _HEADER = ["CruiseSeries", "Year", "CruiseNr", "ShipName", "DataPath",
            "Problem", "Rawfiles", "Snapfiles", "Workfiles",

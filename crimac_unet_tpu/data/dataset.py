@@ -75,7 +75,10 @@ class RandomPatchDataset:
         probs = np.asarray(sampler_probs if sampler_probs is not None
                            else np.ones(len(samplers)), dtype=float)
         self.cum_probs = np.cumsum(probs) / probs.sum()
-        self.rng = np.random.RandomState(seed)
+        # resume salts the seed by 100003*step (train.py), which exceeds
+        # RandomState's 32-bit seed range for long recipes — wrap it
+        self.rng = np.random.RandomState(
+            None if seed is None else int(seed) % (2 ** 32))
         self.pool = None  # device sample pool -> coordinate-only batches
 
     def use_pool(self, pool):

@@ -160,10 +160,12 @@ class ZarrSamplePool:
             for s in range(0, n_pings, chunk_pings):
                 n = min(chunk_pings, n_pings - s)
                 raw = r.get_data_slice(s, n, 0, n_range, self.frequencies)
+                # EXACTLY the host crop scrub (zarr_reader.crop_data:
+                # nan_to_num with only nan= overridden, so +/-Inf become
+                # +/-3.4e38 -> dB-clip extremes, NOT 0.0) — the pool is a
+                # transport optimization and must not change semantics
                 raw = np.nan_to_num(raw.swapaxes(1, 2),
-                                    nan=DATA_BOUNDARY_VAL,
-                                    posinf=DATA_BOUNDARY_VAL,
-                                    neginf=DATA_BOUNDARY_VAL)
+                                    nan=DATA_BOUNDARY_VAL)
                 data = put_data(data,
                                 jnp.asarray(raw[None], jnp.float32),
                                 i, ww + s)

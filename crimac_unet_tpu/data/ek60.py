@@ -309,7 +309,10 @@ def raw_to_arrays(raw_path, bot_path=None, snap_path=None,
         R = r_main
         dz = native_dz
 
-    sv = np.zeros((len(R), len(t_final), len(chans)))
+    # NaN init: target bins no source row reaches (e.g. a shorter-range
+    # channel bin-averaged onto the main grid) must read as missing, not
+    # as silent zero backscatter
+    sv = np.full((len(R), len(t_final), len(chans)), np.nan)
     for k, ch in enumerate(chans):
         dum = np.full((sv_ch[ch].shape[0], len(t_final)), np.nan)
         locb = np.searchsorted(t_final, tround[ch])
@@ -395,7 +398,13 @@ def convert_survey_raw(data_dir, scratch_dir, resume=True, **par) -> dict:
     are recorded with their error and retried).  Returns
     {name: 'ok'|'skipped'|error string}.  Chain with
     :func:`mat_to_memmap.convert_survey_tree` to reach memmap echogram
-    dirs."""
+    dirs.
+
+    Also accepts the FLAT staged layout produced by
+    :func:`cruise_catalog.stage_paired_files` (raw/bot/snap side by side in
+    ``data_dir``, mirroring generate_metadata2.m's staging copies): when
+    the ``ACOUSTIC`` convention directory is absent, ``data_dir`` itself is
+    globbed for the triplets."""
     import json
     import os
     from glob import glob
@@ -409,6 +418,8 @@ def convert_survey_raw(data_dir, scratch_dir, resume=True, **par) -> dict:
 
     raw_dir = os.path.join(data_dir, "ACOUSTIC", "EK60", "EK60_RAWDATA")
     snap_dir = os.path.join(data_dir, "ACOUSTIC", "LSSS", "WORK")
+    if not os.path.isdir(raw_dir):  # flat staged layout
+        raw_dir = snap_dir = str(data_dir)
     results = {}
     for raw_path in sorted(glob(os.path.join(raw_dir, "*.raw"))):
         name = os.path.splitext(os.path.basename(raw_path))[0]

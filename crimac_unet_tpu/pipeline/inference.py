@@ -429,7 +429,14 @@ class GriddedRunner:
             logits = self.model.apply(variables, self._shard(x), meta=meta,
                                       train=False)
             probs = jax.nn.softmax(logits, axis=-1)
-            return metrics.update_pr_histogram(hist, probs[..., 1], lab), 0
+            # under a mesh the scatter formulation keeps the histogram
+            # update local to each device's shard; the (TPU-default) sort
+            # would globally sort the sharded key array and reintroduce
+            # the cross-device redistribution this path is designed to
+            # avoid (tests/test_multichip.py asserts the HLO)
+            impl = "scatter" if self.mesh is not None else None
+            return metrics.update_pr_histogram(hist, probs[..., 1], lab,
+                                               impl=impl), 0
 
         hist, _ = jax.lax.scan(body, hist, (y0r, x0r, py0r, cvr, consts_r))
         return hist
@@ -719,6 +726,19 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             f"Cannot resume: no existing prediction directory at "
             f"{target_dname}")
         group = ZGroup.open(target_dname)
+        # save_labels must match the existing store: creating "labels"
+        # mid-stream would misalign its rows with ping_time by
+        # start_ping, and dropping it would strand a stale array
+        if save_labels and "labels" not in group:
+            raise ValueError(
+                f"Cannot resume {target_dname} with save_labels=True: the "
+                "existing store has no 'labels' array (it was written "
+                "without save_labels)")
+        if not save_labels and "labels" in group:
+            raise ValueError(
+                f"Cannot resume {target_dname} with save_labels=False: the "
+                "existing store has a 'labels' array that would fall "
+                "behind ping_time; pass save_labels=True")
         # resume from the joint commit point: a crash between the
         # annotation append and the ping_time append leaves the arrays at
         # different lengths — truncate whichever ran ahead (zarrlite's
@@ -834,7 +854,14 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     so every group compiles to the SAME program (the unpadded tail used to
     trigger one extra XLA compile per reader).  Pad columns lie beyond the
     survey: their labels stay BOUNDARY -> IGNORE, contributing nothing to
-    the histogram."""
+    the histogram.
+
+    Returns a HOST int64 histogram: each column group accumulates on
+    device in int32 (bounded: one group is a few Mpx) and is drained —
+    one group behind, preserving overlap — into a 64-bit accumulator, so
+    production-scale surveys (1e9+ below-seabed negatives land in bin 0)
+    cannot wrap the counters.  ``hist`` may be the int32 device array or
+    a previous int64 return value (survey loops chain readers)."""
     wh, ww = runner.window
     o = runner.overlap
     sh, sw = runner.stride
@@ -950,21 +977,30 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         # reference asymmetry: memm eval zeroes dB data at the boundary
         # (define_data_transform_test), zarr eval does not (evaluate.py:47)
         border_zero = not is_zarr
+        hist_host = np.zeros((2, metrics.N_F16_BINS), np.int64)
+        hist_host += np.asarray(hist).astype(np.int64)  # incoming carry
+        pending_hist = None
         for idx, _ in enumerate(it):
             (data_slab, label_slab, sb_pad, keep_slab, meta_slab, consts,
              y0s, x0s, patch_y0_data, col_valid) = fut.result()
             if idx + 1 < len(col_groups):
                 fut = executor.submit(prepare, *col_groups[idx + 1])
             runner.timer.start("eval_device_chunk")
-            hist = runner._eval_patches(
+            group_hist = runner._eval_patches(
                 runner.variables,
-                hist, data_slab, label_slab, sb_pad, keep_slab,
-                meta_slab, consts, y0s, x0s, patch_y0_data, col_valid,
-                use_keep, border_zero, is_zarr, runner.use_meta)
+                metrics.new_histogram(), data_slab, label_slab, sb_pad,
+                keep_slab, meta_slab, consts, y0s, x0s, patch_y0_data,
+                col_valid, use_keep, border_zero, is_zarr, runner.use_meta)
             runner.timer.stop("eval_device_chunk")
+            # drain one group behind so the d2h overlaps the next group
+            if pending_hist is not None:
+                hist_host += np.asarray(pending_hist).astype(np.int64)
+            pending_hist = group_hist
+        if pending_hist is not None:
+            hist_host += np.asarray(pending_hist).astype(np.int64)
     finally:
         executor.shutdown(wait=True, cancel_futures=True)
-    return hist
+    return hist_host
 
 
 def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings):

@@ -60,12 +60,10 @@ def unet_forward_flops(height: int, width: int, in_channels: int = 4,
     total = 0
     h, w = height, width
     cin = in_channels
-    downs = []
     for i in range(depth):
         cout = start_filts * 2 ** i
         total += conv2d_flops(h, w, 3, cin, cout)
         total += conv2d_flops(h, w, 3, cout, cout)
-        downs.append((h, w, cout))
         cin = cout
         if i < depth - 1:
             h, w = h // 2, w // 2

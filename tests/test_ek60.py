@@ -228,3 +228,19 @@ def test_sa_correction_roundtrip_offset(tmp_path, rng, times):
     db = lambda x: 10 * np.log10(x)
     assert np.abs(db(got1) - db(sv[:, 0, 0])).max() < 0.02
     assert np.abs(db(got2) - db(sv[:, 0, 0])).max() < 0.02
+
+
+def test_convert_survey_raw_flat_staged_layout(tmp_path, rng, times):
+    """The driver also consumes cruise_catalog.stage_paired_files' FLAT
+    staging layout (raw/bot/snap side by side — generate_metadata2.m's
+    output), not just the ACOUSTIC/... cruise-tree convention."""
+    flat = tmp_path / "staged"
+    flat.mkdir()
+    sv = _make_sv(rng)
+    ek60.write_raw_fixture(flat / "2017843-D9-T9.raw", sv,
+                           [38, 120, 200], times)
+    scratch = tmp_path / "scratch"
+    res = ek60.convert_survey_raw(str(flat), str(scratch),
+                                  range_frequency=200)
+    assert res["2017843-D9-T9"] == "ok"
+    assert (scratch / "2017843-D9-T9.mat").is_file()

@@ -300,3 +300,45 @@ def test_training_crash_resume(memm_dir, tmp_path, monkeypatch):
     assert int(segpipe.state.step) == 8
     payload = load_checkpoint(ckpt / "last.msgpack")
     assert int(payload["step"]) == 8
+
+
+def test_resume_save_labels_mismatch_raises(trained, zarr_root, tmp_path):
+    """Resuming with a save_labels flag that disagrees with the existing
+    store must error instead of silently misaligning labels/ping_time
+    (code-review finding)."""
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    cfg2 = dict(cfg, data_mode="zarr", path_to_zarr_files=zarr_root)
+    runner = GriddedRunner(build_unet(cfg2), variables, cfg2)
+    reader = make_partition(cfg2).get_survey_readers(2017)[0]
+
+    no_labels = str(tmp_path / "nolab_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, no_labels,
+                                 preload_n_pings=60)
+    with pytest.raises(ValueError, match="no 'labels' array"):
+        save_survey_predictions_zarr(runner, reader, no_labels,
+                                     preload_n_pings=60,
+                                     resume_writing=True, save_labels=True)
+
+    with_labels = str(tmp_path / "lab_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, with_labels,
+                                 preload_n_pings=60, save_labels=True)
+    with pytest.raises(ValueError, match="pass save_labels=True"):
+        save_survey_predictions_zarr(runner, reader, with_labels,
+                                     preload_n_pings=60,
+                                     resume_writing=True)
+
+
+def test_random_dataset_accepts_64bit_resume_seed():
+    """The resume seed salt (100003 * step) exceeds numpy's 32-bit seed
+    range for long recipes; the dataset must wrap it (code-review
+    finding: resume crashed at startup for checkpoints at step>=42948)."""
+    from crimac_unet_tpu.data.dataset import RandomPatchDataset
+    ds = RandomPatchDataset([object()], (8, 8), [38],
+                            seed=10 + 10_000 + 100003 * 50_000)
+    a = ds.rng.randint(0, 2 ** 31)
+    ds_none = RandomPatchDataset([object()], (8, 8), [38], seed=None)
+    assert isinstance(a, (int, np.integer))
+    assert ds_none.rng is not None

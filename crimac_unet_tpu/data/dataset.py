@@ -81,13 +81,16 @@ class RandomPatchDataset:
             None if seed is None else int(seed) % (2 ** 32))
         self.pool = None  # device sample pool -> coordinate-only batches
 
-    def use_pool(self, pool):
+    def use_pool(self, pool, with_seabed=False):
         """Switch to coordinate-only batches for an HBM-resident sample
         pool (data/device_pool.py): the host draws (sampler, center) with
         the SAME rng sequence as the crop path, but ships only (echogram,
         start) int32 coordinates; crops are gathered on device inside the
-        pooled train step."""
+        pooled train step.  ``with_seabed`` adds the (B, ww) seabed-row
+        strips the VALIDATION label chain needs (host-computed — tiny, and
+        bit-identical to the host crop path)."""
         self.pool = pool
+        self.pool_with_seabed = bool(with_seabed)
         return self
 
     def _draw(self):
@@ -113,9 +116,14 @@ class RandomPatchDataset:
             samples = [self._draw() for _ in range(batch_size)]
             idxs, starts = self.pool.prepare_batch(
                 [(reader, center) for center, reader in samples])
-            return {"ech_idx": idxs, "starts": starts,
-                    "centers": np.stack([np.asarray(c)
-                                         for c, _ in samples])}
+            out = {"ech_idx": idxs, "starts": starts,
+                   "centers": np.stack([np.asarray(c)
+                                        for c, _ in samples])}
+            if getattr(self, "pool_with_seabed", False):
+                out["seabed_row"] = np.stack(
+                    [seabed_patch_row(reader, center, self.window_size)
+                     for center, reader in samples])
+            return out
         parts = [self.sample() for _ in range(batch_size)]
         out = {
             "data": np.stack([p[0] for p in parts]),

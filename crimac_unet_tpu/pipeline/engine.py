@@ -234,6 +234,35 @@ def make_train_step_pooled(model: UNet, config: dict):
     return train_step
 
 
+def make_eval_step_pooled(model: UNet, config: dict):
+    """Validation step over an HBM-resident sample pool: crops gather ON
+    DEVICE from (echogram, start) coordinates like the pooled train step
+    (make_train_step_pooled), so each validation batch ships a few dozen
+    coordinate bytes + a (B, ww) int32 seabed-row strip instead of ~8 MB
+    of host crops.  The seabed rows stay host-computed
+    (data/dataset.seabed_patch_row — 1 KB/crop, and bit-identical to the
+    host path including its short-echogram recentering asymmetry).
+
+    Signature: (params, batch_stats, hist, pool_data, pool_labels,
+    ech_idx, starts, seabed_row, overlap=0, with_loss=True)."""
+    from ..data.device_pool import _gather_crops
+    from ..data.meta_channels import get_in_channels
+    assert get_in_channels(config.get("meta_channels")) == 0, \
+        "pooled validation does not support metadata channels (host path)"
+    window = tuple(config["patch_size"])
+    base = make_eval_step(model, config)  # inlined when traced below
+
+    @partial(jax.jit, static_argnames=("overlap", "with_loss"))
+    def eval_step(params, batch_stats, hist, pool_data, pool_labels,
+                  ech_idx, starts, seabed_row, overlap=0, with_loss=True):
+        data, labels = _gather_crops(pool_data, pool_labels, ech_idx,
+                                     starts, window)
+        return base(params, batch_stats, hist, data, labels, seabed_row,
+                    overlap=overlap, with_loss=with_loss)
+
+    return eval_step
+
+
 def make_eval_step(model: UNet, config: dict):
     from ..data.meta_channels import get_in_channels
     loss_fn_impl = make_loss_fn(config)

@@ -49,6 +49,22 @@ class SegPipeUNet:
         self._eval_step = engine.make_eval_step(self.model, config)
         self.pool = None
         self._train_step_pooled = None
+        self.pool_val = None
+        self._eval_step_pooled = None
+
+    def attach_pool_val(self, pool):
+        """Use an HBM-resident sample pool for VALIDATION batches: the
+        periodic validate_model_training passes gather their crops on
+        device instead of shipping ~8 MB per test batch (the validation
+        loop is test_iter x batch crops every log_step — it dominated the
+        full-recipe wall on slow hosts)."""
+        self._eval_step_pooled = engine.make_eval_step_pooled(
+            self.model, self.config)
+        if len(self.mesh.devices.ravel()) > 1:
+            pool.data = replicate_tree(self.mesh, pool.data)
+            pool.labels = replicate_tree(self.mesh, pool.labels)
+        self.pool_val = pool
+        return self
 
     def attach_pool(self, pool):
         """Use an HBM-resident sample pool for training: batches become
@@ -197,12 +213,23 @@ class SegPipeUNet:
         hist = M.new_histogram()
         losses = []
         for batch in test_batches:
-            args = [self.state.params, self.state.batch_stats, hist,
-                    jnp.asarray(batch["data"]), jnp.asarray(batch["labels"]),
-                    jnp.asarray(batch["seabed_row"])]
-            if "meta" in batch:
-                args.append(jnp.asarray(batch["meta"]))
-            hist, loss = self._eval_step(*args, overlap=0, with_loss=True)
+            if "ech_idx" in batch:  # pooled: on-device crop gather
+                hist, loss = self._eval_step_pooled(
+                    self.state.params, self.state.batch_stats, hist,
+                    self.pool_val.data, self.pool_val.labels,
+                    jnp.asarray(batch["ech_idx"]),
+                    jnp.asarray(batch["starts"]),
+                    jnp.asarray(batch["seabed_row"]),
+                    overlap=0, with_loss=True)
+            else:
+                args = [self.state.params, self.state.batch_stats, hist,
+                        jnp.asarray(batch["data"]),
+                        jnp.asarray(batch["labels"]),
+                        jnp.asarray(batch["seabed_row"])]
+                if "meta" in batch:
+                    args.append(jnp.asarray(batch["meta"]))
+                hist, loss = self._eval_step(*args, overlap=0,
+                                             with_loss=True)
             losses.append(loss)
         curve = M.pr_curve_from_histogram(np.asarray(hist))
         f1, idx = M.max_f1(curve)

@@ -47,7 +47,7 @@ def make_datasets(config, data_obj):
                                   sampler_probs=probs, meta_channels=meta,
                                   seed=config["random_seed"] + 10_000
                                   + seed_offset)
-    return train_factory, test_factory, readers_train
+    return train_factory, test_factory, readers_train, readers_test
 
 
 def maybe_build_pool(config, readers_train):
@@ -82,8 +82,8 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
                  logger=None, progress=True):
     fix_seeds(config["random_seed"])
     data_obj = make_partition(config)
-    train_factory, test_factory, readers_train = make_datasets(config,
-                                                               data_obj)
+    train_factory, test_factory, readers_train, readers_test = \
+        make_datasets(config, data_obj)
 
     pool = maybe_build_pool(config, readers_train)
     if pool is not None:
@@ -92,10 +92,24 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
         def train_factory(seed_offset=0):  # noqa: F811 — pooled wrapper
             return base_factory(seed_offset).use_pool(pool)
 
+    # validation pool: the periodic validate_model_training passes draw
+    # test_iter x batch crops from the validation readers every log_step;
+    # gathering those on device too removes the last bulk host-crop path
+    # from the training loop (budget-gated like the train pool)
+    pool_val = maybe_build_pool(config, readers_test)
+    if pool_val is not None:
+        base_test_factory = test_factory
+
+        def test_factory(seed_offset=0):  # noqa: F811 — pooled wrapper
+            return base_test_factory(seed_offset).use_pool(
+                pool_val, with_seabed=True)
+
     segpipe = SegPipeUNet(config, checkpoint_dir=checkpoint_dir,
                           experiment_name=experiment_name or "model")
     if pool is not None:
         segpipe.attach_pool(pool)
+    if pool_val is not None:
+        segpipe.attach_pool_val(pool_val)
 
     n_batches = int(config["iterations"])
     if config.get("resume_checkpoint"):

@@ -184,3 +184,80 @@ def test_run_training_pooled_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / "ckpt" / "last.msgpack").exists()
     assert (tmp_path / "ckpt" / "best.msgpack").exists()
     assert int(segpipe.state.step) == 3
+
+
+def test_pooled_validation_matches_host_crops(pool_and_readers, rng):
+    """make_eval_step_pooled (on-device gather + host seabed strips) must
+    produce the bit-identical PR histogram and loss as the host-crop
+    validation step on the same draws."""
+    from crimac_unet_tpu.data.dataset import seabed_patch_row
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.ops import metrics as M
+    from crimac_unet_tpu.pipeline import engine
+
+    pool, readers = pool_and_readers
+    window = [48, 48]
+    config = {"patch_size": window, "frequencies": [18, 38, 120, 200],
+              "lr": 0.005, "lr_step": 1000, "lr_reduction": 0.5,
+              "momentum": 0.95, "depth": 2, "start_filts": 4,
+              "batch_size": 6}
+    model = build_unet(config)
+    state = engine.init_train_state(model, config, jax.random.PRNGKey(2))
+    eval_host = engine.make_eval_step(model, config)
+    eval_pooled = engine.make_eval_step_pooled(model, config)
+
+    samples = []
+    for _ in range(6):
+        r = readers[rng.randint(len(readers))]
+        y = rng.randint(0, r.shape[0])
+        x = rng.randint(-5, r.shape[1] + 5)
+        samples.append((r, [y, x]))
+
+    data = np.stack([r.crop_data(list(c), window, [18, 38, 120, 200])
+                     for r, c in samples])
+    labels = np.stack([r.crop_labels(list(c), window).astype(np.int32)
+                       for r, c in samples])
+    seabed = np.stack([seabed_patch_row(r, c, window) for r, c in samples])
+    h_host, l_host = eval_host(
+        state.params, state.batch_stats, M.new_histogram(),
+        jnp.asarray(data), jnp.asarray(labels), jnp.asarray(seabed),
+        overlap=0, with_loss=True)
+
+    idxs, starts = pool.prepare_batch(samples)
+    h_pool, l_pool = eval_pooled(
+        state.params, state.batch_stats, M.new_histogram(),
+        pool.data, pool.labels, jnp.asarray(idxs), jnp.asarray(starts),
+        jnp.asarray(seabed), overlap=0, with_loss=True)
+
+    np.testing.assert_array_equal(np.asarray(h_host), np.asarray(h_pool))
+    np.testing.assert_allclose(float(l_host), float(l_pool), rtol=1e-6)
+
+
+def test_run_training_engages_validation_pool(tmp_path):
+    """run_training builds + uses the validation pool (coordinate batches
+    with seabed strips) alongside the train pool."""
+    import os
+    from crimac_unet_tpu.pipeline.train import run_training
+
+    make_survey_dir(tmp_path / "m", year=2017, n_echograms=1, H=80, W=160,
+                    seed=41)
+    make_survey_dir(tmp_path / "m", year=2016, n_echograms=1, H=80, W=160,
+                    seed=42)
+    config = {
+        "frequencies": [18, 38, 120, 200], "data_mode": "memm",
+        "path_to_echograms": str(tmp_path / "m"),
+        "patch_size": [32, 32], "loss_type": "CE", "batch_size": 2,
+        "lr": 0.005, "lr_reduction": 0.5, "momentum": 0.95,
+        "iterations": 2, "test_iter": 2, "log_step": 2, "lr_step": 2,
+        "num_workers": 1, "partition_train": "selected surveys",
+        "train_surveys": [2017], "validation_surveys": [2016],
+        "partition_predict": "all surveys", "evaluation_surveys": [],
+        "save_prediction_surveys": [], "eval_mode": "all",
+        "patch_overlap": 4, "random_seed": 10, "depth": 2,
+        "start_filts": 4,
+    }
+    segpipe = run_training(config, str(tmp_path / "ckpt"), progress=False)
+    assert segpipe.pool is not None
+    assert segpipe.pool_val is not None, "validation pool not engaged"
+    assert np.isfinite(segpipe.best_F1_val)
+    assert os.path.isfile(tmp_path / "ckpt" / "best.msgpack")

@@ -76,21 +76,30 @@ class BackgroundZarr:
 
     def get_sample(self, rng):
         wh, ww = self.window_size
+        sample = None
         for _ in range(_MAX_RETRIES):
             z = self.readers[rng.randint(len(self.readers))]
             ranges = z.get_valid_pings()
             start, end = ranges[rng.randint(len(ranges))]
-            x = rng.randint(start, end)
+            if end <= start:  # degenerate STOX transect (< one ping)
+                end = start + 1
+            x = int(rng.randint(start, end))
             seabed = int(z.get_seabed(x, 1)[0])
+            y = int(rng.randint(0, max(seabed - wh // 2, 1)))
+            # the give-up fallback must be a CONSISTENT (y, x, reader)
+            # triple from one draw (an earlier version could pair y from
+            # one retry with x/z from another)
+            sample = ([y, x], z)
             if seabed - wh // 2 <= 0:
                 continue
-            y = rng.randint(0, seabed - wh // 2)
+            # reference check window (background.py:93-99): offset one
+            # left/up of the training crop — kept verbatim for parity
             labels = z.get_label_slice(
                 idx_ping=max(0, x - ww // 2), n_pings=ww,
                 idx_range=max(0, y - wh // 2), n_range=wh)
             if not np.any(np.nan_to_num(labels, nan=0) > 0):
-                return [y, x], z
-        return [y, x], z
+                return sample
+        return sample
 
 
 class Seabed:
@@ -121,13 +130,18 @@ class SeabedZarr:
         wh, ww = self.window_size
         for _ in range(_MAX_RETRIES):
             z = self.readers[rng.randint(len(self.readers))]
-            x = rng.randint(ww // 2, z.shape[0] - ww // 2)
+            n_pings = z.shape[0]
+            # surveys narrower than the window: center ping (the memmap
+            # Seabed sampler's _draw_ping guard; the reference's zarr
+            # variant crashes on randint(low >= high), seabed.py:67)
+            x = n_pings // 2 if n_pings <= ww else \
+                int(rng.randint(ww // 2, n_pings - ww // 2))
             y = int(z.get_seabed(x, 1)[0])
             if y <= 0:
                 continue
             y += rng.randint(-(wh // 2), wh // 2 + 1)
             return [y, x], z
-        return [y, x], z
+        return [max(y, 1), x], z  # give-up fallback: last draw, clamped
 
 
 class School:

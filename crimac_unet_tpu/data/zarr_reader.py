@@ -164,7 +164,11 @@ class DataReaderZarr:
         # natively decompressed) pass over the chunk files instead of one
         # read per category
         masks = self.labels[:, ping_sl, rng_sl]
-        out = masks[cat_list.index(-1)] * 0
+        # zero template with the store's nan geometry: category -1 when
+        # present (the production convention), else any category (all are
+        # written with identical extents by the preprocessing chain)
+        tmpl = cat_list.index(-1) if -1 in cat_list else 0
+        out = masks[tmpl] * 0
         for cat in categories:
             mask = masks[cat_list.index(int(cat))]
             out = np.where(mask > 0, float(cat), out)
@@ -179,6 +183,10 @@ class DataReaderZarr:
         if idx_range is None:
             idx_range = 0
         rng_sl = self._range_slice(idx_range, n_range)
+        if self.seabed is None:
+            raise ValueError(
+                f"{self.name}: no {self.name}_bottom.zarr store — "
+                "seabed masks are unavailable for this survey")
         seabed_slice = np.nan_to_num(
             self.seabed["bottom_range"][ping_sl, rng_sl], nan=0.0)
         if seabed_pad != 0:
@@ -196,6 +204,15 @@ class DataReaderZarr:
         the full bottom mask of a real survey (10^5-10^6 pings x ~4k range
         float32) is 1.6-16 GB and must never be materialized at once; only
         the (n_pings,) int vector is kept."""
+        if self._seabed_vec is None and self.seabed is None:
+            # degraded no-bottom-store mode: every ping reports "no
+            # seabed" (consumers map _seabed_has=False to BIG_ROW — no
+            # seabed masking anywhere), instead of crashing every
+            # pipeline entry on a survey missing its _bottom.zarr
+            print(f"WARNING: {self.name}: no _bottom.zarr — treating "
+                  "the survey as seabed-free")
+            self._seabed_vec = np.zeros(self.shape[0], dtype=int)
+            self._seabed_has = np.zeros(self.shape[0], dtype=bool)
         if self._seabed_vec is None:
             total, width = self.shape
             vec = np.empty(total, dtype=int)
@@ -251,6 +268,12 @@ class DataReaderZarr:
                 valid[idx] = True
             df["distance_to_seabed"] = dist
             df["valid_object"] = valid
+        if "valid_object" not in df.columns:
+            # objects CSV shipped its own distance_to_seabed (skipping the
+            # recompute branch above) — derive validity the same way
+            df["valid_object"] = np.asarray(
+                (df["startpingindex"] <= df["endpingindex"])
+                & (df["category"] != -1), dtype=bool)
         df.to_csv(parsed)
         self.objects_df = df
         return df

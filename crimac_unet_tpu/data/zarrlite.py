@@ -261,6 +261,10 @@ class ZArray:
         out = []
         for i, s in enumerate(sel):
             if isinstance(s, slice):
+                if s.step not in (None, 1):
+                    raise NotImplementedError(
+                        "zarrlite supports only contiguous (step-1) "
+                        f"slices, got step={s.step}")
                 out.append(slice(*s.indices(self.shape[i])))
             else:
                 s = int(s)
@@ -328,14 +332,10 @@ class ZArray:
             full = all(s.start <= ci * c and s.stop >= min((ci + 1) * c, dim)
                        for ci, s, c, dim in
                        zip(cidx, sel, self.chunks, self.shape))
-            covers_whole_chunk = all(
-                s.start <= ci * c and s.stop >= (ci + 1) * c
-                for ci, s, c in zip(cidx, sel, self.chunks))
             chunk = (np.full(self.chunks,
                              self.fill_value if self.fill_value is not None
                              else 0, dtype=self.dtype)
-                     if covers_whole_chunk or full
-                     else self._read_chunk(cidx))
+                     if full else self._read_chunk(cidx))
             src, dst = [], []
             for ci, s, c in zip(cidx, sel, self.chunks):
                 c0 = ci * c
@@ -372,9 +372,27 @@ class ZArray:
         self._write_meta()
 
     def resize(self, new_shape) -> None:
-        self.meta["shape"] = [int(s) for s in new_shape]
-        self.shape = tuple(int(s) for s in new_shape)
+        old_shape = self.shape
+        new_shape = tuple(int(s) for s in new_shape)
+        self.meta["shape"] = list(new_shape)
+        self.shape = new_shape
         self._write_meta()
+        # zarr-python deletes chunks that fall entirely outside the new
+        # shape on shrink; without this, stale chunk files resurface as
+        # live data if the array is later grown again (e.g. resume
+        # truncation followed by appends)
+        if any(n < o for n, o in zip(new_shape, old_shape)):
+            import itertools
+            keep = [max(1, -(-n // c)) for n, c in zip(new_shape,
+                                                       self.chunks)]
+            old_grid = [max(1, -(-o // c)) for o, c in zip(old_shape,
+                                                           self.chunks)]
+            for cidx in itertools.product(*(range(g) for g in old_grid)):
+                if all(ci < k for ci, k in zip(cidx, keep)):
+                    continue
+                p = self.path / self._chunk_key(cidx)
+                if p.is_file():
+                    p.unlink()
 
 
 class ZGroup:

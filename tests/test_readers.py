@@ -176,3 +176,66 @@ def test_zarr_seabed_streams_in_bounded_chunks(zarr_sv_path, monkeypatch):
     assert np.array_equal(r._seabed_has, oracle_mask.max(axis=1) > 0)
     assert 0 < rec.max_rows <= cap
     assert rec.max_rows < r.shape[0], "reads were not chunked"
+
+
+def test_zarr_survey_without_bottom_store_degrades(tmp_path):
+    """A survey missing its _bottom.zarr opens and reports every ping as
+    seabed-free (consumers see _seabed_has=False -> no seabed masking)
+    instead of crashing every pipeline entry (code-review finding)."""
+    import shutil
+    sv = make_zarr_survey(tmp_path, year=2018, n_echograms=1, H=60, W=120,
+                          seed=9)
+    bottom = sv.replace("_sv.zarr", "_bottom.zarr")
+    shutil.rmtree(bottom)
+    r = DataReaderZarr(sv)
+    sb = r.get_seabed(0, r.shape[0])
+    assert sb.shape == (r.shape[0],)
+    np.testing.assert_array_equal(sb, 0)
+    assert not r._seabed_has.any()
+    with pytest.raises(ValueError, match="bottom"):
+        r.get_seabed_mask(0, 10)
+
+
+def test_objects_csv_with_shipped_distance_gets_valid_column(tmp_path):
+    """An objects CSV that already ships distance_to_seabed skips the
+    recompute branch; valid_object must still be derived so
+    get_fish_schools works (code-review finding)."""
+    import pandas as pd
+    sv = make_zarr_survey(tmp_path, year=2019, n_echograms=1, H=60, W=120,
+                          seed=10)
+    r = DataReaderZarr(sv)
+    df0 = r.get_objects_file()
+    # rewrite the source CSV with a filled distance column, clear caches
+    src = pd.read_csv(r.objects_df_path)
+    src["distance_to_seabed"] = 5.0
+    src.to_csv(r.objects_df_path, index=False)
+    import os
+    parsed = os.path.join(r.path, r.name + "_objects_parsed.csv")
+    if os.path.isfile(parsed):
+        os.remove(parsed)
+    r.objects_df = None
+    df = r.get_objects_file()
+    assert "valid_object" in df.columns
+    schools = r.get_fish_schools(category="all")
+    assert len(schools) >= 0  # no AttributeError
+
+
+def test_zarr_samplers_survive_degenerate_surveys(tmp_path):
+    """BackgroundZarr/SeabedZarr on narrow surveys and degenerate STOX
+    ranges: no UnboundLocalError / randint crashes; fallback samples are
+    consistent (y, x, reader) triples (code-review findings)."""
+    from crimac_unet_tpu.data.samplers import BackgroundZarr, SeabedZarr
+    sv = make_zarr_survey(tmp_path, year=2020, n_echograms=1, H=60, W=40,
+                          seed=11)  # 40 pings < 256 window
+    r = DataReaderZarr(sv)
+    rng = np.random.RandomState(0)
+    sb = SeabedZarr([r], window_size=(256, 256))
+    for _ in range(5):
+        (y, x), z = sb.get_sample(rng)
+        assert z is r and 0 <= x < r.shape[0]
+    bg = BackgroundZarr([r], window_size=(256, 256))
+    # degenerate valid-ping range (start == end)
+    r.get_valid_pings = lambda: [(3, 3)]
+    for _ in range(3):
+        (y, x), z = bg.get_sample(rng)
+        assert z is r and x == 3 and y >= 0

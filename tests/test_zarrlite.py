@@ -85,3 +85,33 @@ def test_zarr_interop_layout(tmp_path, rng):
     raw = zlib.decompress((tmp_path / "i.zarr" / "0.0").read_bytes())
     np.testing.assert_array_equal(
         np.frombuffer(raw, np.float32).reshape(8, 8), data)
+
+
+def test_strided_slices_rejected(tmp_path):
+    """zarrlite reads are contiguous-only; a silent step-discard used to
+    return wrong data for arr[::2] (code-review finding)."""
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    g = ZGroup.create(tmp_path / "g")
+    a = g.create_array("x", (10,), (4,), np.float32, fill_value=0)
+    a[:] = np.arange(10, dtype=np.float32)
+    with pytest.raises(NotImplementedError):
+        a[::2]
+    with pytest.raises(NotImplementedError):
+        a[::-1]
+
+
+def test_shrink_then_grow_reads_fill_not_stale(tmp_path):
+    """resize-shrink deletes now-out-of-bounds chunk files like
+    zarr-python, so a later grow reads fill_value, not resurrected stale
+    data (code-review finding)."""
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    g = ZGroup.create(tmp_path / "g")
+    a = g.create_array("x", (20,), (10,), np.float32, fill_value=0)
+    a[:] = np.arange(20, dtype=np.float32)
+    a.resize((5,))
+    a.resize((20,))
+    out = a[:]
+    np.testing.assert_array_equal(out[:5], np.arange(5))
+    # rows 10-19 lived in a fully-deleted chunk -> fill; rows 5-9 live in
+    # the kept boundary chunk (stock zarr keeps those bytes too)
+    np.testing.assert_array_equal(out[10:], np.zeros(10))

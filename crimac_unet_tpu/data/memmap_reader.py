@@ -105,15 +105,25 @@ class Echogram:
     # ------------------------------------------------------------ raw data
     def data_memmaps(self, frequencies=None):
         """One read-only memmap per requested frequency
-        (reference data_reader.py:352-364)."""
+        (reference data_reader.py:352-364).  Cached per frequency: the
+        hot sampling path calls this per crop, and re-mmapping the same
+        immutable files thousands of times per run is pure syscall churn.
+        """
         if frequencies is None:
             frequencies = self.frequencies[:]
         if np.isscalar(frequencies):
             frequencies = [frequencies]
-        return [np.memmap(os.path.join(
-                    self.path, f"data_for_freq_{int(f)}.dat"),
+        if not hasattr(self, "_memmap_cache"):
+            self._memmap_cache = {}
+        out = []
+        for f in frequencies:
+            f = int(f)
+            if f not in self._memmap_cache:
+                self._memmap_cache[f] = np.memmap(
+                    os.path.join(self.path, f"data_for_freq_{f}.dat"),
                     dtype=self.data_dtype, mode="r", shape=self.shape)
-                for f in frequencies]
+            out.append(self._memmap_cache[f])
+        return out
 
     def data_numpy(self, frequencies=None):
         """(H, W, C) float32 array of the full echogram

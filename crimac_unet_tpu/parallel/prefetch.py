@@ -15,6 +15,10 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     ahead.  jax device_put is async; holding references to in-flight arrays
     is all that's needed to overlap."""
     import collections
+    # depth <= 0 would yield NOTHING (the fill loop never runs and the
+    # drain loop exits immediately), silently truncating training to zero
+    # iterations — clamp to synchronous single-batch behavior instead
+    depth = max(1, int(depth))
     buf = collections.deque()
 
     def put(batch):

@@ -43,13 +43,21 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(config: dict) -> optax.GradientTransformation:
-    lr = optax.exponential_decay(
+def make_lr_schedule(config: dict):
+    """The training LR schedule (reference ExponentialLR stepped every
+    lr_step batches, pipeline.py:156-157,187-189).  Exposed so logging
+    reads the SAME schedule the optimizer runs (no hand-derived copy to
+    fall out of sync)."""
+    return optax.exponential_decay(
         init_value=float(config["lr"]),
         transition_steps=int(config["lr_step"]),
         decay_rate=float(config["lr_reduction"]),
         staircase=True)
-    return optax.sgd(learning_rate=lr, momentum=float(config["momentum"]))
+
+
+def make_optimizer(config: dict) -> optax.GradientTransformation:
+    return optax.sgd(learning_rate=make_lr_schedule(config),
+                     momentum=float(config["momentum"]))
 
 
 def init_train_state(model: UNet, config: dict, rng) -> TrainState:
@@ -313,10 +321,18 @@ def make_eval_step(model: UNet, config: dict):
 
 
 # ------------------------------------------------------------- checkpoints
-def save_checkpoint(path, state_or_vars) -> None:
+def save_checkpoint(path, state_or_vars, extras=None) -> None:
     """Serialize {'params', 'batch_stats'} (and optimizer state if given) to
     a msgpack file — the framework's ``best``/``last`` checkpoint format
-    (reference saves torch state_dicts, pipeline.py:199-203/:336-341)."""
+    (reference saves torch state_dicts, pipeline.py:199-203/:336-341).
+    ``extras`` writes scalar metadata (e.g. the best validation F1) to an
+    atomic ``<path>.json`` sidecar — kept out of the msgpack so flax's
+    template-based restore still sees exactly the TrainState structure.
+
+    The write is atomic (temp file + os.replace): a crash mid-write — the
+    exact scenario periodic checkpointing exists for — must never destroy
+    the previous good checkpoint."""
+    import json
     if isinstance(state_or_vars, TrainState):
         payload = {"params": state_or_vars.params,
                    "batch_stats": state_or_vars.batch_stats,
@@ -324,9 +340,27 @@ def save_checkpoint(path, state_or_vars) -> None:
                    "step": state_or_vars.step}
     else:
         payload = state_or_vars
-    os.makedirs(os.path.dirname(str(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    path = str(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(payload)))
+    os.replace(tmp, path)
+    if extras is not None:
+        with open(path + ".json.tmp", "w") as f:
+            json.dump(extras, f)
+        os.replace(path + ".json.tmp", path + ".json")
+
+
+def load_checkpoint_extras(path) -> dict:
+    """Scalar metadata sidecar written by :func:`save_checkpoint`
+    (empty dict when absent)."""
+    import json
+    sidecar = str(path) + ".json"
+    if os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    return {}
 
 
 def load_checkpoint(path, template=None) -> dict:

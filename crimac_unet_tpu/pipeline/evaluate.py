@@ -71,8 +71,11 @@ def main(argv=None):
     print("Executed time for loading data partition object (min):"
           f" {np.round((time.time() - start) / 60, 2)}")
 
-    run_id = os.path.normpath(str(config["checkpoint_path"])).split(
-        os.path.sep)[-2]
+    parts = os.path.normpath(str(config["checkpoint_path"])).split(
+        os.path.sep)
+    # a bare filename has no run directory; fall back to its stem
+    run_id = parts[-2] if len(parts) >= 2 else \
+        os.path.splitext(parts[-1])[0]
     metrics_dir = os.path.join(str(config["save_path_metrics"]),
                                experiment_name, run_id)
     plot_dir = os.path.join(str(config["save_path_plot"]),

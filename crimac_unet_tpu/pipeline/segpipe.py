@@ -47,6 +47,7 @@ class SegPipeUNet:
             self.mesh = get_mesh(1)
         self._train_step = engine.make_train_step(self.model, config)
         self._eval_step = engine.make_eval_step(self.model, config)
+        self._lr_schedule = engine.make_lr_schedule(config)
         self.pool = None
         self._train_step_pooled = None
         self.pool_val = None
@@ -102,6 +103,12 @@ class SegPipeUNet:
         """Resume TRAINING from a checkpoint incl. optimizer state and step
         counter — a capability the reference lacks (it only saves bare
         state_dicts, SURVEY.md §5 checkpoint/resume)."""
+        if str(checkpoint_path).endswith(".pt"):
+            raise ValueError(
+                "Reference .pt checkpoints carry no optimizer state or "
+                "step counter and cannot seed a TRAINING resume; import "
+                "the weights with load_model_params/--checkpoint_path "
+                "instead (training then starts from step 0)")
         self.init_model()
         template = {"params": self.state.params,
                     "batch_stats": self.state.batch_stats,
@@ -112,6 +119,12 @@ class SegPipeUNet:
             step=payload["step"], params=payload["params"],
             batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"])
+        # restore the best-F1 high-water mark (sidecar) so the first
+        # post-resume validation cannot clobber best.msgpack with a worse
+        # model than the pre-crash best
+        extras = engine.load_checkpoint_extras(checkpoint_path)
+        if "best_f1" in extras and np.isfinite(extras["best_f1"]):
+            self.best_F1_val = float(extras["best_f1"])
         if len(self.mesh.devices.ravel()) > 1:
             self.state = replicate_tree(self.mesh, self.state)
         return self.state
@@ -137,8 +150,6 @@ class SegPipeUNet:
 
         log_step = int(self.config["log_step"])
         lr_step = int(self.config["lr_step"])
-        lr0 = float(self.config["lr"])
-        gamma = float(self.config["lr_reduction"])
         # periodic resumable checkpointing (crash recovery mid-training;
         # the reference has nothing comparable — SURVEY.md §5)
         ckpt_every = int(self.config.get("checkpoint_every", 0) or 0)
@@ -191,18 +202,22 @@ class SegPipeUNet:
                 self.validate_model_training(make_test_batches(), logger,
                                              i)
             if logger is not None and (i + 1) % lr_step == 0:
-                lr = lr0 * gamma ** ((i + 1) // lr_step)
+                # read the SAME optax schedule the optimizer runs
+                lr = float(self._lr_schedule(i + 1))
                 logger.add_scalar("learning_rate_0", lr, global_step=i + 1)
             if ckpt_every and self.checkpoint_dir is not None and \
                     (i + 1) % ckpt_every == 0:
                 engine.save_checkpoint(
-                    self.checkpoint_dir / "last.msgpack", self.state)
+                    self.checkpoint_dir / "last.msgpack", self.state,
+                    extras={"best_f1": float(self.best_F1_val)})
         flush_losses(i + 1)
 
         if self.config.get("save_model_params", True) and \
                 self.checkpoint_dir is not None:
             engine.save_checkpoint(self.checkpoint_dir / "last.msgpack",
-                                   self.state)
+                                   self.state,
+                                   extras={"best_f1":
+                                           float(self.best_F1_val)})
         self.variables = {"params": self.state.params,
                           "batch_stats": self.state.batch_stats}
         return self.state
@@ -211,6 +226,11 @@ class SegPipeUNet:
         """Validation pass: streaming PR histogram + mean loss; checkpoint
         best-F1 (reference pipeline.py:305-341)."""
         hist = M.new_histogram()
+        # int64 host accumulation: a single validation pass can exceed
+        # 2^31 pixels (test_iter x large multi-chip batches), which would
+        # wrap the int32 device carry (same fix as evaluate_reader)
+        hist64 = np.zeros((2, M.N_F16_BINS), np.int64)
+        acc_px = 0
         losses = []
         for batch in test_batches:
             if "ech_idx" in batch:  # pooled: on-device crop gather
@@ -231,7 +251,15 @@ class SegPipeUNet:
                 hist, loss = self._eval_step(*args, overlap=0,
                                              with_loss=True)
             losses.append(loss)
-        curve = M.pr_curve_from_histogram(np.asarray(hist))
+            acc_px += int(np.prod(batch["labels"].shape)) \
+                if "labels" in batch else \
+                len(batch["ech_idx"]) * int(np.prod(self.config["patch_size"]))
+            if acc_px > 2 ** 30:
+                hist64 += np.asarray(hist).astype(np.int64)
+                hist = M.new_histogram()
+                acc_px = 0
+        hist64 += np.asarray(hist).astype(np.int64)
+        curve = M.pr_curve_from_histogram(hist64)
         f1, idx = M.max_f1(curve)
         mean_loss = float(np.mean([float(l) for l in losses])) if losses \
             else 0.0
@@ -249,7 +277,8 @@ class SegPipeUNet:
         if f1 > self.best_F1_val and self.checkpoint_dir is not None:
             self.best_F1_val = f1
             engine.save_checkpoint(self.checkpoint_dir / "best.msgpack",
-                                   self.state)
+                                   self.state,
+                                   extras={"best_f1": float(f1)})
         return f1, mean_loss
 
 

@@ -50,7 +50,7 @@ def make_datasets(config, data_obj):
     return train_factory, test_factory, readers_train, readers_test
 
 
-def maybe_build_pool(config, readers_train):
+def maybe_build_pool(config, readers_train, budget_mb=None):
     """HBM-resident sample pool when enabled and within the HBM budget.
 
     ``use_device_pool``: ``"auto"`` (default) pools whenever the train
@@ -65,9 +65,10 @@ def maybe_build_pool(config, readers_train):
     freqs = sorted(config["frequencies"])
     if not readers_train:
         return None
+    if budget_mb is None:
+        budget_mb = config.get("device_pool_budget_mb", 2048)
     if mode == "auto" and not dp.fits_budget(
-            readers_train, freqs, window,
-            config.get("device_pool_budget_mb", 2048)):
+            readers_train, freqs, window, budget_mb):
         mb = dp.pool_bytes(readers_train, freqs, window) / 2 ** 20
         print(f"device pool would need {mb:.0f} MB > budget; "
               f"training from host crops")
@@ -96,7 +97,17 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
     # test_iter x batch crops from the validation readers every log_step;
     # gathering those on device too removes the last bulk host-crop path
     # from the training loop (budget-gated like the train pool)
-    pool_val = maybe_build_pool(config, readers_test)
+    # gate the validation pool against the budget REMAINING after the
+    # train pool — both are resident simultaneously, and 'auto' must not
+    # allocate up to 2x the configured HBM budget
+    from ..data import device_pool as dp
+    budget = int(config.get("device_pool_budget_mb", 2048))
+    if pool is not None:
+        budget -= int(dp.pool_bytes(readers_train,
+                                    sorted(config["frequencies"]),
+                                    tuple(config["patch_size"])) / 2 ** 20)
+    pool_val = maybe_build_pool(config, readers_test,
+                                budget_mb=max(budget, 0))
     if pool_val is not None:
         base_test_factory = test_factory
 
@@ -134,8 +145,17 @@ def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
         train_factory, config["batch_size"], n_batches,
         num_workers=config.get("num_workers", 4))
 
+    # fresh validation draws EVERY pass (the reference's torch Dataset
+    # advances the global RNG between validations, so each validation
+    # epoch scores different random crops, train.py:84-110); a fixed
+    # seed here would score the identical batch set six times and let
+    # best-F1 selection overfit one sample set.  Still deterministic
+    # given random_seed: pass k always draws the same (distinct) crops.
+    import itertools
+    _val_pass = itertools.count()
+
     def make_test_batches():
-        ds = test_factory(seed_offset=777)
+        ds = test_factory(seed_offset=777 + 1009 * next(_val_pass))
         return (ds.batch(config["batch_size"])
                 for _ in range(int(config["test_iter"])))
 

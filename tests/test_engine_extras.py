@@ -129,3 +129,56 @@ def test_work_parquet_label_mask(tmp_path):
     assert labels.shape == r.shape
     assert labels[5].max() == 27
     assert (labels[5] == 27).sum() >= 9
+
+
+def test_checkpoint_extras_sidecar_and_atomic_write(tmp_path):
+    """save_checkpoint writes via temp+rename and records extras in a
+    sidecar; load_checkpoint_extras round-trips (code-review findings:
+    in-place truncation could destroy the previous good checkpoint, and
+    best_F1 was lost across resume)."""
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline import engine
+    config = {"patch_size": [16, 16], "frequencies": [38],
+              "lr": 0.005, "lr_step": 2, "lr_reduction": 0.5,
+              "momentum": 0.95, "depth": 2, "start_filts": 2}
+    model = build_unet(config)
+    state = engine.init_train_state(model, config, jax.random.PRNGKey(0))
+    p = tmp_path / "ck" / "last.msgpack"
+    engine.save_checkpoint(p, state, extras={"best_f1": 0.55})
+    assert engine.load_checkpoint_extras(p) == {"best_f1": 0.55}
+    assert not (tmp_path / "ck" / "last.msgpack.tmp").exists()
+    payload = engine.load_checkpoint(p, template={
+        "params": state.params, "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state, "step": state.step})
+    assert int(payload["step"]) == 0
+    assert engine.load_checkpoint_extras(tmp_path / "nope.msgpack") == {}
+
+
+def test_resume_from_rejects_pt_checkpoints(tmp_path):
+    from crimac_unet_tpu.pipeline.segpipe import SegPipeUNet
+    config = {"patch_size": [16, 16], "frequencies": [38], "lr": 0.005,
+              "lr_step": 2, "lr_reduction": 0.5, "momentum": 0.95,
+              "depth": 2, "start_filts": 2, "batch_size": 2,
+              "log_step": 2, "random_seed": 1}
+    sp = SegPipeUNet(config)
+    with pytest.raises(ValueError, match="optimizer state"):
+        sp.resume_from(tmp_path / "weights.pt")
+
+
+def test_device_prefetch_depth_zero_yields_everything():
+    """depth <= 0 used to silently yield NOTHING, truncating training to
+    zero iterations (code-review finding)."""
+    from crimac_unet_tpu.parallel.prefetch import device_prefetch
+    batches = [{"x": np.full(2, i)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), None, depth=0))
+    assert len(out) == 5
+    np.testing.assert_array_equal(np.asarray(out[3]["x"]), [3, 3])
+
+
+def test_lr_schedule_matches_reference_staircase():
+    from crimac_unet_tpu.pipeline import engine
+    sched = engine.make_lr_schedule({"lr": 0.005, "lr_step": 1000,
+                                     "lr_reduction": 0.5})
+    assert float(sched(999)) == pytest.approx(0.005)
+    assert float(sched(1000)) == pytest.approx(0.0025)
+    assert float(sched(3000)) == pytest.approx(0.005 * 0.5 ** 3)

@@ -54,20 +54,12 @@ def get_transducer_depths(echogram, root_depths=None) -> np.ndarray:
 
 def compensate_heave(echogram, labels: np.ndarray) -> np.ndarray:
     """Revert the heave correction on a label mask
-    (reference generate_maskfromJson_python.py:58-78)."""
-    r = echogram.range_vector
-    r_diff = np.median(r[1:] - r[:-1])
-    heave = np.round(np.atleast_1d(echogram.heave) / r_diff).astype(int)
-    assert heave.size == echogram.shape[1]
-    out = np.zeros_like(labels)
-    for x, h in enumerate(heave):
-        if h == 0:
-            out[:, x] = labels[:, x]
-        elif h > 0:
-            out[:-h, x] = labels[h:, x]
-        else:
-            out[-h:, x] = labels[:h, x]
-    return out
+    (reference generate_maskfromJson_python.py:58-78) — delegates to the
+    shared shift in data/preprocess.py so the two heave paths cannot
+    diverge."""
+    from .preprocess import heave_shift_labels
+    return heave_shift_labels(labels, echogram.range_vector,
+                              echogram.heave)
 
 
 def get_korona_labels(echogram, korona_list, transducer_depths=None
@@ -94,8 +86,15 @@ def get_korona_labels(echogram, korona_list, transducer_depths=None
         for minmax in ping["depthRanges"]:
             offset = transducer_depths[n_x, 0]
             assert minmax["min"] >= offset
-            n_y_min = int(np.argmax(minmax["min"] - offset < range_vector))
-            n_y_max = int(np.argmax(minmax["max"] - offset < range_vector))
+            # argmax of an all-False comparison is 0, which would
+            # silently DROP regions extending below the echogram's last
+            # range cell — clip them to the bottom instead
+            def first_true_or(end, cond):
+                return int(np.argmax(cond)) if cond.any() else end
+            n_y_min = first_true_or(len(range_vector),
+                                    minmax["min"] - offset < range_vector)
+            n_y_max = first_true_or(len(range_vector),
+                                    minmax["max"] - offset < range_vector)
             labels[n_y_min:n_y_max, n_x] = 1
 
     return compensate_heave(echogram, labels)

@@ -38,13 +38,18 @@ def objects_from_label_image(label_img: np.ndarray) -> list:
     """Connected components per fish type -> reference 'objects' dicts
     (generate_memmap_files.py:128-156)."""
     objects = []
-    indexes = np.indices(label_img.shape).transpose([1, 2, 0])
     for fish_type_ind in np.unique(label_img):
         if fish_type_ind == 0:
             continue
         labeled_img, n_components = ndimage.label(label_img == fish_type_ind)
+        # bounded memory: per-component bbox slices from find_objects +
+        # argwhere restricted to each slice, instead of a full-image int64
+        # index cube (~4 GB at survey scale) rescanned once per component
+        slices = ndimage.find_objects(labeled_img)
         for i in range(1, n_components + 1):
-            idx = indexes[labeled_img == i]
+            sl = slices[i - 1]
+            local = np.argwhere(labeled_img[sl] == i)
+            idx = local + np.array([sl[0].start, sl[1].start])
             bbox = [int(idx[:, 0].min()), int(idx[:, 0].max()),
                     int(idx[:, 1].min()), int(idx[:, 1].max())]
             area = (bbox[1] - bbox[0] + 1) * (bbox[3] - bbox[2] + 1)

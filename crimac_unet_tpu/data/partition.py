@@ -48,10 +48,14 @@ class _DataPartition:
     def get_gridded_survey_sampler(self, year):
         """Gridded sampler covering all of one survey's data
         (reference partition.py:177-186 / :365-376)."""
+        # the config spells trace mode 'fish' (evaluate.py's _MODE_MAP);
+        # Gridded expects 'trace' — an unmapped 'fish' would silently fall
+        # through to full-grid 'all'
+        mode = {"fish": "trace"}.get(self.eval_mode, self.eval_mode)
         return [S.Gridded(self.get_survey_readers(year),
                           window_size=self.window_size,
                           patch_overlap=self.patch_overlap,
-                          mode=self.eval_mode)]
+                          mode=mode)]
 
     def _sampler_battery(self, readers, sampler_types):
         (Bg, Sb, Sc, ScSb) = sampler_types

@@ -16,16 +16,43 @@ import numpy as np
 from .zarrlite import ZGroup
 
 
-def matlab_time_to_datetime64(time_vector) -> np.ndarray:
-    """MATLAB ordinal-date floats -> datetime64[ns]
-    (reference memmap_to_zarr.py:28-31)."""
-    out = np.empty(len(time_vector), dtype="<M8[ns]")
-    for i, t in enumerate(np.asarray(time_vector, dtype=float)):
-        days = t % 1
-        out[i] = np.datetime64(
-            datetime.fromordinal(int(t)) + timedelta(days=days)
-            - timedelta(days=366), "ns")
+def heave_shift_labels(labels: np.ndarray, range_vector,
+                       heave) -> np.ndarray:
+    """Shift each label column (ping) vertically by
+    ``round(heave / median-range-step)`` pixels — the single source of
+    truth for the heave reversal used by both ``labels_heave.dat``
+    generation and the Korona mask path
+    (reference generate_heave_compensation_files.py:31-63 ==
+    generate_maskfromJson_python.py:58-78)."""
+    r = np.asarray(range_vector)
+    r_diff = np.median(r[1:] - r[:-1])
+    shifts = np.round(np.atleast_1d(heave) / r_diff).astype(int)
+    assert shifts.size == labels.shape[1]
+    out = np.zeros_like(labels)
+    for x, h in enumerate(shifts):
+        if h == 0:
+            out[:, x] = labels[:, x]
+        elif h > 0:
+            out[:-h, x] = labels[h:, x]
+        else:
+            out[-h:, x] = labels[:h, x]
     return out
+
+
+def matlab_time_to_datetime64(time_vector) -> np.ndarray:
+    """MATLAB ordinal-date floats -> datetime64[ns], vectorized
+    (reference memmap_to_zarr.py:28-31; same epoch arithmetic as
+    memmap_reader._matlab_time_to_datetime)."""
+    t = np.asarray(time_vector, dtype=np.float64)
+    # split whole days (exact int64 arithmetic) from the day fraction
+    # (< 1, so float64 keeps sub-ns precision) — multiplying the full
+    # ordinal by ns/day would lose ~us of precision
+    days_int = np.floor(t).astype(np.int64)
+    frac = t - days_int
+    # ordinal 719163 == 1970-01-01; MATLAB ordinals carry a +366-day shift
+    ns = ((days_int - 719163 - 366) * 86_400_000_000_000
+          + np.round(frac * 86_400_000_000_000.0).astype(np.int64))
+    return ns.astype("<M8[ns]")
 
 
 def write_heave_reverted_labels(echogram, force_write: bool = False) -> None:
@@ -37,20 +64,9 @@ def write_heave_reverted_labels(echogram, force_write: bool = False) -> None:
     if os.path.isfile(path) and not force_write:
         return
 
-    r = echogram.range_vector
-    r_diff = np.median(r[1:] - r[:-1])
-    heave = np.round(np.atleast_1d(echogram.heave) / r_diff).astype(int)
-    assert heave.size == echogram.shape[1]
-
     labels_old = echogram.label_numpy(heave=False)
-    labels_new = np.zeros_like(labels_old)
-    for x, h in enumerate(heave):
-        if h == 0:
-            labels_new[:, x] = labels_old[:, x]
-        elif h > 0:
-            labels_new[:-h, x] = labels_old[h:, x]
-        else:
-            labels_new[-h:, x] = labels_old[:h, x]
+    labels_new = heave_shift_labels(labels_old, echogram.range_vector,
+                                    echogram.heave)
 
     # atomic write: lazy generation can race between prefetch threads
     # (a reader must never mmap a half-written file)
@@ -155,7 +171,6 @@ def echograms_to_zarr_survey(echograms, out_dir, survey_name,
             masks[ci, :, :H] = (labels == cat).T.astype(np.float32)
         ann[:, p0:p0 + W, :] = masks
 
-        bot = np.full((W, max_range), np.nan, np.float32)
         cols_idx = np.arange(max_range)[None, :]
         bot = np.where(cols_idx >= seabed[:, None], 1.0, np.nan
                        ).astype(np.float32)
@@ -205,6 +220,12 @@ def echograms_to_zarr_survey(echograms, out_dir, survey_name,
                          dims=["range"])[:] = range_vector
 
     import pandas as pd
-    pd.DataFrame(rows).to_csv(
+    # explicit columns: a survey with ZERO school objects must still write
+    # a header row (a columnless CSV crashes pd.read_csv in every
+    # downstream consumer)
+    obj_cols = ["object", "category", "upperdepthindex", "lowerdepthindex",
+                "startpingindex", "endpingindex", "upperdepth",
+                "lowerdepth", "distance_to_seabed", "valid_object"]
+    pd.DataFrame(rows, columns=obj_cols).to_csv(
         os.path.join(out_dir, f"{survey_name}_labels.parquet.csv"),
         index=False)

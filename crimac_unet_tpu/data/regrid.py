@@ -32,12 +32,43 @@ def _overlap_matrix(src_centers, dst_centers):
     return np.clip(hi - lo, 0.0, None)
 
 
+def _overlap_weights(src_centers, dst_centers):
+    """Overlap weights as a sparse (n_dst, n_src) matrix.
+
+    The overlap structure is banded — each target cell overlaps a handful
+    of contiguous source cells — so the weights are built with
+    searchsorted in O(nnz) instead of materializing the dense
+    (n_dst, n_src) matrix (which is ~20 GB for a 50k-ping time-axis
+    regrid).  Falls back to the dense matrix for non-monotonic center
+    vectors (never produced by echogram grids)."""
+    from scipy import sparse
+    se = _edges(src_centers)
+    de = _edges(dst_centers)
+    if np.any(np.diff(se) <= 0) or np.any(np.diff(de) <= 0):
+        return sparse.csr_matrix(_overlap_matrix(src_centers, dst_centers))
+    n_src = len(src_centers)
+    n_dst = len(dst_centers)
+    j0 = np.clip(np.searchsorted(se, de[:-1], side="right") - 1, 0,
+                 n_src - 1)
+    j1 = np.clip(np.searchsorted(se, de[1:], side="left"), j0 + 1, n_src)
+    K = int((j1 - j0).max())
+    cols = j0[:, None] + np.arange(K)[None, :]
+    valid = cols < j1[:, None]
+    cols = np.clip(cols, 0, n_src - 1)
+    lo = np.maximum(de[:-1, None], se[cols])
+    hi = np.minimum(de[1:, None], se[cols + 1])
+    w = np.clip(hi - lo, 0.0, None) * valid
+    rows = np.repeat(np.arange(n_dst), K)
+    return sparse.csr_matrix((w.ravel(), (rows, cols.ravel())),
+                             shape=(n_dst, n_src))
+
+
 def area_weighted_regrid_1d(data, src_centers, dst_centers, axis=0):
     """Overlap-weighted mean along one axis; nan source cells are excluded
     from the average (all-nan target cells become nan), matching
     AreaWeighted(mdtol=1)."""
     data = np.asarray(data, dtype=np.float64)
-    W = _overlap_matrix(src_centers, dst_centers)
+    W = _overlap_weights(src_centers, dst_centers)
     moved = np.moveaxis(data, axis, 0)
     flat = moved.reshape(moved.shape[0], -1)
     finite = np.isfinite(flat)

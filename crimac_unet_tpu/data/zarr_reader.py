@@ -158,6 +158,19 @@ class DataReaderZarr:
         ping_sl = slice(idx_ping, None if n_pings is None
                         else idx_ping + n_pings)
         rng_sl = self._range_slice(idx_range, n_range)
+        if self.annotation is None:
+            # degraded unannotated-survey mode (production prediction
+            # mounts often ship only <name>_sv.zarr): every pixel reads
+            # BACKGROUND, so the predict write mask keeps everything the
+            # sv/seabed tests allow, and nothing label-derived is excluded
+            if not getattr(self, "_warned_no_labels", False):
+                print(f"WARNING: {self.name}: no _labels.zarr — treating "
+                      "the survey as unannotated (all background)")
+                self._warned_no_labels = True
+            n_p = len(range(*ping_sl.indices(self.shape[0])))
+            n_r = len(range(*rng_sl.indices(self.shape[1]))) \
+                if isinstance(rng_sl, slice) else self.shape[1]
+            return np.zeros((n_p, n_r), np.float32)
 
         cat_list = [int(c) for c in self.categories]
         # one region read over ALL categories -> a single (batched,
@@ -407,4 +420,11 @@ def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
                       for f in frequencies)]
     readers = [r for r in readers
                if all(cat in r.fish_categories for cat in (27, 1))]
+    # small-survey filter (parity with get_echograms' minimum_shape:
+    # surveys smaller than the patch in either axis would train on
+    # mostly boundary fill); previously accepted but never applied
+    readers = [r for r in readers if min(r.shape) > minimum_shape]
+    assert len(readers) > 0, \
+        f"No surveys at {path_to_zarr_files} pass the frequency/" \
+        f"category/minimum_shape={minimum_shape} filters"
     return readers

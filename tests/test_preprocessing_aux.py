@@ -187,3 +187,17 @@ def test_visualize_predictions_vs_labels(tmp_path, rng):
     fig = visualize_predictions_vs_labels(reader, tmp_path / "pred.zarr",
                                           save_path=str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_sparse_overlap_weights_match_dense():
+    """The banded searchsorted weight construction (bounded memory at
+    survey scale) is numerically identical to the dense overlap matrix."""
+    from crimac_unet_tpu.data.regrid import (_overlap_matrix,
+                                             _overlap_weights)
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        src = np.cumsum(0.1 + rng.rand(rng.randint(5, 60)))
+        dst = np.cumsum(0.05 + rng.rand(rng.randint(4, 80)) * 1.7)
+        dense = _overlap_matrix(src, dst)
+        sparse = _overlap_weights(src, dst).toarray()
+        np.testing.assert_allclose(sparse, dense, atol=1e-12)

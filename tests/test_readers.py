@@ -133,10 +133,15 @@ def test_zarr_memmap_crop_equivalence(tmp_path):
 def test_get_zarr_readers_nested_layout(tmp_path):
     make_zarr_survey(tmp_path, year=2016, n_echograms=1, H=80, W=150,
                      seed=5, layout="nested")
-    readers = get_zarr_readers(years=[2016],
+    readers = get_zarr_readers(years=[2016], minimum_shape=64,
                                path_to_zarr_files=str(tmp_path))
     assert len(readers) == 1
     assert readers[0].name == "S2016843"
+    # the minimum_shape filter is actually applied (it used to be
+    # accepted and ignored)
+    with pytest.raises(AssertionError, match="minimum_shape"):
+        get_zarr_readers(years=[2016], minimum_shape=100,
+                         path_to_zarr_files=str(tmp_path))
 
 
 def test_zarr_seabed_streams_in_bounded_chunks(zarr_sv_path, monkeypatch):
@@ -239,3 +244,33 @@ def test_zarr_samplers_survive_degenerate_surveys(tmp_path):
     for _ in range(3):
         (y, x), z = bg.get_sample(rng)
         assert z is r and x == 3 and y >= 0
+
+
+def test_predict_survey_without_labels_store(tmp_path):
+    """Production prediction mounts often ship only <name>_sv.zarr; the
+    predict path must run in the degraded all-background mode instead of
+    crashing on the missing annotation store (code-review finding)."""
+    import shutil
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (
+        GriddedRunner, save_survey_predictions_zarr)
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+
+    sv = make_zarr_survey(tmp_path, year=2021, n_echograms=1, H=96, W=150,
+                          seed=13)
+    shutil.rmtree(sv.replace("_sv.zarr", "_labels.zarr"))
+    r = DataReaderZarr(sv)
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    import jax
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    runner = GriddedRunner(model, v, cfg)
+    target = str(tmp_path / "pred.zarr")
+    save_survey_predictions_zarr(runner, r, target, preload_n_pings=60)
+    ann = ZGroup.open(target)["annotation"]
+    assert ann.shape == (2, 150, 96)
+    assert (np.asarray(ann[:, :, :]) > 0).any()

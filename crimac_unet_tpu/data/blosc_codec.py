@@ -222,6 +222,10 @@ def batch_decompress_into(frames: list, dsts: list) -> None:
     overhead) when available, else a thread pool over the ctypes call
     (which releases the GIL), else serial pure-python."""
     assert len(frames) == len(dsts)
+    for d in dsts:
+        # raw pointers go to native code: a non-contiguous view would be
+        # silently overwritten linearly from its first element
+        assert d.flags["C_CONTIGUOUS"], "dst must be C-contiguous"
     n = len(frames)
     if n == 0:
         return

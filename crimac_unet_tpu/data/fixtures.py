@@ -114,11 +114,18 @@ def write_memmap_echogram(path, name, data, labels, heave,
     _save_pickle(folder, "frequencies", np.asarray(frequencies, dtype=float))
     _save_pickle(folder, "range_vector",
                  np.arange(H, dtype=np.float64) * range_step)
-    # MATLAB ordinal-date floats (reference data_reader.py:64-67); one ping/s.
-    # MATLAB datenum(year,4,27) = proleptic ordinal + 366.
+    # MATLAB ordinal-date floats (reference data_reader.py:64-67); one
+    # ping/s, starting at the date+time ENCODED IN THE NAME (so multiple
+    # echograms of one survey get monotonic, non-overlapping ping_time —
+    # the old hard-coded day made every echogram share timestamps, which
+    # broke time-window matching across the concatenated survey axis)
     import datetime as _dt
-    year = int(name[9:13])
-    t0 = float(_dt.date(year, 4, 27).toordinal() + 366)
+    datestr = name.split("-D")[1][:8]
+    timestr = name.split("-T")[1][:6]
+    day = _dt.date(int(datestr[:4]), int(datestr[4:6]), int(datestr[6:8]))
+    secs = (int(timestr[:2]) * 3600 + int(timestr[2:4]) * 60
+            + int(timestr[4:6]))
+    t0 = float(day.toordinal() + 366) + secs / 86400.0
     _save_pickle(folder, "time_vector",
                  t0 + np.arange(W, dtype=np.float64) / 86400.0)
     _save_pickle(folder, "heave", np.asarray(heave, dtype=np.float64))
@@ -150,7 +157,9 @@ def make_survey_dir(path, year=2017, n_echograms=2, H=120, W=300, seed=0,
     rng = np.random.RandomState(seed)
     dirs = []
     for i in range(n_echograms):
-        name = f"{year}843-D{year}04{27 + i:02d}-T0626{i:02d}"
+        import datetime as _dt
+        d = _dt.date(year, 4, 27) + _dt.timedelta(days=i)
+        name = f"{year}843-D{d:%Y%m%d}-T0626{i % 60:02d}"
         data, labels, heave, _ = make_synthetic_echogram(
             H, W, rng, frequencies, n_schools=n_schools,
             unused_species=unused_species)

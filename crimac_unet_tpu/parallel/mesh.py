@@ -47,7 +47,10 @@ def init_distributed(coordinator_address=None, num_processes=None,
         jax.distributed.initialize(**kwargs)
         return True
     except RuntimeError as exc:  # already initialized
-        if "already" in str(exc).lower():
+        # jax's message is "distributed.initialize should only be called
+        # once." (no 'already' in it)
+        msg = str(exc).lower()
+        if "already" in msg or "only be called once" in msg:
             return True
         raise
 
@@ -72,14 +75,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict on the mesh, batch axis sharded.
 
-    Pads the batch to a multiple of the mesh size if needed (padding
-    samples are dropped by the caller's loss masking — only used for the
-    final partial batch)."""
-    sharding = batch_sharding(mesh)
-    out = {}
+    Every array's leading axis must be a multiple of the mesh size
+    (checked loudly here — XLA's divisibility error names neither the
+    key nor the batch); callers size their batches to the mesh
+    (SegPipeUNet falls back to single-device otherwise)."""
+    n = len(mesh.devices.ravel())
     for k, v in batch.items():
-        out[k] = jax.device_put(v, sharding)
-    return out
+        if np.ndim(v) and np.shape(v)[0] % n != 0:
+            raise ValueError(
+                f"batch['{k}'] leading axis {np.shape(v)[0]} is not "
+                f"divisible by the {n}-device mesh")
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
 def replicate_tree(mesh: Mesh, tree):

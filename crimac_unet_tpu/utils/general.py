@@ -55,9 +55,14 @@ class PhaseTimer:
         return dt
 
     def report(self) -> str:
+        # snapshot under the lock: a prefetch thread's first stop() of a
+        # new phase can otherwise resize the dict mid-iteration
+        with self._lock:
+            items = sorted(self.totals.items(), key=lambda kv: -kv[1])
+            counts = dict(self.counts)
         lines = []
-        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
-            n = self.counts[name]
+        for name, total in items:
+            n = counts[name]
             lines.append(f"{name:<32s} total {total:8.3f}s  n={n:<6d} "
                          f"mean {total / max(n, 1) * 1e3:8.2f}ms")
         return "\n".join(lines)

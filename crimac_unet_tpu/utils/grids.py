@@ -59,7 +59,7 @@ def extract_crop_3d(arr, center, window, boundary_val):
     cy0, cx0 = max(y0, 0), max(x0, 0)
     cy1, cx1 = min(y1, H), min(x1, W)
 
-    out = np.full((C,) + tuple(window), boundary_val, dtype=np.float32)
+    out = np.full((C,) + tuple(window), boundary_val, dtype=arr.dtype)
     if cy1 > cy0 and cx1 > cx0:
         out[:, cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = arr[:, cy0:cy1, cx0:cx1]
     return out

@@ -59,8 +59,10 @@ def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
         W, H = reader.shape
     else:
         H, W = reader.shape
-    n_pings = n_pings or (W - ping_idx)
-    n_range = n_range or (H - range_idx)
+    if n_pings is None:
+        n_pings = W - ping_idx
+    if n_range is None:
+        n_range = H - range_idx
     n_pings = min(n_pings, W - ping_idx)
     n_range = min(n_range, H - range_idx)
 
@@ -200,11 +202,16 @@ def visualize_predictions_vs_labels(reader, pred_store, threshold=0.5,
     axes[1].set_ylabel("labels", fontsize=8)
     axes[2].imshow(p_sandeel, aspect="auto", cmap="magma", vmin=0, vmax=1)
     axes[2].set_ylabel("p(sandeel)", fontsize=8)
-    im = axes[3].imshow(agreement, aspect="auto", cmap="RdYlGn",
-                        vmin=0, vmax=3)
-    axes[3].set_ylabel(f"TP/FP/FN @ {threshold}", fontsize=8)
+    from matplotlib.colors import ListedColormap
+    # encoding 0=TN 1=FP 2=FN 3=TP; neutral gray for correct background,
+    # orange/red for the two error classes, green for hits
+    cmap = ListedColormap(["#d9d9d9", "#ff8c00", "#d62728", "#2ca02c"])
+    im = axes[3].imshow(agreement, aspect="auto", cmap=cmap,
+                        vmin=-0.5, vmax=3.5)
+    axes[3].set_ylabel(f"TN/FP/FN/TP @ {threshold}", fontsize=8)
     axes[3].set_xlabel("ping")
-    fig.colorbar(im, ax=axes[3], ticks=[0, 1, 2, 3], fraction=0.02)
+    cb = fig.colorbar(im, ax=axes[3], ticks=[0, 1, 2, 3], fraction=0.02)
+    cb.ax.set_yticklabels(["TN", "FP", "FN", "TP"], fontsize=7)
     fig.suptitle(f"{getattr(reader, 'name', 'echogram')} — predictions vs "
                  f"labels", fontsize=10)
     fig.tight_layout()

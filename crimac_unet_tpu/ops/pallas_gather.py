@@ -2,7 +2,11 @@
 
 The predict path's hot front end is "gather a (Cf, wh, ww) window per
 patch from the HBM-resident chunk slab, scrub non-finite, dB-transform,
-clip, emit NHWC" (pipeline/inference.py _predict_patches; reference
+clip, emit NHWC" (pipeline/inference.py _predict_patches — note the production slab
+moved to HWC layout in late round 2, after which XLA's gather emits NHWC
+with no relayout and the fused chunk runs at 44% MFU; this kernel keeps
+the earlier CHW formulation as the validated Pallas counterpart;
+reference
 semantics batch/data_transforms/db_with_limits.py:20-35 +
 remove_nan_inf.py:22-33).  XLA implements it as a vmapped dynamic_slice
 followed by fused elementwise ops — already good.  This kernel is the

@@ -92,6 +92,12 @@ class GriddedRunner:
         self.fwd_batch = int(config.get("fwd_batch", 32))
         self.meta_channels = config.get("meta_channels") or None
         self.pipeline_depth = int(config.get("pipeline_depth", 3))
+        # 'patch' (default, bit-parity with the reference's window
+        # formulation) or 'slab' (fully-convolutional whole-chunk
+        # forward; faster, no per-patch padding artifacts — see
+        # _predict_slab and DIVERGENCES.md)
+        self.infer_mode = str(config.get("infer_mode", "patch"))
+        assert self.infer_mode in ("patch", "slab"), self.infer_mode
         validate_meta_channels(self.meta_channels)
         self.use_meta = get_in_channels(self.meta_channels) > 0
         self.late_meta = bool(config.get("late_meta_inject", False))
@@ -274,6 +280,42 @@ class GriddedRunner:
             probs = self._forward_probs_nometa(variables, x)
         sel = probs.reshape(Np, wh, ww, 3)[:N][..., jnp.array([1, 2])]
         return stitch_patches(sel, R, C, self.overlap)
+
+    @partial(jax.jit, static_argnames=("self", "R", "C", "border_zero"))
+    def _predict_slab(self, variables, data_slab, border_slab, R, C,
+                      border_zero):
+        """Fully-convolutional whole-slab forward — the opt-in
+        ``infer_mode: slab`` alternative to the patch pipeline.
+
+        The U-Net is translation-invariant modulo pooling alignment, so
+        one forward over the (padded) chunk slab covers every pixel the
+        patch grid covers with ~1.9x fewer FLOPs (no overlap recompute),
+        no gather and no stitch, and WITHOUT the reference's per-patch
+        zero-padding artifacts (patch-mode convs see artificial zeros up
+        to ~RF/2 px inside every patch border; slab mode sees real data
+        everywhere except true survey edges).  Measured on v5e: 22.8 ms
+        vs the patch pipeline's 28.2 ms per 1000-ping chunk.
+
+        DIVERGENCE (documented in DIVERGENCES.md): outputs differ from
+        the reference's patch-window formulation within ~RF/2 px of patch
+        borders — pixels farther than that from every patch border agree
+        to float tolerance (tests/test_inference_parity.py).  Default
+        stays ``patch`` for bit-level reference parity."""
+        sh, sw = self.stride
+        o = self.overlap
+        Hp, Wp, Cf = data_slab.shape
+        div = 2 ** (self.model.depth - 1)  # pooling alignment
+        H16, W16 = _round_up(Hp, div), _round_up(Wp, div)
+        x = data_slab.astype(jnp.float32)
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        x = data_ops.db_with_limits(x)
+        if border_zero:
+            x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
+        x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))
+        logits = self.model.apply(variables, self._shard(x[None]),
+                                  train=False)[0]
+        probs = jax.nn.softmax(logits, axis=-1)
+        return probs[o:o + R * sh, o:o + C * sw][..., jnp.array([1, 2])]
 
     @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
                                        "zarr_pad", "chunk_w"))
@@ -672,11 +714,20 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
 
             runner.patches_processed += int(dev["y0s"].shape[0])
             runner.timer.start("device_chunk")
-            stitched = runner._predict_patches(
-                runner.variables,
-                dev["data_slab"], dev["y0s"], dev["x0s"],
-                dev["border_slab"], dev["meta_slab"], dev["consts"],
-                R, C, n_range, border_zero, runner.use_meta)
+            if runner.infer_mode == "slab":
+                assert not runner.use_meta, \
+                    "infer_mode='slab' does not support metadata channels"
+                assert runner.mesh is None, \
+                    "infer_mode='slab' is single-device (batch-1 forward)"
+                stitched = runner._predict_slab(
+                    runner.variables, dev["data_slab"],
+                    dev["border_slab"], R, C, border_zero)
+            else:
+                stitched = runner._predict_patches(
+                    runner.variables,
+                    dev["data_slab"], dev["y0s"], dev["x0s"],
+                    dev["border_slab"], dev["meta_slab"], dev["consts"],
+                    R, C, n_range, border_zero, runner.use_meta)
             out = runner._mask_output(
                 stitched, dev["label_pad"], dev["data_slab"], dev["sb_vec"],
                 nr, C * sw, is_zarr, w)

@@ -233,3 +233,53 @@ def test_sub_batch_shape_minimizes_padding():
     r.mesh = FakeMesh()
     B, Np, nb = r._sub_batch_shape(25)
     assert B % 8 == 0 and Np == nb * B and Np >= 25
+
+
+def test_slab_infer_mode_matches_patch_interior(tmp_path):
+    """infer_mode='slab' (fully-convolutional whole-chunk forward) agrees
+    with the default patch-window mode wherever patch zero-padding cannot
+    reach: pixels farther than the receptive field from every patch data
+    border and from the survey edges.  Near-border divergence is the
+    documented (and intended) difference — slab mode sees real data where
+    patch mode saw artificial zeros."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    sv = make_zarr_survey(tmp_path, year=2022, n_echograms=1, H=200,
+                          W=220, seed=17)
+    reader = DataReaderZarr(sv)
+    cfg = {"patch_size": [64, 64], "patch_overlap": 8,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 16,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 4)),
+                   train=False)
+    out = {}
+    for mode in ("patch", "slab"):
+        runner = GriddedRunner(model, v, dict(cfg, infer_mode=mode))
+        s, e, pred, _ = next(iter(predict_reader(runner, reader, 220)))
+        out[mode] = np.asarray(pred, np.float32)
+
+    assert out["patch"].shape == out["slab"].shape
+    # identical write masks: the mask inputs are mode-independent
+    np.testing.assert_array_equal(out["patch"] == 0, out["slab"] == 0)
+
+    # interior selection: >= 16 px (> receptive field of the depth-2 net)
+    # from every patch data border, and >= 32 px from survey edges
+    sh = sw = 64 - 2 * 8
+    H, W = out["patch"].shape[1:]
+    ys = np.arange(H)
+    xs = np.arange(W)
+    yd = np.minimum((ys % sh) + 8, sh - 1 - (ys % sh) + 8)
+    xd = np.minimum((xs % sw) + 8, sw - 1 - (xs % sw) + 8)
+    sel_y = (yd >= 16) & (ys >= 32) & (ys < H - 32)
+    sel_x = (xd >= 16) & (xs >= 32) & (xs < W - 32)
+    interior = np.ix_([0, 1], np.where(sel_y)[0], np.where(sel_x)[0])
+    a, b = out["patch"][interior], out["slab"][interior]
+    assert a.size > 500, "selection too small to be meaningful"
+    np.testing.assert_allclose(a, b, atol=2e-3)

@@ -145,6 +145,29 @@ def run_ours(sv_path):
     if wall_mfu is not None:
         extras["e2e_mfu"] = round(wall_mfu, 4)
 
+    # opt-in fully-convolutional mode (infer_mode='slab'): measured here
+    # so the speedup of the divergence-documented fast path is
+    # driver-captured too (one warm pass; compiles once per container)
+    if os.environ.get("BENCH_SLAB", "1") != "0":
+        try:
+            slab_runner = GriddedRunner(model, variables,
+                                        dict(config, infer_mode="slab"))
+            slab_out = Path(__file__).resolve().parent / ".bench_cache" \
+                / "pred_slab.zarr"
+            save_survey_predictions_zarr(slab_runner, reader,
+                                         str(slab_out),
+                                         preload_n_pings=PRELOAD)  # warm
+            t0 = time.time()
+            save_survey_predictions_zarr(slab_runner, reader,
+                                         str(slab_out),
+                                         preload_n_pings=PRELOAD)
+            slab_pps = N_PINGS / (time.time() - t0)
+            extras["slab_mode_pings_per_sec"] = round(slab_pps, 1)
+            print(f"# slab infer_mode (opt-in): {slab_pps:.1f} pings/s",
+                  file=sys.stderr)
+        except Exception as exc:
+            print(f"# slab-mode bench skipped: {exc}", file=sys.stderr)
+
     dev_s, dev_patches = _device_only_chunk_time(runner, reader)
     if dev_s is not None:
         extras["device_tflops_per_sec"] = round(

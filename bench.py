@@ -33,6 +33,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
+_SCRIPT_T0 = time.time()
+
 N_RANGE = 1000
 N_PINGS = 4000
 FREQS = [18, 38, 120, 200]
@@ -147,8 +149,13 @@ def run_ours(sv_path):
 
     # opt-in fully-convolutional mode (infer_mode='slab'): measured here
     # so the speedup of the divergence-documented fast path is
-    # driver-captured too (one warm pass; compiles once per container)
-    if os.environ.get("BENCH_SLAB", "1") != "0":
+    # driver-captured too (one warm pass; compiles once per container).
+    # Skipped when the run is already slow (cold caches / bad tunnel
+    # weather): the headline JSON line must never be jeopardized by an
+    # extra multi-minute compile for an optional extra.
+    elapsed_ok = (time.time() - _SCRIPT_T0) < float(
+        os.environ.get("BENCH_SLAB_BUDGET_S", "900"))
+    if os.environ.get("BENCH_SLAB", "1") != "0" and elapsed_ok:
         try:
             slab_runner = GriddedRunner(model, variables,
                                         dict(config, infer_mode="slab"))
@@ -457,7 +464,16 @@ def main():
     baseline = run_baseline(sv)
     print(f"# baseline: {baseline:.1f} pings/s (torch CPU)",
           file=sys.stderr)
-    ours, extras = run_ours(sv)
+    try:
+        ours, extras = run_ours(sv)
+    except Exception as exc:
+        # the axon tunnel occasionally drops a request mid-run
+        # (FAILED_PRECONDITION backend errors observed on otherwise-good
+        # code); one retry must not cost the whole benchmark record
+        print(f"# run_ours failed ({exc!r}); retrying once",
+              file=sys.stderr)
+        time.sleep(30)
+        ours, extras = run_ours(sv)
     print(f"# ours: {ours:.1f} pings/s", file=sys.stderr)
     try:
         extras.update(run_train_bench())

@@ -283,3 +283,31 @@ def test_slab_infer_mode_matches_patch_interior(tmp_path):
     a, b = out["patch"][interior], out["slab"][interior]
     assert a.size > 500, "selection too small to be meaningful"
     np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_slab_infer_mode_memmap_border_zero(tmp_path):
+    """Slab mode on the memmap format exercises the border-zeroing branch
+    (memm test transform); masks must match patch mode exactly."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.models.unet import build_unet
+
+    make_survey_dir(tmp_path, year=2017, n_echograms=1, H=150, W=180,
+                    seed=19)
+    e = get_echograms(years=[2017], path_to_echograms=str(tmp_path),
+                      minimum_shape=64)[0]
+    cfg = {"patch_size": [64, 64], "patch_overlap": 8,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 16,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 4)),
+                   train=False)
+    out = {}
+    for mode in ("patch", "slab"):
+        runner = GriddedRunner(model, v, dict(cfg, infer_mode=mode))
+        s, e2, pred, _ = next(iter(predict_reader(runner, e, 180)))
+        out[mode] = np.asarray(pred, np.float32)
+    np.testing.assert_array_equal(out["patch"] == 0, out["slab"] == 0)
+    assert (out["slab"] > 0).any()

@@ -305,15 +305,25 @@ class GriddedRunner:
         o = self.overlap
         Hp, Wp, Cf = data_slab.shape
         div = 2 ** (self.model.depth - 1)  # pooling alignment
-        H16, W16 = _round_up(Hp, div), _round_up(Wp, div)
+        n_dev = 1 if self.mesh is None else len(self.mesh.devices.ravel())
+        H16 = _round_up(Hp, div)
+        W16 = _round_up(Wp, div * n_dev)  # even per-device ping shards
         x = data_slab.astype(jnp.float32)
         x = jnp.where(jnp.isfinite(x), x, 0.0)
         x = data_ops.db_with_limits(x)
         if border_zero:
             x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
-        x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))
-        logits = self.model.apply(variables, self._shard(x[None]),
-                                  train=False)[0]
+        x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
+        if self.mesh is not None:
+            # sequence parallelism over the survey's ping axis (the
+            # reference's "long context", SURVEY.md §5): shard W across
+            # the mesh and let GSPMD insert the conv halo exchanges
+            # (collective-permutes of the 1-px conv borders and the
+            # pooling/upsampling boundaries) — no manual halos
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P(None, None, "data", None)))
+        logits = self.model.apply(variables, x, train=False)[0]
         probs = jax.nn.softmax(logits, axis=-1)
         return probs[o:o + R * sh, o:o + C * sw][..., jnp.array([1, 2])]
 
@@ -717,8 +727,6 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             if runner.infer_mode == "slab":
                 assert not runner.use_meta, \
                     "infer_mode='slab' does not support metadata channels"
-                assert runner.mesh is None, \
-                    "infer_mode='slab' is single-device (batch-1 forward)"
                 stitched = runner._predict_slab(
                     runner.variables, dev["data_slab"],
                     dev["border_slab"], R, C, border_zero)

@@ -205,3 +205,33 @@ def test_sharded_eval_no_redistribute(tmp_path):
     hlo = lowered.compile().as_text()
     assert "all-to-all" not in hlo
     assert "collective-permute" not in hlo
+
+
+def test_slab_mode_ping_axis_sharding_parity(tmp_path):
+    """infer_mode='slab' over the 8-device mesh: the slab forward is
+    sequence-parallel (ping axis sharded, GSPMD conv halo exchanges) and
+    must match the single-device slab outputs."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    sv = make_zarr_survey(tmp_path, year=2023, n_echograms=1, H=120,
+                          W=200, seed=23)
+    reader = DataReaderZarr(sv)
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4, "infer_mode": "slab"}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    outs = {}
+    for n_dev in (1, 8):
+        runner = GriddedRunner(model, v, dict(cfg, mesh_devices=n_dev))
+        s, e, pred, _ = next(iter(predict_reader(runner, reader, 200)))
+        outs[n_dev] = np.asarray(pred, np.float32)
+    np.testing.assert_allclose(outs[1], outs[8], atol=2e-5)

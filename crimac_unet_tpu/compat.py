@@ -29,8 +29,9 @@ def get_data_readers(years="all", frequencies=(18, 38, 120, 200),
 from .data.partition import DataMemm, DataZarr
 
 # L3 — samplers
-from .data.samplers import (Background, BackgroundSeabed, BackgroundZarr,
-                            Gridded, School, SchoolSeabed, SchoolSeabedZarr,
+from .data.samplers import (Background, BackgroundSeabed,
+                            BackgroundSeabedZarr, BackgroundZarr, Gridded,
+                            School, SchoolSeabed, SchoolSeabedZarr,
                             SchoolZarr, Seabed, SeabedZarr)
 from .ops.patches import grid_centers as get_data_grid_centers
 

@@ -30,6 +30,16 @@ def _load_pickle(folder, name):
         return pickle.load(f, encoding="latin1")
 
 
+# Process-wide LRU of open data memmaps, keyed (echogram path, frequency).
+# Each np.memmap pins an open fd; bounding the cache across ALL Echogram
+# instances keeps a many-thousand-echogram survey under the default fd
+# ulimit (1024) while still de-duplicating the per-crop remap churn.
+import collections as _collections
+
+_MEMMAP_LRU: "_collections.OrderedDict" = _collections.OrderedDict()
+_MEMMAP_LRU_MAX = 512
+
+
 def _matlab_time_to_datetime(t: float):
     from datetime import datetime, timedelta
     days = t % 1
@@ -105,24 +115,32 @@ class Echogram:
     # ------------------------------------------------------------ raw data
     def data_memmaps(self, frequencies=None):
         """One read-only memmap per requested frequency
-        (reference data_reader.py:352-364).  Cached per frequency: the
-        hot sampling path calls this per crop, and re-mmapping the same
-        immutable files thousands of times per run is pure syscall churn.
+        (reference data_reader.py:352-364).  Cached in a process-wide
+        LRU (bounded at ``_MEMMAP_LRU_MAX`` open maps across ALL
+        Echogram instances, so a many-thousand-echogram survey cannot
+        exhaust the fd ulimit): the hot sampling path calls this per
+        crop, and re-mmapping the same immutable files thousands of
+        times per run is pure syscall churn.
         """
         if frequencies is None:
             frequencies = self.frequencies[:]
         if np.isscalar(frequencies):
             frequencies = [frequencies]
-        if not hasattr(self, "_memmap_cache"):
-            self._memmap_cache = {}
         out = []
         for f in frequencies:
             f = int(f)
-            if f not in self._memmap_cache:
-                self._memmap_cache[f] = np.memmap(
+            key = (self.path, f)
+            m = _MEMMAP_LRU.get(key)
+            if m is None:
+                m = np.memmap(
                     os.path.join(self.path, f"data_for_freq_{f}.dat"),
                     dtype=self.data_dtype, mode="r", shape=self.shape)
-            out.append(self._memmap_cache[f])
+                _MEMMAP_LRU[key] = m
+                if len(_MEMMAP_LRU) > _MEMMAP_LRU_MAX:
+                    _MEMMAP_LRU.pop(next(iter(_MEMMAP_LRU)))
+            else:
+                _MEMMAP_LRU.move_to_end(key)
+            out.append(m)
         return out
 
     def data_numpy(self, frequencies=None):

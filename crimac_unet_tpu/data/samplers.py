@@ -10,17 +10,37 @@ x = ping column — memmap orientation).  Rejection loops are iterative with a
 retry cap instead of the reference's unbounded recursion
 (background.py:60-61; deliberate robustness divergence).
 
-BackgroundSeabed exists in the reference but is wired into no pipeline
-(SURVEY.md §2); provided here for API completeness.
+BackgroundSeabed / BackgroundSeabedZarr exist in the reference but are
+wired into no pipeline (SURVEY.md §2); provided here for API completeness.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 
 from ..utils.grids import random_point_containing
 
 _MAX_RETRIES = 200
+
+_LOG = logging.getLogger(__name__)
+
+
+def _note_give_up(sampler, detail: str) -> None:
+    """Record a rejection-sampler give-up (``_MAX_RETRIES`` candidate
+    draws all rejected; the fallback sample may violate the sampler's
+    label contract, e.g. a Background crop containing fish).  Give-ups
+    are rare on real surveys but silent label contamination in training
+    deserves a signal: every instance carries a ``give_ups`` counter and
+    the first few log a warning."""
+    n = getattr(sampler, "give_ups", 0) + 1
+    sampler.give_ups = n
+    if n <= 3 or n % 1000 == 0:
+        _LOG.warning(
+            "%s.get_sample gave up after %d rejections (%s); returning "
+            "last candidate (give-up #%d on this sampler)",
+            type(sampler).__name__, _MAX_RETRIES, detail, n)
 
 
 def _draw_ping(rng, W: int, ww: int) -> int:
@@ -63,7 +83,8 @@ class Background:
             # label (background.py:57-61); our crop fills boundary with -100
             if not np.any((labels != 0) & (labels != LABEL_BOUNDARY_VAL)):
                 return [y, x], ech
-        return [y, x], ech  # give up rejecting; rare on real data
+        _note_give_up(self, "every candidate crop contained fish labels")
+        return [y, x], ech
 
 
 class BackgroundZarr:
@@ -99,6 +120,8 @@ class BackgroundZarr:
                 idx_range=max(0, y - wh // 2), n_range=wh)
             if not np.any(np.nan_to_num(labels, nan=0) > 0):
                 return sample
+        _note_give_up(self, "every candidate crop contained fish labels "
+                            "or sat below the seabed")
         return sample
 
 
@@ -141,6 +164,7 @@ class SeabedZarr:
                 continue
             y += rng.randint(-(wh // 2), wh // 2 + 1)
             return [y, x], z
+        _note_give_up(self, "no positive seabed estimate found")
         return [max(y, 1), x], z  # give-up fallback: last draw, clamped
 
 
@@ -177,30 +201,43 @@ class SchoolZarr:
     def __init__(self, readers, window_size, fish_type="all"):
         self.window_size = window_size
         self.schools = []
+        n_empty = 0
         for z in readers:
             df = z.get_fish_schools(category=fish_type)
             bboxes = df[["startpingindex", "endpingindex",
                          "upperdepthindex", "lowerdepthindex"]].values
+            # drop school-less files up front (the reference draws a
+            # random file per sample and crashes on an empty one,
+            # school.py:99; a blind retry loop would just re-roll) —
+            # the per-sample draw stays uniform over the KEPT files,
+            # matching the reference's distribution conditioned on a
+            # successful draw
+            if len(bboxes) == 0:
+                n_empty += 1
+                continue
             self.schools.append((z, bboxes))
+        if n_empty:
+            _LOG.warning("%s: %d/%d zarr files have no %r schools and "
+                         "are excluded from sampling", type(self).__name__,
+                         n_empty, len(readers), fish_type)
+        if not self.schools:
+            raise ValueError(
+                f"no schools of fish_type {fish_type!r} in any zarr file")
 
     def get_sample(self, rng):
-        for _ in range(_MAX_RETRIES):
-            z, bboxes = self.schools[rng.randint(len(self.schools))]
-            if len(bboxes) == 0:
-                continue
-            bbox = bboxes[rng.randint(bboxes.shape[0])].copy()
-            if bbox[0] == bbox[1]:
-                bbox[1] += 1
-            if bbox[2] == bbox[3]:
-                bbox[3] += 1
-            x = rng.randint(bbox[0], bbox[1])
-            y = rng.randint(bbox[2], bbox[3])
-            x += rng.randint(-(self.window_size[1] // 2),
-                             self.window_size[1] // 2 + 1)
-            y += rng.randint(-(self.window_size[0] // 2),
-                             self.window_size[0] // 2 + 1)
-            return [int(y), int(x)], z
-        raise ValueError("no schools available in any zarr file")
+        z, bboxes = self.schools[rng.randint(len(self.schools))]
+        bbox = bboxes[rng.randint(bboxes.shape[0])].copy()
+        if bbox[0] == bbox[1]:
+            bbox[1] += 1
+        if bbox[2] == bbox[3]:
+            bbox[3] += 1
+        x = rng.randint(bbox[0], bbox[1])
+        y = rng.randint(bbox[2], bbox[3])
+        x += rng.randint(-(self.window_size[1] // 2),
+                         self.window_size[1] // 2 + 1)
+        y += rng.randint(-(self.window_size[0] // 2),
+                         self.window_size[0] // 2 + 1)
+        return [int(y), int(x)], z
 
 
 class SchoolSeabed(School):
@@ -231,12 +268,25 @@ class SchoolSeabedZarr(SchoolZarr):
                  fish_type="all"):
         self.window_size = window_size
         self.schools = []
+        n_empty = 0
         for z in readers:
             df = z.get_fish_schools(category=fish_type)
             df = df.loc[df.distance_to_seabed < max_dist_to_seabed]
             bboxes = df[["startpingindex", "endpingindex",
                          "upperdepthindex", "lowerdepthindex"]].values
+            if len(bboxes) == 0:
+                n_empty += 1
+                continue
             self.schools.append((z, bboxes))
+        if n_empty:
+            _LOG.warning("%s: %d/%d zarr files have no %r schools within "
+                         "%dpx of the seabed and are excluded from "
+                         "sampling", type(self).__name__, n_empty,
+                         len(readers), fish_type, max_dist_to_seabed)
+        if not self.schools:
+            raise ValueError(
+                f"no fish_type={fish_type!r} schools within "
+                f"{max_dist_to_seabed}px of the seabed in any zarr file")
 
 
 class Gridded:
@@ -311,3 +361,44 @@ class BackgroundSeabed(Background):
         seabed = int(ech.get_seabed(x, 1)[0])
         y = random_point_containing(H, wh, seabed, rng=rng)
         return [y, x], ech
+
+
+class BackgroundSeabedZarr:
+    """Seabed-anchored fish-free crops from STOX-valid ping ranges
+    (reference background_seabed.py:64-97; wired into no reference
+    pipeline — provided for sampler-battery API completeness).
+
+    The reference rejects via ``np.any(labels != 0)`` — NaN labels count
+    as nonzero there (unlike ``BackgroundZarr``'s ``labels > 0``); kept
+    verbatim for parity.  Iterative with a retry cap instead of the
+    reference's unbounded recursion."""
+
+    def __init__(self, readers, window_size=(256, 256)):
+        self.readers = list(readers)
+        self.window_size = window_size
+
+    def get_sample(self, rng):
+        wh, ww = self.window_size
+        sample = None
+        for _ in range(_MAX_RETRIES):
+            z = self.readers[rng.randint(len(self.readers))]
+            ranges = z.get_valid_pings()
+            start, end = ranges[rng.randint(len(ranges))]
+            if end <= start:  # degenerate STOX transect (< one ping)
+                end = start + 1
+            x = int(rng.randint(start, end))
+            y = int(z.get_seabed(x, 1)[0])
+            # seabed not always mid-crop (background_seabed.py:88)
+            y += int(rng.randint(-(wh // 2), wh // 2 + 1))
+            sample = ([y, x], z)
+            # reference check window (background_seabed.py:91-95): columns
+            # centered on x but rows STARTING at y (one half-window below
+            # the training crop) — kept verbatim for parity
+            labels = z.get_label_slice(
+                idx_ping=max(0, x - ww // 2), n_pings=ww,
+                idx_range=max(0, y), n_range=wh)
+            if not np.any(np.nan_to_num(labels, nan=1) != 0):
+                return sample
+        _note_give_up(self, "every candidate crop contained nonzero/NaN "
+                            "labels")
+        return sample

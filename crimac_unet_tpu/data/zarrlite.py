@@ -383,8 +383,10 @@ class ZArray:
         # truncation followed by appends)
         if any(n < o for n, o in zip(new_shape, old_shape)):
             import itertools
-            keep = [max(1, -(-n // c)) for n, c in zip(new_shape,
-                                                       self.chunks)]
+            # no max(1, ...) floor: shrinking a dimension to 0 (resume
+            # truncation to start_ping=0) must unlink ALL chunks, or chunk
+            # 0's stale file resurfaces as live data on regrowth
+            keep = [-(-n // c) for n, c in zip(new_shape, self.chunks)]
             old_grid = [max(1, -(-o // c)) for o, c in zip(old_shape,
                                                            self.chunks)]
             for cidx in itertools.product(*(range(g) for g in old_grid)):

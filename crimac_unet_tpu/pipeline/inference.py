@@ -97,7 +97,9 @@ class GriddedRunner:
         # forward; faster, no per-patch padding artifacts — see
         # _predict_slab and DIVERGENCES.md)
         self.infer_mode = str(config.get("infer_mode", "patch"))
-        assert self.infer_mode in ("patch", "slab"), self.infer_mode
+        if self.infer_mode not in ("patch", "slab"):
+            raise ValueError(f"infer_mode must be 'patch' or 'slab', "
+                             f"got {self.infer_mode!r}")
         validate_meta_channels(self.meta_channels)
         self.use_meta = get_in_channels(self.meta_channels) > 0
         self.late_meta = bool(config.get("late_meta_inject", False))
@@ -105,6 +107,29 @@ class GriddedRunner:
         self.patches_processed = 0  # forward-pass patch count (for MFU)
         wh, ww = self.window
         self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
+        if self.infer_mode == "slab":
+            if self.use_meta:
+                raise ValueError(
+                    "infer_mode='slab' does not support metadata channels "
+                    "(the fully-convolutional forward has no per-patch "
+                    "metadata injection point); use infer_mode='patch'")
+            # patch-interior agreement with patch mode requires the slab's
+            # pooling grid to line up with every patch's pooling grid:
+            # stride and overlap must be multiples of 2**(depth-1).  The
+            # baseline geometry (patch 256, overlap 20 -> stride 216,
+            # alignment 16) is misaligned, so slab outputs differ at every
+            # pixel (small, see DIVERGENCES.md), not just near borders.
+            div = 2 ** (self.model.depth - 1)
+            if self.stride[0] % div or self.stride[1] % div or \
+                    self.overlap % div:
+                import warnings
+                warnings.warn(
+                    f"infer_mode='slab' with stride {self.stride} / overlap "
+                    f"{self.overlap} not multiples of 2**(depth-1)={div}: "
+                    "the slab pooling grid is misaligned with the patch "
+                    "grid, so outputs diverge (slightly) from patch mode at "
+                    "every pixel, not only near patch borders "
+                    "(see DIVERGENCES.md)", stacklevel=2)
 
         # multi-chip: shard the patch batch over a 1-D data mesh; params
         # replicated (set mesh_devices > 1 or 0 = all)
@@ -297,9 +322,13 @@ class GriddedRunner:
         vs the patch pipeline's 28.2 ms per 1000-ping chunk.
 
         DIVERGENCE (documented in DIVERGENCES.md): outputs differ from
-        the reference's patch-window formulation within ~RF/2 px of patch
-        borders — pixels farther than that from every patch border agree
-        to float tolerance (tests/test_inference_parity.py).  Default
+        the reference's patch-window formulation.  When stride and
+        overlap are multiples of ``2**(depth-1)`` (pooling alignment),
+        the divergence is confined to ~RF/2 px of patch borders — interior
+        pixels agree to float tolerance (tests/test_inference_parity.py).
+        With the baseline geometry (stride 216, overlap 20, depth 5 ->
+        alignment 16) the pooling grids are misaligned and outputs differ
+        (slightly) at EVERY pixel; __init__ warns in that case.  Default
         stays ``patch`` for bit-level reference parity."""
         sh, sw = self.stride
         o = self.overlap
@@ -725,8 +754,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             runner.patches_processed += int(dev["y0s"].shape[0])
             runner.timer.start("device_chunk")
             if runner.infer_mode == "slab":
-                assert not runner.use_meta, \
-                    "infer_mode='slab' does not support metadata channels"
+                # use_meta + slab is rejected in GriddedRunner.__init__
                 stitched = runner._predict_slab(
                     runner.variables, dev["data_slab"],
                     dev["border_slab"], R, C, border_zero)
@@ -969,7 +997,7 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         data_slab = np.zeros((Hp, Wp, len(runner.frequencies)), np.float32)
         label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL),
                              np.float32)
-        keep_slab = np.zeros((1, 1), np.float32)
+        keep_slab = np.zeros((1, 1), np.bool_)
         slab_y1 = min(n_range, R * sh + o)
         x_off = slab_x0 - want_x0
 
@@ -985,7 +1013,7 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
             label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
 
         if use_keep:
-            ks = np.zeros((Hp, Wp), np.float32)
+            ks = np.zeros((Hp, Wp), np.bool_)
             if sw_w > 0:
                 ks[o:o + slab_y1, x_off:x_off + sw_w] = \
                     keep_global[:slab_y1, slab_x0:slab_x1]
@@ -1065,8 +1093,12 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
 def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings):
     """Global keep mask from extended school bboxes
     (extend_label_masks.py:35-98): region = bbox +- extend in both axes;
-    trace = full water column for pings within extend of a school."""
-    keep = np.zeros((n_range, n_pings), dtype=np.float32)
+    trace = full water column for pings within extend of a school.
+
+    bool dtype: the dense survey-size mask is the eval path's one big
+    host allocation (a 50k-ping survey would be ~200 MB at float32 vs
+    ~50 MB bool), and every consumer only tests truthiness."""
+    keep = np.zeros((n_range, n_pings), dtype=np.bool_)
     bboxes = reader.get_object_bounding_boxes()  # (n, 4) y0 y1 x0 x1
     for (y0, y1, x0, x1) in bboxes:
         if eval_mode == "region":
@@ -1074,5 +1106,5 @@ def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings):
         else:
             ry0, ry1 = 0, n_range
         rx0, rx1 = x0 - extend_size, x1 + extend_size
-        keep[max(ry0, 0):max(ry1, 0), max(rx0, 0):max(rx1, 0)] = 1.0
+        keep[max(ry0, 0):max(ry1, 0), max(rx0, 0):max(rx1, 0)] = True
     return keep

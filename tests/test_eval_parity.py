@@ -146,3 +146,14 @@ def test_eval_histogram_matches_sklearn_oracle(setup, eval_mode):
     ap_got = -np.sum(np.diff(got["recall"]) * got["precision"][:-1])
     ap_want = -np.sum(np.diff(rec) * prec[:-1])
     assert abs(ap_got - ap_want) < 2e-3
+
+
+def test_keep_mask_is_bool(setup):
+    """The dense survey-size keep mask is the eval path's one big host
+    allocation; bool keeps a 50k-ping survey at ~50 MB instead of ~200 MB
+    (VERDICT r2 #8)."""
+    reader, _, _ = setup
+    n_pings, n_range = reader.shape
+    keep = _build_keep_mask(reader, "region", 20, n_range, n_pings)
+    assert keep.dtype == np.bool_
+    assert keep.any()

@@ -246,6 +246,47 @@ def test_zarr_samplers_survive_degenerate_surveys(tmp_path):
         assert z is r and x == 3 and y >= 0
 
 
+def test_background_seabed_zarr_sampler(tmp_path):
+    """BackgroundSeabedZarr (reference background_seabed.py:64-97): crops
+    anchored near the seabed within STOX-valid pings, rejected while the
+    reference check window holds nonzero/NaN labels; give-ups are counted
+    and observable rather than silent (VERDICT r2 #7)."""
+    from crimac_unet_tpu.data.samplers import BackgroundSeabedZarr
+    sv = make_zarr_survey(tmp_path, year=2021, n_echograms=1, H=80, W=120,
+                          seed=13)
+    r = DataReaderZarr(sv)
+    rng = np.random.RandomState(1)
+    s = BackgroundSeabedZarr([r], window_size=(32, 32))
+    for _ in range(10):
+        (y, x), z = s.get_sample(rng)
+        assert z is r
+        assert 0 <= x < r.shape[0]
+        sb = int(r.get_seabed(x, 1)[0])
+        assert abs(y - sb) <= 16  # seabed jitter is +-wh//2
+    # give-up path: make every label nonzero so rejection never succeeds
+    orig = r.get_label_slice
+    r.get_label_slice = lambda *a, **k: np.ones((32, 32), np.float32)
+    (y, x), z = s.get_sample(rng)
+    assert z is r and s.give_ups == 1
+    r.get_label_slice = orig
+
+
+def test_background_give_up_counter(tmp_path):
+    """Background.get_sample signals when the retry cap forces a
+    possibly-contaminated fallback crop (VERDICT r2 #7: was silent)."""
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.samplers import Background
+    make_survey_dir(tmp_path, year=2017, n_echograms=1, H=80, W=120,
+                    seed=14)
+    e = get_echograms(years=[2017], path_to_echograms=str(tmp_path),
+                      minimum_shape=16)[0]
+    s = Background([e], window_size=(16, 16))
+    e.crop_labels = lambda c, w: np.ones(w, dtype=np.float32)
+    (y, x), z = s.get_sample(np.random.RandomState(2))
+    assert z is e and s.give_ups == 1
+
+
 def test_predict_survey_without_labels_store(tmp_path):
     """Production prediction mounts often ship only <name>_sv.zarr; the
     predict path must run in the degraded all-background mode instead of

@@ -115,3 +115,17 @@ def test_shrink_then_grow_reads_fill_not_stale(tmp_path):
     # rows 10-19 lived in a fully-deleted chunk -> fill; rows 5-9 live in
     # the kept boundary chunk (stock zarr keeps those bytes too)
     np.testing.assert_array_equal(out[10:], np.zeros(10))
+
+
+def test_shrink_to_zero_unlinks_all_chunks(tmp_path):
+    """Shrinking a dimension to 0 (the resume-truncation-to-start case)
+    must unlink every chunk, including chunk 0, so regrowth reads fill
+    (advisor finding r2)."""
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    g = ZGroup.create(tmp_path / "g")
+    a = g.create_array("x", (20,), (10,), np.float32, fill_value=0)
+    a[:] = np.arange(1, 21, dtype=np.float32)
+    a.resize((0,))
+    assert not list((tmp_path / "g" / "x").glob("[0-9]*"))
+    a.resize((20,))
+    np.testing.assert_array_equal(a[:], np.zeros(20))

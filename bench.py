@@ -242,10 +242,8 @@ def _device_only_chunk_time(runner, reader, reps=3):
     return best, int(args[1].shape[0])
 
 
-def run_train_bench(batch=8, steps=10, warmup=3):
-    """Driver-captured training throughput on the reference recipe shapes
-    (256x256 patches, depth-5/64 U-Net, SGD momentum; bf16 MXU compute):
-    ms/step, steps/s and train MFU (fwd+bwd ~= 3x fwd FLOPs)."""
+def _train_step_time(batch, dtype, steps=10, warmup=3):
+    """Time one (batch, train_dtype) train-step config; returns (ms, mfu)."""
     import jax
     import numpy as np
 
@@ -256,7 +254,7 @@ def run_train_bench(batch=8, steps=10, warmup=3):
     config = {"patch_size": [PATCH, PATCH], "frequencies": FREQS,
               "lr": 0.005, "lr_step": 1000, "lr_reduction": 0.5,
               "momentum": 0.95, "depth": 5, "start_filts": 64,
-              "compute_dtype": "bfloat16", "batch_size": batch}
+              "compute_dtype": dtype, "batch_size": batch}
     model = build_unet(config)
     state = engine.init_train_state(model, config, jax.random.PRNGKey(0))
     train_step = engine.make_train_step(model, config)
@@ -278,18 +276,38 @@ def run_train_bench(batch=8, steps=10, warmup=3):
         state, loss = train_step(state, data, labels, key)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / steps
-
     step_flops = batch * F.unet_train_step_flops(
         PATCH, PATCH, in_channels=len(FREQS), depth=5, start_filts=64)
+    return dt, F.mfu(step_flops, dt), step_flops
+
+
+def run_train_bench(batch=8, steps=10, warmup=3):
+    """Driver-captured training throughput on the reference recipe shapes
+    (256x256 patches, depth-5/64 U-Net, SGD momentum): ms/step, steps/s
+    and train MFU (fwd+bwd ~= 3x fwd FLOPs) for the production bf16
+    config, plus a dtype/batch A/B (f32 at batch 8, bf16 at the
+    reference recipe's batch 4) — VERDICT r2 #2."""
+    dt, m, step_flops = _train_step_time(batch, "bfloat16", steps, warmup)
     out = {"train_step_ms": round(dt * 1e3, 2),
            "train_steps_per_sec": round(1.0 / dt, 2),
            "train_tflops_per_sec": round(step_flops / dt / 1e12, 2)}
-    m = F.mfu(step_flops, dt)
     if m is not None:
         out["train_mfu"] = round(m, 4)
-    print(f"# train: {out['train_step_ms']} ms/step (batch {batch}), "
-          f"{out['train_tflops_per_sec']} TFLOP/s"
+    print(f"# train: {out['train_step_ms']} ms/step (batch {batch}, "
+          f"bf16), {out['train_tflops_per_sec']} TFLOP/s"
           + (f", MFU {m:.1%}" if m else ""), file=sys.stderr)
+    for tag, (b, dtype) in {"train_f32_b8": (8, "float32"),
+                            "train_bf16_b4": (4, "bfloat16"),
+                            "train_f32_b4": (4, "float32")}.items():
+        try:
+            dt2, m2, _ = _train_step_time(b, dtype, steps, warmup)
+            out[f"{tag}_step_ms"] = round(dt2 * 1e3, 2)
+            if m2 is not None:
+                out[f"{tag}_mfu"] = round(m2, 4)
+            print(f"# {tag}: {out[f'{tag}_step_ms']} ms/step"
+                  + (f", MFU {m2:.1%}" if m2 else ""), file=sys.stderr)
+        except Exception as exc:  # keep the headline even if an A/B fails
+            print(f"# {tag} failed: {exc}", file=sys.stderr)
     return out
 
 

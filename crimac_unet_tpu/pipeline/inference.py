@@ -92,6 +92,12 @@ class GriddedRunner:
         self.fwd_batch = int(config.get("fwd_batch", 32))
         self.meta_channels = config.get("meta_channels") or None
         self.pipeline_depth = int(config.get("pipeline_depth", 3))
+        # h2d slab quantization: 'bfloat16' (default; halves transfer
+        # bytes, <=0.02 dB data perturbation) or 'float32' (exact)
+        self.transfer_dtype = str(config.get("transfer_dtype", "bfloat16"))
+        if self.transfer_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"transfer_dtype must be 'bfloat16' or "
+                             f"'float32', got {self.transfer_dtype!r}")
         # 'patch' (default, bit-parity with the reference's window
         # formulation) or 'slab' (fully-convolutional whole-chunk
         # forward; faster, no per-patch padding artifacts — see
@@ -714,20 +720,24 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                 runner, reader, Hp, Wp, -o, s - o, centers_x)
         runner.timer.stop("host_slab")
 
-        # h2d from the prefetch thread (device_put is async), in bfloat16:
-        # halves tunnel/PCIe bytes, and every consumer is exactness-safe —
-        # the data slab feeds the bf16 U-Net after a device-side dB
-        # transform (<=0.02 dB perturbation), and the label/sv slabs are
-        # only tested for finiteness / ==0, which bf16 preserves for the
-        # small-integer categorical codes and nan/inf
+        # h2d from the prefetch thread (device_put is async), in bfloat16
+        # by default: halves tunnel/PCIe bytes, and every consumer is
+        # exactness-safe — the data slab feeds the bf16 U-Net after a
+        # device-side dB transform (<=0.02 dB perturbation), and the
+        # label/sv slabs are only tested for finiteness / ==0, which bf16
+        # preserves for the small-integer categorical codes and nan/inf.
+        # `transfer_dtype: float32` disables the quantization entirely
+        # (used by the reference-parity harness, where the last f16 ulp
+        # of the output probabilities matters).
         runner.timer.start("h2d_dispatch")
         import ml_dtypes
-        bf16 = ml_dtypes.bfloat16
+        xfer = np.dtype(runner.transfer_dtype) \
+            if runner.transfer_dtype != "bfloat16" else ml_dtypes.bfloat16
         nr = min(R * sh, n_range)
         dev = dict(
-            data_slab=jax.device_put(data_slab.astype(bf16)),
+            data_slab=jax.device_put(data_slab.astype(xfer)),
             border_slab=jax.device_put(border_slab),
-            label_pad=jax.device_put(label_pad[:nr].astype(bf16)),
+            label_pad=jax.device_put(label_pad[:nr].astype(xfer)),
             sb_vec=jax.device_put(sb_vec),
             y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
             meta_slab=jax.device_put(meta_slab),
@@ -968,15 +978,21 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     R = grid_dims(0, end_range, wh, o)
     C_total = grid_dims(0, n_pings, ww, o)
 
-    keep_global = None
-    if eval_mode in ("region", "trace"):
-        keep_global = _build_keep_mask(reader, eval_mode, extend_size,
-                                       n_range, n_pings)
-    use_keep = keep_global is not None
-
     # pad to whole groups: one compiled shape for every group
     C_pad = _round_up(C_total, chunk_cols)
     col_groups = [(j, j + chunk_cols) for j in range(0, C_pad, chunk_cols)]
+
+    keep_global = None
+    keep_pad = 0
+    if eval_mode in ("region", "trace"):
+        # padded frame covering every slab pixel, including out-of-survey
+        # grid margins (the reference masks those too — see
+        # _build_keep_mask quirk notes)
+        keep_pad = max(o, R * sh + o - n_range,
+                       C_pad * sw + o - n_pings, 0)
+        keep_global = _build_keep_mask(reader, eval_mode, extend_size,
+                                       n_range, n_pings, pad=keep_pad)
+    use_keep = keep_global is not None
 
     def prepare(j0, j1):
         """Host slab construction for columns [j0, j1) (prefetch thread)."""
@@ -1013,11 +1029,12 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
             label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
 
         if use_keep:
-            ks = np.zeros((Hp, Wp), np.bool_)
-            if sw_w > 0:
-                ks[o:o + slab_y1, x_off:x_off + sw_w] = \
-                    keep_global[:slab_y1, slab_x0:slab_x1]
-            keep_slab = ks
+            # slab row i <-> survey row i - o, slab col j <-> want_x0 + j;
+            # the padded keep frame covers the full slab extent
+            p = keep_pad
+            keep_slab = np.ascontiguousarray(
+                keep_global[p - o:p - o + Hp,
+                            p + want_x0:p + want_x0 + Wp])
 
         sb_pad = np.full(Wp, BIG_ROW, np.int64)
         if sw_w > 0:
@@ -1090,15 +1107,36 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     return hist_host
 
 
-def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings):
-    """Global keep mask from extended school bboxes
-    (extend_label_masks.py:35-98): region = bbox +- extend in both axes;
-    trace = full water column for pings within extend of a school.
+def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings,
+                     pad=0):
+    """Keep mask from extended school bboxes (extend_label_masks.py:35-98):
+    region = bbox +- extend in both axes; trace = full water column for
+    pings within extend of a school.  Returns a
+    ``(n_range + 2*pad, n_pings + 2*pad)`` bool array where survey pixel
+    ``(y, x)`` lives at index ``(y + pad, x + pad)`` — the pad rows/cols
+    carry the mask for OUT-OF-SURVEY grid pixels, which the reference
+    does mask (see below).
+
+    REFERENCE QUIRKS kept for bit parity (verified against the actual
+    reference pipeline in tests/test_reference_parity.py):
+
+    * off-by-one: the reference's mask transform computes the crop origin
+      as ``center - shape//2`` (extend_label_masks.py:64) while the
+      data/label crops use ``center - shape//2 + 1`` (utils/np.py
+      getGrid), so its keep mask lands one pixel DOWN-RIGHT of the
+      annotations it targets.  Reproduced by painting every extended
+      bbox shifted by +1 in both axes (trace keeps rows [1, n_range+1)).
+    * no survey clamp: the reference clamps bbox painting to each CROP,
+      not to the survey (extend_label_masks.py:90-95), so out-of-survey
+      grid pixels inside an extended bbox keep their boundary label
+      (-> ignored) instead of becoming counted ``-1`` negatives.
+      Reproduced by painting unclamped into the padded frame.
 
     bool dtype: the dense survey-size mask is the eval path's one big
     host allocation (a 50k-ping survey would be ~200 MB at float32 vs
     ~50 MB bool), and every consumer only tests truthiness."""
-    keep = np.zeros((n_range, n_pings), dtype=np.bool_)
+    keep = np.zeros((n_range + 2 * pad, n_pings + 2 * pad),
+                    dtype=np.bool_)
     bboxes = reader.get_object_bounding_boxes()  # (n, 4) y0 y1 x0 x1
     for (y0, y1, x0, x1) in bboxes:
         if eval_mode == "region":
@@ -1106,5 +1144,6 @@ def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings):
         else:
             ry0, ry1 = 0, n_range
         rx0, rx1 = x0 - extend_size, x1 + extend_size
-        keep[max(ry0, 0):max(ry1, 0), max(rx0, 0):max(rx1, 0)] = True
+        keep[max(ry0 + 1 + pad, 0):max(ry1 + 1 + pad, 0),
+             max(rx0 + 1 + pad, 0):max(rx1 + 1 + pad, 0)] = True
     return keep

@@ -59,9 +59,10 @@ def _oracle_eval(reader, forward_single, frequencies, eval_mode="all",
                      WW - 2 * OVERLAP) + WW // 2
 
     keep = None
+    P = WH + WW  # padded keep frame: reference masks out-of-survey pixels
     if eval_mode in ("region", "trace"):
         keep = _build_keep_mask(reader, eval_mode, extend_size, n_range,
-                                n_pings)
+                                n_pings, pad=P)
 
     all_preds, all_labels = [], []
     for yc in ys_c:
@@ -88,10 +89,7 @@ def _oracle_eval(reader, forward_single, frequencies, eval_mode="all",
             lab = _oracle_mask_seabed(lab, reader, [yc, xc])
             lab = _oracle_mask_overlap(lab, OVERLAP)
             if keep is not None:
-                kp = np.zeros((WH, WW))
-                if cy1 > cy0 and cx1 > cx0:
-                    kp[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
-                        keep[cy0:cy1, cx0:cx1]
+                kp = keep[y0 + P:y0 + WH + P, x0 + P:x0 + WW + P]
                 lab = np.where(kp > 0, lab, -1)
 
             # data transform (zarr eval: no border zero, evaluate.py:47)

@@ -131,6 +131,17 @@ def _load_chunkio():
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+            if hasattr(lib, "cio_batch_decompress_scatter"):
+                lib.cio_batch_decompress_scatter.restype = ctypes.c_int64
+                lib.cio_batch_decompress_scatter.argtypes = [
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_void_p, ctypes.c_int]
             lib.cio_version()  # smoke call
             _chunkio = lib
         except Exception:
@@ -259,6 +270,55 @@ def batch_decompress_into(frames: list, dsts: list) -> None:
         return
     for f, d in zip(frames, dsts):
         decompress_into(f, d)
+
+
+def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
+                             dst, dst_offsets, dst_strides, fill_bytes):
+    """Decode N frames and scatter each frame's sub-box straight into a
+    strided destination array (one native pass: no intermediate chunk
+    buffer, no separate place/transpose copies).  Returns True when the
+    native path ran; False means the caller must use its fallback.
+
+    frames        list of N bytes or None (None = missing chunk -> fill)
+    chunk_shape   logical chunk shape (elements), ndim <= 4
+    boxes         (N, 2, ndim) int64: per chunk [start, stop) sub-box
+    dst           the destination ndarray (any layout)
+    dst_offsets   (N,) int64 BYTE offset of each box's first element
+                  relative to dst's data pointer
+    dst_strides   (ndim,) int64 BYTE strides of dst, in CHUNK axis order
+    fill_bytes    itemsize bytes used for missing chunks
+    """
+    lib = _load_chunkio()
+    if lib is None or not hasattr(lib, "cio_batch_decompress_scatter"):
+        return False
+    n = len(frames)
+    if n == 0:
+        return True
+    ndim = len(chunk_shape)
+    bufs = [None if f is None else bytes(f) for f in frames]
+    srcs = (ctypes.c_void_p * n)(
+        *(None if b is None else
+          ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p) for b in bufs))
+    src_sizes = (ctypes.c_int64 * n)(
+        *(0 if b is None else len(b) for b in bufs))
+    shape_arr = (ctypes.c_int64 * ndim)(*chunk_shape)
+    boxes = np.ascontiguousarray(boxes, dtype=np.int64)
+    b0 = np.ascontiguousarray(boxes[:, 0, :]).ravel()
+    b1 = np.ascontiguousarray(boxes[:, 1, :]).ravel()
+    offs = np.ascontiguousarray(dst_offsets, dtype=np.int64)
+    strides = (ctypes.c_int64 * ndim)(*dst_strides)
+    fill = ctypes.create_string_buffer(bytes(fill_bytes), itemsize)
+    failed = lib.cio_batch_decompress_scatter(
+        n, srcs, src_sizes, ndim, shape_arr, itemsize,
+        b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        strides, fill, 0)
+    if failed:
+        raise ValueError(f"blosc scatter decompress: {failed} chunk(s) "
+                         "failed to decode")
+    return True
 
 
 # ================================================================== compress

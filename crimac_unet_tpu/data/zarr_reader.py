@@ -141,6 +141,29 @@ class DataReaderZarr:
             out = out[:, :, keep]
         return out
 
+    def read_data_into(self, idx_ping, n_pings, idx_range, n_range,
+                       frequencies, dst, dst_index) -> None:
+        """Read the (freq, ping, range) region transposed to
+        (range, ping, freq) DIRECTLY into ``dst[dst_index]`` — the HWC
+        inference slab hot path.  Blosc stores decode+scatter in one
+        native pass (zarrlite.read_into); anything else falls back to
+        ``get_data_slice`` + transpose."""
+        if np.isscalar(frequencies):
+            frequencies = [frequencies]
+        freq_idx = [self._freq_index(f) for f in frequencies]
+        if freq_idx == list(range(freq_idx[0],
+                                  freq_idx[0] + len(freq_idx))):
+            ping_sl = slice(idx_ping, None if n_pings is None
+                            else idx_ping + n_pings)
+            rng_sl = self._range_slice(idx_range, n_range)
+            self.sv.read_into(
+                (slice(freq_idx[0], freq_idx[0] + len(freq_idx)),
+                 ping_sl, rng_sl), dst, dst_index, axes=(2, 1, 0))
+            return
+        raw = self.get_data_slice(idx_ping, n_pings, idx_range, n_range,
+                                  frequencies)
+        dst[dst_index] = raw.transpose(2, 1, 0)
+
     def _freq_index(self, f) -> int:
         matches = np.where((self.frequencies == f)
                            | (self.frequencies == f * 1000))[0]

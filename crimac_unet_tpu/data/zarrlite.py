@@ -318,6 +318,80 @@ class ZArray:
             out = np.squeeze(out, axis=tuple(squeeze))
         return out
 
+    def read_into(self, sel, dst, dst_index, axes=None) -> None:
+        """Read ``self[sel]`` straight into ``dst[dst_index]`` (optionally
+        transposed: the destination region receives
+        ``np.transpose(self[sel], axes)``).
+
+        Blosc stores take the native single-pass path: each chunk decodes
+        into thread-local scratch and scatters directly into the strided
+        destination (chunkio cio_batch_decompress_scatter) — no
+        intermediate (n, *chunks) buffer, no separate place + transpose
+        copies.  This is the inference hot path: the HWC predict/eval
+        slab is (range, ping, channel) while the store is (channel, ping,
+        range), so the old route paid decode + place + transpose passes
+        per slab (VERDICT r2 #3: host_slab was the e2e wall).
+        Non-blosc stores / no native library fall back to the equivalent
+        numpy expression."""
+        sel = self._norm_sel(sel)
+        ndim = self.ndim
+        if axes is None:
+            axes = tuple(range(ndim))
+        dview = dst[dst_index]
+        res_shape = tuple(s.stop - s.start for s in sel)
+        want = tuple(res_shape[a] for a in axes)
+        if dview.shape != want:
+            raise ValueError(f"dst region {dview.shape} != transposed "
+                             f"read shape {want}")
+
+        native_ok = ((self.compressor or {}).get("id") == "blosc"
+                     and dst.dtype == self.dtype and ndim <= 4)
+        if native_ok:
+            import itertools
+            ranges = [range(s.start // c,
+                            (max(s.stop - 1, s.start)) // c + 1)
+                      if s.stop > s.start else range(0)
+                      for s, c in zip(sel, self.chunks)]
+            chunk_idxs = list(itertools.product(*ranges))
+            # dst strides in CHUNK axis order: chunk axis d lives at
+            # dview axis axes.index(d)
+            inv = [0] * ndim
+            for k, a in enumerate(axes):
+                inv[a] = k
+            dst_strides = [dview.strides[inv[d]] for d in range(ndim)]
+            base_off = dview.ctypes.data - dst.ctypes.data
+
+            frames, boxes, offs = [], [], []
+            for cidx in chunk_idxs:
+                b0, b1, off = [], [], base_off
+                for d, (ci, s, c) in enumerate(zip(cidx, sel,
+                                                   self.chunks)):
+                    c0 = ci * c
+                    a0 = max(s.start, c0)
+                    a1 = min(s.stop, c0 + c)
+                    b0.append(a0 - c0)
+                    b1.append(a1 - c0)
+                    off += (a0 - s.start) * dst_strides[d]
+                fname = self.path / self._chunk_key(cidx)
+                if fname.is_file():
+                    with open(fname, "rb") as f:
+                        frames.append(f.read())
+                else:
+                    frames.append(None)
+                boxes.append((b0, b1))
+                offs.append(off)
+            fill = np.asarray(
+                self.fill_value if self.fill_value is not None else 0,
+                dtype=self.dtype).tobytes()
+            boxes_arr = np.array(boxes, dtype=np.int64)  # (n, 2, ndim)
+            if blosc_codec.batch_decompress_scatter(
+                    frames, self.chunks, self.dtype.itemsize, boxes_arr,
+                    dst, np.array(offs, dtype=np.int64), dst_strides,
+                    fill):
+                return
+        # fallback: materialize + transpose (still one batch decompress)
+        dview[...] = np.transpose(self[tuple(sel)], axes)
+
     def __setitem__(self, sel, value) -> None:
         sel = self._norm_sel(sel)
         value = np.broadcast_to(

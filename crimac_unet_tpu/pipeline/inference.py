@@ -57,13 +57,17 @@ def _fill_hwc_slab(reader, frequencies, data_slab, slab_x0, slab_x1,
     w = slab_x1 - slab_x0
     if w <= 0:
         return
+    region = np.s_[row_off:row_off + slab_y1, x_off:x_off + w, :]
     if reader.data_format == "zarr":
-        raw = reader.get_data_slice(slab_x0, w, 0, slab_y1, frequencies)
-        raw = raw.transpose(2, 1, 0)  # (C, ping, range) -> (range, ping, C)
+        # single-pass native decode+scatter straight into the HWC slab
+        # (no intermediate (C, ping, range) buffer, no transpose pass)
+        reader.read_data_into(slab_x0, w, 0, slab_y1, frequencies,
+                              data_slab, region)
     else:
-        raw = np.stack([np.asarray(m[:slab_y1, slab_x0:slab_x1])
-                        for m in reader.data_memmaps(frequencies)], axis=-1)
-    data_slab[row_off:row_off + slab_y1, x_off:x_off + w, :] = raw
+        # per-channel strided assignment: one pass, no stacked temporary
+        for c, m in enumerate(reader.data_memmaps(frequencies)):
+            data_slab[row_off:row_off + slab_y1, x_off:x_off + w, c] = \
+                m[:slab_y1, slab_x0:slab_x1]
 
 
 class GriddedRunner:

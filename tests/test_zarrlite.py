@@ -129,3 +129,62 @@ def test_shrink_to_zero_unlinks_all_chunks(tmp_path):
     assert not list((tmp_path / "g" / "x").glob("[0-9]*"))
     a.resize((20,))
     np.testing.assert_array_equal(a[:], np.zeros(20))
+
+
+class TestReadInto:
+    """zarrlite.read_into: native decode+scatter straight into a strided
+    destination (the HWC slab hot path) vs the numpy equivalent."""
+
+    def _mk(self, tmp_path, compressor="blosc", fill=np.nan):
+        from crimac_unet_tpu.data.zarrlite import ZGroup
+        g = ZGroup.create(tmp_path / "g")
+        rng = np.random.RandomState(5)
+        data = rng.randn(4, 50, 30).astype(np.float32)
+        comp = ({"id": "blosc", "cname": "lz4", "clevel": 5,
+                 "shuffle": 1} if compressor == "blosc" else
+                {"id": "zlib", "level": 1} if compressor == "zlib"
+                else None)
+        a = g.create_array("sv", (4, 50, 30), (1, 16, 16), np.float32,
+                           fill_value=fill, compressor=comp)
+        a[:] = data
+        return a, data
+
+    @pytest.mark.parametrize("compressor", ["blosc", "zlib", None])
+    def test_transposed_scatter_matches_numpy(self, tmp_path, compressor):
+        a, data = self._mk(tmp_path, compressor)
+        sel = (slice(0, 4), slice(3, 41), slice(2, 29))
+        dst = np.zeros((40, 45, 4), np.float32)
+        idx = np.s_[1:28, 5:43, :]
+        a.read_into(sel, dst, idx, axes=(2, 1, 0))
+        want = np.zeros_like(dst)
+        want[idx] = data[sel].transpose(2, 1, 0)
+        np.testing.assert_array_equal(dst, want)
+
+    def test_missing_chunks_fill(self, tmp_path):
+        import os
+        a, data = self._mk(tmp_path, "blosc", fill=np.nan)
+        # delete one chunk file -> its region must read as fill (NaN)
+        os.remove(a.path / "0.1.0")
+        sel = (slice(0, 4), slice(0, 50), slice(0, 30))
+        dst = np.zeros((30, 50, 4), np.float32)
+        a.read_into(sel, dst, np.s_[:, :, :], axes=(2, 1, 0))
+        want = data.copy()
+        want[0, 16:32, 0:16] = np.nan
+        np.testing.assert_array_equal(dst, want.transpose(2, 1, 0))
+
+    def test_identity_axes_and_shape_check(self, tmp_path):
+        a, data = self._mk(tmp_path)
+        dst = np.zeros((4, 10, 30), np.float32)
+        a.read_into((slice(0, 4), slice(5, 15), slice(0, 30)),
+                    dst, np.s_[:, :, :])
+        np.testing.assert_array_equal(dst, data[:, 5:15, :])
+        with pytest.raises(ValueError, match="transposed"):
+            a.read_into((slice(0, 4), slice(5, 15), slice(0, 30)),
+                        dst, np.s_[:, :5, :])
+
+    def test_dtype_mismatch_falls_back(self, tmp_path):
+        a, data = self._mk(tmp_path)
+        dst = np.zeros((4, 50, 30), np.float64)
+        a.read_into((slice(0, 4), slice(0, 50), slice(0, 30)),
+                    dst, np.s_[:, :, :])
+        np.testing.assert_array_equal(dst, data.astype(np.float64))

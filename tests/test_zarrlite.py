@@ -188,3 +188,44 @@ class TestReadInto:
         a.read_into((slice(0, 4), slice(0, 50), slice(0, 30)),
                     dst, np.s_[:, :, :])
         np.testing.assert_array_equal(dst, data.astype(np.float64))
+
+    def test_randomized_scatter_fuzz(self, tmp_path):
+        """Randomized selections / destination offsets / axis
+        permutations / missing chunks against the numpy oracle — guards
+        the native box/stride arithmetic."""
+        import itertools
+        import os
+        from crimac_unet_tpu.data.zarrlite import ZGroup
+        rng = np.random.RandomState(11)
+        g = ZGroup.create(tmp_path / "g")
+        shape, chunks = (3, 37, 23), (2, 8, 7)
+        data = rng.randn(*shape).astype(np.float32)
+        a = g.create_array("x", shape, chunks, np.float32,
+                           fill_value=-7.5,
+                           compressor={"id": "blosc", "cname": "lz4",
+                                       "clevel": 3, "shuffle": 2})
+        a[:] = data
+        # random missing chunks read as fill
+        want_full = data.copy()
+        for cidx in [(0, 1, 2), (1, 4, 0)]:
+            os.remove(a.path / ".".join(map(str, cidx)))
+            sl = tuple(slice(ci * c, min((ci + 1) * c, s))
+                       for ci, c, s in zip(cidx, chunks, shape))
+            want_full[sl] = -7.5
+        perms = list(itertools.permutations(range(3)))
+        for trial in range(25):
+            sel = tuple(slice(lo, lo + 1 + rng.randint(s - lo))
+                        for s, lo in ((s, rng.randint(s))
+                                      for s in shape))
+            axes = perms[rng.randint(len(perms))]
+            res_shape = tuple(s.stop - s.start for s in sel)
+            tshape = tuple(res_shape[ax] for ax in axes)
+            pad = [rng.randint(4) for _ in range(3)]
+            dst = np.full(tuple(t + p + 2 for t, p in zip(tshape, pad)),
+                          99.0, np.float32)
+            idx = tuple(slice(p, p + t) for p, t in zip(pad, tshape))
+            a.read_into(sel, dst, idx, axes=axes)
+            want = np.full_like(dst, 99.0)
+            want[idx] = want_full[sel].transpose(axes)
+            np.testing.assert_array_equal(dst, want, err_msg=str(
+                (trial, sel, axes, pad)))

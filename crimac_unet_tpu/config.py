@@ -49,7 +49,11 @@ CONFIG_DEFAULTS = {
     # --- TPU-native extensions (not in the reference YAML) ---
     "mesh_devices": 0,           # 0 = all visible devices
     "compute_dtype": "bfloat16",  # dtype of conv compute; params stay float32
-    "train_dtype": "float32",     # compute dtype used by the train step
+    # bf16 conv compute with f32 master params + f32 loss: measured
+    # 1.19-1.24x faster per step AND end-to-end on the full reference
+    # recipe with best-F1 parity (f32 0.7127 vs bf16 0.7155 on the A/B
+    # fixture — BASELINE.md round 3); set float32 for exact-parity runs
+    "train_dtype": "bfloat16",    # compute dtype used by the train step
     "prediction_batch_pings": 0,  # 0 = derive from preload_n_pings
     "prefetch_depth": 2,          # host->device double buffering depth
     "class_weights": [10.0, 300.0, 250.0],

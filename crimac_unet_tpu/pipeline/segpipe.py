@@ -33,9 +33,12 @@ class SegPipeUNet:
         self.checkpoint_dir = Path(checkpoint_dir) if checkpoint_dir else None
         self.model_name = experiment_name
         self.frequencies = sorted(config["frequencies"])
-        # train in float32 by default (parity); inference uses bf16
+        # bf16 conv compute by default (f32 master params, f32 loss):
+        # measured 1.19-1.24x step/end-to-end win with best-F1 parity on
+        # the full reference recipe (BASELINE.md round 3).  Set
+        # train_dtype: float32 for exact-parity runs.
         train_cfg = dict(config)
-        train_cfg["compute_dtype"] = config.get("train_dtype", "float32")
+        train_cfg["compute_dtype"] = config.get("train_dtype", "bfloat16")
         self.model = build_unet(train_cfg)
         self.state = None
         self.best_F1_val = -np.inf

@@ -202,7 +202,7 @@ def stage_decomp(work, out):
     args, kw = staged["args"], staged["kw"]
     data_slab, y0s = args[0], args[1]
     N = int(y0s.shape[0])
-    nb, B, Np = runner._sub_batch_shape(N)
+    B, Np, nb = runner._sub_batch_shape(N)
 
     def burst(fn, *a, reps=12):
         o = fn(*a)
@@ -221,10 +221,14 @@ def stage_decomp(work, out):
     wh, ww = runner.window
     xs = jnp.zeros((nb, B, wh, ww, len(FREQS)), jnp.bfloat16)
 
+    # the runner folds BN into the convs; use its (folded) model so the
+    # forward matches the program the fused chunk actually runs
+    fmodel = runner.model
+
     @jax.jit
     def fwd_only(variables, xs):
         return jax.lax.map(
-            lambda x: model.apply(variables, x, train=False), xs)
+            lambda x: fmodel.apply(variables, x, train=False), xs)
 
     t_fwd = burst(lambda: fwd_only(runner.variables, xs))
 

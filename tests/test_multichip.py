@@ -116,7 +116,11 @@ def _train_cfg(path, ckpt_suffix, mesh_devices):
             "validation_surveys": [2016], "partition_predict": "all surveys",
             "evaluation_surveys": [], "save_prediction_surveys": [],
             "eval_mode": "all", "patch_overlap": 4, "random_seed": 10,
-            "depth": 2, "start_filts": 4, "mesh_devices": mesh_devices}
+            "depth": 2, "start_filts": 4, "mesh_devices": mesh_devices,
+            # f32: this test pins 1-vs-8-device trajectory parity, which
+            # the (default) bf16 conv compute blurs past the tolerances
+            # via sharded-reduction rounding
+            "train_dtype": "float32"}
 
 
 def test_multidevice_training_loss_parity(tmp_path):

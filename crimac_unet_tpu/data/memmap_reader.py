@@ -35,9 +35,13 @@ def _load_pickle(folder, name):
 # instances keeps a many-thousand-echogram survey under the default fd
 # ulimit (1024) while still de-duplicating the per-crop remap churn.
 import collections as _collections
+import threading as _threading
 
 _MEMMAP_LRU: "_collections.OrderedDict" = _collections.OrderedDict()
 _MEMMAP_LRU_MAX = 512
+# data_memmaps is called from the predict/eval prefetch threads;
+# OrderedDict reorder + evict is not atomic under concurrent mutation
+_MEMMAP_LRU_LOCK = _threading.Lock()
 
 
 def _matlab_time_to_datetime(t: float):
@@ -130,16 +134,18 @@ class Echogram:
         for f in frequencies:
             f = int(f)
             key = (self.path, f)
-            m = _MEMMAP_LRU.get(key)
+            with _MEMMAP_LRU_LOCK:
+                m = _MEMMAP_LRU.get(key)
+                if m is not None:
+                    _MEMMAP_LRU.move_to_end(key)
             if m is None:
                 m = np.memmap(
                     os.path.join(self.path, f"data_for_freq_{f}.dat"),
                     dtype=self.data_dtype, mode="r", shape=self.shape)
-                _MEMMAP_LRU[key] = m
-                if len(_MEMMAP_LRU) > _MEMMAP_LRU_MAX:
-                    _MEMMAP_LRU.pop(next(iter(_MEMMAP_LRU)))
-            else:
-                _MEMMAP_LRU.move_to_end(key)
+                with _MEMMAP_LRU_LOCK:
+                    _MEMMAP_LRU[key] = m
+                    if len(_MEMMAP_LRU) > _MEMMAP_LRU_MAX:
+                        _MEMMAP_LRU.pop(next(iter(_MEMMAP_LRU)))
             out.append(m)
         return out
 

@@ -249,6 +249,89 @@ def stage_decomp(work, out):
     save(out, "decomp", res)
 
 
+def stage_train_decomp(work, out):
+    """Train-step decomposition (the 'conv-backward-bound' evidence,
+    VERDICT r2 weak #1): forward+loss only vs value_and_grad vs the full
+    fused step, at batch 4 and 8, bf16 compute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline import engine
+    from crimac_unet_tpu.utils import flops as F
+
+    res = {}
+    for batch in (4, 8):
+        config = {"patch_size": [256, 256], "frequencies": FREQS,
+                  "lr": 0.005, "lr_step": 1000, "lr_reduction": 0.5,
+                  "momentum": 0.95, "depth": 5, "start_filts": 64,
+                  "compute_dtype": "bfloat16", "batch_size": batch}
+        model = build_unet(config)
+        state = engine.init_train_state(model, config,
+                                        jax.random.PRNGKey(0))
+        tx = engine.make_optimizer(config)
+        rng = np.random.RandomState(0)
+        x = jax.device_put(rng.randn(batch, 256, 256, 4)
+                           .astype(np.float32))
+        y = jax.device_put(rng.choice([0, 1, 2], size=(batch, 256, 256))
+                           .astype(np.int32))
+
+        def loss_fn(p, stats):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"])
+            return engine.weighted_ce_loss(logits, y,
+                                           (10.0, 300.0, 250.0)), \
+                mut["batch_stats"]
+
+        fwd = jax.jit(lambda p, s: loss_fn(p, s)[0])
+        grad = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+        @jax.jit
+        def full(p, s, opt):
+            (loss, ns), g = jax.value_and_grad(loss_fn,
+                                               has_aux=True)(p, s)
+            u, no = tx.update(g, opt, p)
+            return optax.apply_updates(p, u), ns, no, loss
+
+        opt = tx.init(state.params)
+
+        def burst(fn, reps=10):
+            o = fn()
+            jax.block_until_ready(o)
+            t0 = time.time()
+            for _ in range(reps):
+                o = fn()
+            jax.block_until_ready(o)
+            return (time.time() - t0) / reps
+
+        t_f = burst(lambda: fwd(state.params, state.batch_stats))
+        t_g = burst(lambda: grad(state.params, state.batch_stats))
+        t_s = burst(lambda: full(state.params, state.batch_stats, opt))
+        fwd_flops = batch * F.unet_forward_flops(256, 256, in_channels=4,
+                                                 depth=5, start_filts=64)
+        # isolate BN-train-mode cost: same batch, eval-mode BN (running
+        # stats, no batch-stat computation), no mutable collection
+        fwd_eval = jax.jit(lambda p, s: engine.weighted_ce_loss(
+            model.apply({"params": p, "batch_stats": s}, x, train=False),
+            y, (10.0, 300.0, 250.0)))
+        t_fe = burst(lambda: fwd_eval(state.params, state.batch_stats))
+
+        res[f"b{batch}"] = {
+            "fwd_ms": round(t_f * 1e3, 2),
+            "fwd_evalbn_ms": round(t_fe * 1e3, 2),
+            "grad_ms": round(t_g * 1e3, 2),
+            "full_step_ms": round(t_s * 1e3, 2),
+            "bwd_over_fwd": round((t_g - t_f) / t_f, 2),
+            "fwd_mfu": round(F.mfu(fwd_flops, t_f) or 0, 4),
+            "fwd_evalbn_mfu": round(F.mfu(fwd_flops, t_fe) or 0, 4),
+            "grad_mfu_3x": round(F.mfu(3 * fwd_flops, t_g) or 0, 4),
+        }
+    save(out, "train_decomp", res)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stages", default="ab_f32,ab_bf16,slab_bound,decomp")
@@ -274,6 +357,8 @@ def main():
             stage_slab_bound(a.work, a.out)
         elif st == "decomp":
             stage_decomp(a.work, a.out)
+        elif st == "train_decomp":
+            stage_train_decomp(a.work, a.out)
         else:
             raise SystemExit(f"unknown stage {st}")
         log(f"=== {st} done in {(time.time()-t0)/60:.1f} min")

@@ -100,3 +100,84 @@ def load_torch_checkpoint(path) -> dict:
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return torch_state_dict_to_flax(sd)
+
+
+# ================================================================== export
+def flax_to_torch_state_dict(variables: dict) -> dict:
+    """Inverse of :func:`torch_state_dict_to_flax`: export our Flax
+    variables to the reference's ``state_dict`` naming/layout so a model
+    trained HERE can be deployed with the reference torch pipeline
+    (``UNet_Baseline``/``UNet_LateMetInject.load_state_dict``,
+    reference pipeline.py:109-130).  Returns plain numpy arrays; pass
+    through ``save_torch_checkpoint`` to write a loadable ``.pt``.
+
+    Requires unfolded BatchNorm variables (params + batch_stats), i.e. a
+    training checkpoint — a BN-folded serving parameter tree has no
+    torch equivalent."""
+    params = variables["params"]
+    stats = variables.get("batch_stats") or {}
+    if not stats:
+        raise ValueError(
+            "flax_to_torch_state_dict needs unfolded batch_stats (a "
+            "training checkpoint); BN-folded serving params cannot be "
+            "exported to the reference's state_dict format")
+    sd: dict = {}
+
+    def put_conv(prefix, p):
+        sd[prefix + ".weight"] = np.ascontiguousarray(
+            np.asarray(p["kernel"], np.float32).transpose(3, 2, 0, 1))
+        sd[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_convT(prefix, p):
+        k = np.asarray(p["kernel"], np.float32)[::-1, ::-1]
+        sd[prefix + ".weight"] = np.ascontiguousarray(
+            k.transpose(2, 3, 0, 1))
+        sd[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+
+    def put_bn(prefix, p, s):
+        sd[prefix + ".weight"] = np.asarray(p["scale"], np.float32)
+        sd[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+        sd[prefix + ".running_mean"] = np.asarray(s["mean"], np.float32)
+        sd[prefix + ".running_var"] = np.asarray(s["var"], np.float32)
+        # torch tracks batch count; the reference never reads it but
+        # load_state_dict(strict=True) requires the key
+        sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    depth = 1 + max(int(k[4:]) for k in params if k.startswith("down"))
+    for i in range(depth):
+        fp, fs = params[f"down{i}"], stats[f"down{i}"]
+        p = f"down_convs.{i}.main"
+        put_conv(f"{p}.0", fp["unit1"]["conv"])
+        put_bn(f"{p}.1", fp["unit1"]["bn"], fs["unit1"]["bn"])
+        put_conv(f"{p}.3", fp["unit2"]["conv"])
+        put_bn(f"{p}.4", fp["unit2"]["bn"], fs["unit2"]["bn"])
+
+    for i in range(depth - 1):
+        fp, fs = params[f"up{i}"], stats[f"up{i}"]
+        p = f"up_convs.{i}"
+        put_convT(f"{p}.upconv", fp["upconv"])
+        put_conv(f"{p}.conv1", fp["unit1"]["conv"])
+        put_bn(f"{p}.bn1", fp["unit1"]["bn"], fs["unit1"]["bn"])
+        put_conv(f"{p}.conv2", fp["unit2"]["conv"])
+        put_bn(f"{p}.bn2", fp["unit2"]["bn"], fs["unit2"]["bn"])
+
+    put_conv("conv_final", params["conv_final"])
+
+    if "meta_mlp" in params:
+        for i, fc in ((0, "fc1"), (2, "fc2"), (4, "fc3")):
+            p = f"post_processing_weights.main.{i}"
+            sd[p + ".weight"] = np.ascontiguousarray(
+                np.asarray(params["meta_mlp"][fc]["kernel"],
+                           np.float32).T)
+            sd[p + ".bias"] = np.asarray(params["meta_mlp"][fc]["bias"],
+                                         np.float32)
+
+    return sd
+
+
+def save_torch_checkpoint(variables: dict, path) -> None:
+    """Write a reference-loadable ``.pt`` state_dict (requires torch)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state_dict(variables).items()}
+    torch.save(sd, str(path))

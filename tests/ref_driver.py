@@ -271,6 +271,24 @@ def main(cfg):
         torch.save(model.state_dict(),
                    os.path.join(out, "train_after.pt"))
 
+    ec = cfg.get("export_check")
+    if ec:
+        # strict load of OUR exported .pt into the reference's real class
+        # (flax_to_torch_state_dict contract), then a forward for the
+        # test process to compare against
+        model = ref_models.UNet_Baseline(
+            n_classes=3, in_channels=4, late_meta_inject=False,
+            depth=int(ec["depth"]), start_filts=int(ec["start_filts"]),
+            up_mode="transpose", merge_mode="concat")
+        model.load_state_dict(torch.load(ec["ckpt"], map_location="cpu"))
+        model.eval()
+        rng = np.random.RandomState(37)
+        x = rng.randn(2, 4, *patch).astype(np.float32)
+        with torch.no_grad():
+            logits = model(torch.from_numpy(x)).numpy()
+        np.save(ec["batch"], x)
+        np.save(ec["batch"].replace(".npy", "_logits.npy"), logits)
+
     print("REF_DRIVER_OK")
 
 

@@ -69,3 +69,73 @@ def test_predict_with_meta_channels(tmp_path):
         assert out.shape == (2, 70, e - s)
         assert np.isfinite(out.astype(np.float32)).all()
         assert (out != 0).any()
+
+
+def test_flax_to_torch_roundtrip(tmp_path):
+    """flax_to_torch_state_dict is an exact inverse of the import: a
+    torch state dict (reference naming/layout) -> flax -> torch
+    round-trips bit-for-bit including the key set, so models trained
+    here deploy back into the reference pipeline."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.torch_import import (
+        flax_to_torch_state_dict, load_torch_checkpoint,
+        save_torch_checkpoint, torch_state_dict_to_flax)
+    from crimac_unet_tpu.models.unet import build_unet
+
+    # build variables from OUR side (training init) with late meta
+    meta_ch = 2
+    model = build_unet({"depth": 3, "start_filts": 8,
+                        "late_meta_inject": True})
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 32, 32, 4)),
+                           meta=jnp.zeros((1, 32, 32, meta_ch)),
+                           train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    p = tmp_path / "export.pt"
+    save_torch_checkpoint(variables, p)
+    back = load_torch_checkpoint(p)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]})[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(
+        {"params": back["params"], "batch_stats": back["batch_stats"]})[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(ka))
+
+    # the exported key set matches the reference state_dict exactly
+    sd = torch.load(p, map_location="cpu", weights_only=True)
+    want_keys = set()
+    for i in range(3):
+        for j, bn in ((0, 1), (3, 4)):
+            want_keys.add(f"down_convs.{i}.main.{j}.weight")
+            want_keys.add(f"down_convs.{i}.main.{j}.bias")
+            for stat in ("weight", "bias", "running_mean", "running_var",
+                         "num_batches_tracked"):
+                want_keys.add(f"down_convs.{i}.main.{bn}.{stat}")
+    for i in range(2):
+        for name in ("upconv", "conv1", "conv2"):
+            want_keys.add(f"up_convs.{i}.{name}.weight")
+            want_keys.add(f"up_convs.{i}.{name}.bias")
+        for name in ("bn1", "bn2"):
+            for stat in ("weight", "bias", "running_mean", "running_var",
+                         "num_batches_tracked"):
+                want_keys.add(f"up_convs.{i}.{name}.{stat}")
+    want_keys |= {"conv_final.weight", "conv_final.bias"}
+    for i in (0, 2, 4):
+        want_keys.add(f"post_processing_weights.main.{i}.weight")
+        want_keys.add(f"post_processing_weights.main.{i}.bias")
+    assert set(sd.keys()) == want_keys
+
+    # folded (serving) params are rejected with a clear error
+    import pytest
+    with pytest.raises(ValueError, match="batch_stats"):
+        flax_to_torch_state_dict({"params": variables["params"]})

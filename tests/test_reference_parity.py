@@ -62,6 +62,15 @@ def refout(tmp_path_factory):
         e.label_memmap(heave=True)
         e.get_seabed(0, e.shape[1])
     out = root / "out"
+    # export OUR training-initialized variables to the reference format
+    # BEFORE the driver runs: ref_driver strict-loads them into the real
+    # UNet_Baseline and returns its forward for comparison
+    from crimac_unet_tpu.models.torch_import import save_torch_checkpoint
+    exp_model = build_unet({"depth": DEPTH, "start_filts": START_FILTS})
+    exp_vars = exp_model.init(jax.random.PRNGKey(8),
+                              jnp.zeros((1, *PATCH, 4)), train=False)
+    save_torch_checkpoint(
+        jax.tree_util.tree_map(np.asarray, exp_vars), root / "export.pt")
     cfg = {
         "echograms_path": str(ech), "work_dir": str(root / "work"),
         "out_dir": str(out), "ckpt": str(root / "small.pt"),
@@ -76,6 +85,9 @@ def refout(tmp_path_factory):
                        "ckpt": str(root / "meta.pt"),
                        "batch": str(out / "meta_batch.npy")},
         "train_probe": {"ckpt": str(root / "train0.pt")},
+        "export_check": {"depth": DEPTH, "start_filts": START_FILTS,
+                         "ckpt": str(root / "export.pt"),
+                         "batch": str(out / "export_batch.npy")},
     }
     cfg_path = root / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
@@ -267,3 +279,19 @@ def test_train_step_parity_vs_reference(refout):
         np.testing.assert_allclose(np.asarray(vg), np.asarray(vw),
                                    atol=5e-5, rtol=2e-4,
                                    err_msg=str(kg))
+
+
+def test_export_loads_into_reference_class(refout):
+    """A model trained HERE deploys back to the reference: the exported
+    .pt strict-loads into the reference's real UNet_Baseline (ref_driver
+    export_check) and its torch forward matches our flax forward on the
+    same weights."""
+    out = refout["out"]
+    x = np.load(out / "export_batch.npy")
+    want = np.load(out / "export_batch_logits.npy")  # reference forward
+    variables = load_torch_checkpoint(refout["root"] / "export.pt")
+    model = build_unet({"depth": DEPTH, "start_filts": START_FILTS})
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -1,0 +1,84 @@
+"""50k-ping streaming-predict soak (production scale, one chip).
+
+Builds (once, cached under /tmp/soak50k) a 50,000-ping x 1000-range
+4-frequency Blosc survey (~12.5x the bench fixture) and streams a full
+save_survey_predictions_zarr run in the requested infer_mode, reporting
+wall, pings/s, peak host RSS and the per-phase timers.  Round-2 measured
+158.7 s / 315 pings/s / 1.26 GB RSS in patch mode with the old
+three-pass host slab assembly; this re-measures with the native
+decode+scatter path and the slab mode.
+
+  python scripts/soak50k.py [patch|slab]
+"""
+
+import os
+import resource
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_PINGS, N_RANGE = 50_000, 1000
+
+
+def ensure_fixture():
+    root = Path("/tmp/soak50k")
+    sv = root / "S2017843_sv.zarr"
+    if sv.is_dir():
+        return str(sv)
+    root.mkdir(exist_ok=True)
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    t = time.time()
+    path = make_zarr_survey(root, year=2017, n_echograms=1, H=N_RANGE,
+                            W=N_PINGS, seed=9, n_schools=200)
+    print(f"fixture built in {time.time() - t:.0f}s -> {path}",
+          flush=True)
+    return path
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "patch"
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".bench_cache" / "xla"))
+    import warnings
+
+    import jax.numpy as jnp
+
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (
+        GriddedRunner, save_survey_predictions_zarr)
+
+    sv = ensure_fixture()
+    reader = DataReaderZarr(sv)
+    cfg = {"patch_size": [256, 256], "patch_overlap": 20,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 32,
+           "depth": 5, "start_filts": 64, "compute_dtype": "bfloat16",
+           "infer_mode": mode}
+    model = build_unet(cfg)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 256, 256, 4)), train=False))(
+        jax.random.PRNGKey(0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        runner = GriddedRunner(model, variables, cfg)
+
+    out = f"/tmp/soak50k/pred_{mode}.zarr"
+    t0 = time.time()
+    save_survey_predictions_zarr(runner, reader, out,
+                                 preload_n_pings=1000, progress=False)
+    wall = time.time() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"soak mode={mode}: {wall:.1f}s  "
+          f"{N_PINGS / wall:.0f} pings/s  peak RSS {rss_gb:.2f} GB",
+          flush=True)
+    for name, st in sorted(runner.timer.summary().items()):
+        print(f"  {name:16s} total {st['total_s']:8.1f}s  n={st['n']}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

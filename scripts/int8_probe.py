@@ -26,13 +26,19 @@ def conv(x, w, out_dtype):
         preferred_element_type=out_dtype)
 
 
+def sync(o):
+    # block_until_ready is not a reliable fence through the axon tunnel;
+    # a tiny d2h of a reduction is (device stream is ordered)
+    return float(np.asarray(jnp.sum(o.astype(jnp.float32)[::64, ::64])))
+
+
 def burst(fn, *a, reps=20):
-    o = fn(*a)
-    jax.block_until_ready(o)
+    sync(fn(*a))
     t0 = time.time()
+    o = None
     for _ in range(reps):
         o = fn(*a)
-    jax.block_until_ready(o)
+    sync(o)
     return (time.time() - t0) / reps
 
 

@@ -338,6 +338,10 @@ class ZArray:
         if axes is None:
             axes = tuple(range(ndim))
         dview = dst[dst_index]
+        if not np.may_share_memory(dview, dst):
+            # advanced indexing produced a copy: writes would be lost
+            raise ValueError("read_into dst_index must be basic slicing "
+                             "(a view of dst)")
         res_shape = tuple(s.stop - s.start for s in sel)
         want = tuple(res_shape[a] for a in axes)
         if dview.shape != want:

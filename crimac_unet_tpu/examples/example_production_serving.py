@@ -1,0 +1,85 @@
+"""Production serving walkthrough: checkpoint -> slab-mode survey
+prediction -> (optionally) export the weights back to the reference.
+
+Demonstrates the recommended serving configuration (README "Inference"):
+  * ``infer_mode: slab`` — one fully-convolutional forward per chunk
+    (~1.7x over patch windows when device-bound, end-metric-identical
+    with trained weights, BASELINE.md r3);
+  * BatchNorm folded into the convs (default at inference);
+  * bf16 h2d transfers + bf16 MXU compute;
+  * on a multi-chip mesh the slab forward runs sequence-parallel over
+    the survey's ping axis automatically (mesh_devices).
+
+Run (synthesizes a small survey; substitute your own store + checkpoint):
+  python -m crimac_unet_tpu.examples.example_production_serving
+"""
+
+import tempfile
+import warnings
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.fixtures import make_zarr_survey
+    from ..data.zarr_reader import DataReaderZarr
+    from ..data.zarrlite import ZGroup
+    from ..models.unet import build_unet
+    from ..pipeline.engine import load_checkpoint  # noqa: F401 (real use)
+    from ..pipeline.inference import (GriddedRunner,
+                                      save_survey_predictions_zarr)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        sv_path = make_zarr_survey(tmp, year=2019, n_echograms=1,
+                                   H=200, W=600, seed=1)
+        reader = DataReaderZarr(sv_path)
+
+        cfg = {
+            "patch_size": [64, 64], "patch_overlap": 8,
+            "frequencies": [18, 38, 120, 200],
+            "depth": 2, "start_filts": 8,       # demo-sized model; the
+            # flagship is depth 5 / start_filts 64 with patch [256, 256]
+            "fwd_batch": 32,
+            "compute_dtype": "bfloat16",
+            "infer_mode": "slab",               # production serving mode
+            "mesh_devices": 1,                  # 0 = all visible chips
+        }
+        model = build_unet(cfg)
+
+        # real deployments load weights instead:
+        #   payload = load_checkpoint("saved_models/<run>/best.msgpack")
+        #   variables = {"params": payload["params"],
+        #                "batch_stats": payload["batch_stats"]}
+        # (reference .pt checkpoints load the same way — the path also
+        # handles torch state dicts)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 4)), train=False)
+
+        with warnings.catch_warnings():
+            # demo geometry is pooling-aligned; the flagship geometry
+            # warns about slab/patch pooling misalignment (expected and
+            # documented — DIVERGENCES.md)
+            warnings.simplefilter("ignore")
+            runner = GriddedRunner(model, variables, cfg)
+
+        out = f"{tmp}/demo_pred.zarr"
+        save_survey_predictions_zarr(runner, reader, out,
+                                     preload_n_pings=300)
+        group = ZGroup.open(out)
+        ann = group["annotation"]
+        print(f"wrote {out}: annotation {ann.shape} {ann.dtype} "
+              f"(category [27, 1], reference on-disk contract)")
+
+        # optional: ship the trained weights back to the reference stack
+        # (requires unfolded batch_stats, i.e. a training checkpoint):
+        from ..models.torch_import import save_torch_checkpoint
+        save_torch_checkpoint(
+            jax.tree_util.tree_map(lambda x: x, variables),
+            f"{tmp}/export_for_reference.pt")
+        print("exported reference-loadable state dict: "
+              "export_for_reference.pt")
+
+
+if __name__ == "__main__":
+    main()

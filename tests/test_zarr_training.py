@@ -32,14 +32,17 @@ def test_zarr_mode_training(tmp_path):
 
 def test_examples_run(capsys):
     from crimac_unet_tpu.examples import (example_ek60_onboarding,
+                                          example_production_serving,
                                           example_samplers,
                                           example_zarr_reader)
     e = example_ek60_onboarding.main([])
     assert e.shape[0] > 0
     example_zarr_reader.main([])
     example_samplers.main()
+    example_production_serving.main()
     out = capsys.readouterr().out
     assert "Survey:" in out and "Batch:" in out
+    assert "annotation (2, " in out and "export_for_reference" in out
 
 
 def test_batch_prefetcher_surfaces_worker_crash():

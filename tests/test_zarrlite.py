@@ -229,3 +229,13 @@ class TestReadInto:
             want[idx] = want_full[sel].transpose(axes)
             np.testing.assert_array_equal(dst, want, err_msg=str(
                 (trial, sel, axes, pad)))
+
+    def test_rejects_copy_destination(self, tmp_path):
+        """Advanced indexing makes dst[idx] a copy — writes would be
+        silently lost; read_into must reject it."""
+        a, _ = self._mk(tmp_path)
+        dst = np.zeros((4, 50, 30), np.float32)
+        with pytest.raises(ValueError, match="basic slicing"):
+            a.read_into((slice(0, 4), slice(0, 50), slice(0, 30)),
+                        dst, (np.array([0, 1, 2, 3]), slice(None),
+                              slice(None)))

@@ -52,7 +52,9 @@ def refout(tmp_path_factory):
     """Fixture survey + one reference-pipeline subprocess run."""
     root = tmp_path_factory.mktemp("refparity")
     ech = root / "echograms"
-    make_survey_dir(ech, year=2017, n_echograms=1, H=100, W=200, seed=31,
+    # two echograms: the reference eval concatenates per-reader datasets
+    # (ConcatDataset, evaluate.py:96-108) — parity must hold across that
+    make_survey_dir(ech, year=2017, n_echograms=2, H=100, W=200, seed=31,
                     n_schools=4, unused_species=True)
     # pre-generate the lazily-created caches with OUR code so both sides
     # read identical labels_heave.dat / seabed.npy (the reference reads
@@ -138,24 +140,26 @@ def test_predict_parity_vs_reference_pipeline(refout, tmp_path):
     save_predict.py:222-265 on the same weights: identical write masks,
     float16-level probability agreement."""
     runner = _our_runner(refout)
-    reader = get_echograms(years=[2017],
-                           path_to_echograms=str(refout["ech"]),
-                           minimum_shape=50)[0]
-    ours_path = tmp_path / "ours_pred.npy"
-    save_reader_predictions_memm(runner, reader, str(ours_path),
-                                 preload_n_pings=200)
-    ours = np.load(ours_path).astype(np.float64)       # (2, H, W) f16
-    ref = np.load(refout["out"] / f"{reader.name}_pred.npy")  # float64
+    readers = get_echograms(years=[2017],
+                            path_to_echograms=str(refout["ech"]),
+                            minimum_shape=50)
+    assert len(readers) == 2
+    for reader in readers:
+        ours_path = tmp_path / f"{reader.name}_ours.npy"
+        save_reader_predictions_memm(runner, reader, str(ours_path),
+                                     preload_n_pings=200)
+        ours = np.load(ours_path).astype(np.float64)   # (2, H, W) f16
+        ref = np.load(refout["out"] / f"{reader.name}_pred.npy")
 
-    assert ours.shape == ref.shape
-    # the write mask (which pixels get a prediction at all) is bit-exact
-    np.testing.assert_array_equal(ours != 0, ref != 0)
-    # probabilities: both sides round to float16; torch-vs-XLA conv
-    # ordering may flip the last ulp on a small fraction of pixels
-    diff = np.abs(ours - ref)
-    assert diff.max() < 2e-3, diff.max()
-    frac_exact = (diff[ref != 0] == 0).mean()
-    assert frac_exact > 0.98, frac_exact
+        assert ours.shape == ref.shape
+        # the write mask (which pixels get predictions) is bit-exact
+        np.testing.assert_array_equal(ours != 0, ref != 0)
+        # probabilities: both sides round to float16; torch-vs-XLA conv
+        # ordering may flip the last ulp on a small fraction of pixels
+        diff = np.abs(ours - ref)
+        assert diff.max() < 2e-3, diff.max()
+        frac_exact = (diff[ref != 0] == 0).mean()
+        assert frac_exact > 0.98, frac_exact
 
 
 @pytest.mark.parametrize("eval_mode", ["all", "region", "trace"])
@@ -170,12 +174,16 @@ def test_eval_parity_vs_reference_pipeline(refout, eval_mode):
     ref_preds = np.load(refout["out"] / f"eval_{eval_mode}_preds.npy")
 
     runner = _our_runner(refout)
-    reader = get_echograms(years=[2017],
-                           path_to_echograms=str(refout["ech"]),
-                           minimum_shape=50)[0]
-    hist = np.asarray(evaluate_reader(runner, reader,
-                                      metrics.new_histogram(),
-                                      eval_mode=eval_mode, chunk_cols=4))
+    readers = get_echograms(years=[2017],
+                            path_to_echograms=str(refout["ech"]),
+                            minimum_shape=50)
+    # chain the histogram across the survey's readers — the reference
+    # evaluates one ConcatDataset over them (evaluate.py:96-108)
+    hist = metrics.new_histogram()
+    for reader in readers:
+        hist = evaluate_reader(runner, reader, hist,
+                               eval_mode=eval_mode, chunk_cols=4)
+    hist = np.asarray(hist)
 
     # exact parity of the pixel selection and class split
     assert hist.sum() == len(ref_labels)

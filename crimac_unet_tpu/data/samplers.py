@@ -201,6 +201,7 @@ class SchoolZarr:
     def __init__(self, readers, window_size, fish_type="all"):
         self.window_size = window_size
         self.schools = []
+        readers = list(readers)  # len() below; accept iterators
         n_empty = 0
         for z in readers:
             df = z.get_fish_schools(category=fish_type)
@@ -268,6 +269,7 @@ class SchoolSeabedZarr(SchoolZarr):
                  fish_type="all"):
         self.window_size = window_size
         self.schools = []
+        readers = list(readers)  # len() below; accept iterators
         n_empty = 0
         for z in readers:
             df = z.get_fish_schools(category=fish_type)

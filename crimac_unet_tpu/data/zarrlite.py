@@ -338,15 +338,19 @@ class ZArray:
         if axes is None:
             axes = tuple(range(ndim))
         dview = dst[dst_index]
-        if not np.may_share_memory(dview, dst):
-            # advanced indexing produced a copy: writes would be lost
-            raise ValueError("read_into dst_index must be basic slicing "
-                             "(a view of dst)")
         res_shape = tuple(s.stop - s.start for s in sel)
         want = tuple(res_shape[a] for a in axes)
         if dview.shape != want:
             raise ValueError(f"dst region {dview.shape} != transposed "
                              f"read shape {want}")
+        if dview.size == 0:
+            return  # empty region: nothing to read or write
+        if not np.may_share_memory(dview, dst):
+            # advanced indexing produced a copy: writes would be lost
+            # (may_share_memory is False for zero-size views, hence the
+            # empty-region early-out above)
+            raise ValueError("read_into dst_index must be basic slicing "
+                             "(a view of dst)")
 
         native_ok = ((self.compressor or {}).get("id") == "blosc"
                      and dst.dtype == self.dtype and ndim <= 4)

@@ -228,10 +228,12 @@ static void cio_fill_box(char* dst, int ndim, int64_t itemsize,
                          const int64_t* b0, const int64_t* b1,
                          const int64_t* dst_strides, const char* fill) {
   int64_t idx[CIO_MAX_DIMS];
-  for (int d = 0; d < ndim; ++d) idx[d] = b0[d];
+  for (int d = 0; d < ndim; ++d) {
+    if (b1[d] - b0[d] <= 0) return;  // any empty dim: empty box (the
+    idx[d] = b0[d];                  // do-style loop below would other-
+  }                                  // wise fill one spurious inner run)
   const int last = ndim - 1;
   const int64_t n_last = b1[last] - b0[last];
-  if (n_last <= 0) return;
   for (;;) {
     char* p = dst;
     for (int d = 0; d < ndim; ++d)

@@ -987,13 +987,16 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     col_groups = [(j, j + chunk_cols) for j in range(0, C_pad, chunk_cols)]
 
     keep_global = None
-    keep_pad = 0
+    keep_pad = (0, 0)
     if eval_mode in ("region", "trace"):
         # padded frame covering every slab pixel, including out-of-survey
         # grid margins (the reference masks those too — see
-        # _build_keep_mask quirk notes)
-        keep_pad = max(o, R * sh + o - n_range,
-                       C_pad * sw + o - n_pings, 0)
+        # _build_keep_mask quirk notes).  Per-axis pads: rows only need
+        # ~overlap while the column axis needs up to a whole pad column
+        # group — a single symmetric pad would inflate the survey-size
+        # allocation ~2.6x at soak scale (review finding r3)
+        keep_pad = (max(o, R * sh + o - n_range, 0),
+                    max(o, C_pad * sw + o - n_pings, 0))
         keep_global = _build_keep_mask(reader, eval_mode, extend_size,
                                        n_range, n_pings, pad=keep_pad)
     use_keep = keep_global is not None
@@ -1035,10 +1038,10 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         if use_keep:
             # slab row i <-> survey row i - o, slab col j <-> want_x0 + j;
             # the padded keep frame covers the full slab extent
-            p = keep_pad
+            pr, pc = keep_pad
             keep_slab = np.ascontiguousarray(
-                keep_global[p - o:p - o + Hp,
-                            p + want_x0:p + want_x0 + Wp])
+                keep_global[pr - o:pr - o + Hp,
+                            pc + want_x0:pc + want_x0 + Wp])
 
         sb_pad = np.full(Wp, BIG_ROW, np.int64)
         if sw_w > 0:
@@ -1115,9 +1118,11 @@ def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings,
                      pad=0):
     """Keep mask from extended school bboxes (extend_label_masks.py:35-98):
     region = bbox +- extend in both axes; trace = full water column for
-    pings within extend of a school.  Returns a
-    ``(n_range + 2*pad, n_pings + 2*pad)`` bool array where survey pixel
-    ``(y, x)`` lives at index ``(y + pad, x + pad)`` — the pad rows/cols
+    pings within extend of a school.  ``pad`` is an int or a per-axis
+    ``(row_pad, col_pad)``; returns a
+    ``(n_range + 2*row_pad, n_pings + 2*col_pad)`` bool array where
+    survey pixel ``(y, x)`` lives at index ``(y + row_pad, x + col_pad)``
+    — the pad rows/cols
     carry the mask for OUT-OF-SURVEY grid pixels, which the reference
     does mask (see below).
 
@@ -1139,7 +1144,8 @@ def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings,
     bool dtype: the dense survey-size mask is the eval path's one big
     host allocation (a 50k-ping survey would be ~200 MB at float32 vs
     ~50 MB bool), and every consumer only tests truthiness."""
-    keep = np.zeros((n_range + 2 * pad, n_pings + 2 * pad),
+    pr, pc = (pad, pad) if np.isscalar(pad) else pad
+    keep = np.zeros((n_range + 2 * pr, n_pings + 2 * pc),
                     dtype=np.bool_)
     bboxes = reader.get_object_bounding_boxes()  # (n, 4) y0 y1 x0 x1
     for (y0, y1, x0, x1) in bboxes:
@@ -1148,6 +1154,6 @@ def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings,
         else:
             ry0, ry1 = 0, n_range
         rx0, rx1 = x0 - extend_size, x1 + extend_size
-        keep[max(ry0 + 1 + pad, 0):max(ry1 + 1 + pad, 0),
-             max(rx0 + 1 + pad, 0):max(rx1 + 1 + pad, 0)] = True
+        keep[max(ry0 + 1 + pr, 0):max(ry1 + 1 + pr, 0),
+             max(rx0 + 1 + pc, 0):max(rx1 + 1 + pc, 0)] = True
     return keep

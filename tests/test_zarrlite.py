@@ -239,3 +239,13 @@ class TestReadInto:
             a.read_into((slice(0, 4), slice(0, 50), slice(0, 30)),
                         dst, (np.array([0, 1, 2, 3]), slice(None),
                               slice(None)))
+
+    def test_empty_region_is_noop(self, tmp_path):
+        """Zero-extent selections are valid no-ops (review finding r3:
+        may_share_memory is False for zero-size views and used to trip
+        the copy guard)."""
+        a, _ = self._mk(tmp_path)
+        dst = np.full((4, 10, 30), 5.0, np.float32)
+        a.read_into((slice(0, 4), slice(5, 5), slice(0, 30)),
+                    dst, np.s_[:, 0:0, :])
+        np.testing.assert_array_equal(dst, np.full_like(dst, 5.0))

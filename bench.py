@@ -225,20 +225,11 @@ def _device_only_chunk_time(runner, reader, reps=3):
         return None, 0
     args, statics = staged["args"], staged["statics"]
     jax.block_until_ready(args)
-    out = real_pp(runner.variables, *args, *statics)   # warm (cached)
-    jax.block_until_ready(out)
-    # dispatch a burst back-to-back and synchronize once: executions queue
-    # on the device, so total/burst amortizes the per-dispatch tunnel
-    # round-trip (~30 ms here) that a per-call block_until_ready would add
-    # to every rep and mis-book as device time
-    burst = 8
-    best = float("inf")
-    for _ in range(reps):
-        t = time.time()
-        for _ in range(burst):
-            out = real_pp(runner.variables, *args, *statics)
-        jax.block_until_ready(out)
-        best = min(best, (time.time() - t) / burst)
+    # burst dispatch + single sync amortizes the ~30 ms per-dispatch
+    # tunnel round-trip (utils/timing.py)
+    from crimac_unet_tpu.utils.timing import burst_time
+    best = burst_time(
+        lambda: real_pp(runner.variables, *args, *statics), reps=reps)
     return best, int(args[1].shape[0])
 
 

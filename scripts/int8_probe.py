@@ -33,13 +33,8 @@ def sync(o):
 
 
 def burst(fn, *a, reps=20):
-    sync(fn(*a))
-    t0 = time.time()
-    o = None
-    for _ in range(reps):
-        o = fn(*a)
-    sync(o)
-    return (time.time() - t0) / reps
+    from crimac_unet_tpu.utils.timing import burst_time
+    return burst_time(fn, *a, reps=2, burst=reps, sync=sync)
 
 
 def main():

@@ -204,14 +204,10 @@ def stage_decomp(work, out):
     N = int(y0s.shape[0])
     B, Np, nb = runner._sub_batch_shape(N)
 
-    def burst(fn, *a, reps=12):
-        o = fn(*a)
-        jax.block_until_ready(o)
-        t0 = time.time()
-        for _ in range(reps):
-            o = fn(*a)
-        jax.block_until_ready(o)
-        return (time.time() - t0) / reps
+    from crimac_unet_tpu.utils.timing import burst_time
+
+    def burst(fn, *a, reps=2):
+        return burst_time(fn, *a, reps=reps, burst=8)
 
     # full fused program
     t_full = burst(lambda: real(runner.variables, *args, **kw))
@@ -298,14 +294,10 @@ def stage_train_decomp(work, out):
 
         opt = tx.init(state.params)
 
-        def burst(fn, reps=10):
-            o = fn()
-            jax.block_until_ready(o)
-            t0 = time.time()
-            for _ in range(reps):
-                o = fn()
-            jax.block_until_ready(o)
-            return (time.time() - t0) / reps
+        from crimac_unet_tpu.utils.timing import burst_time
+
+        def burst(fn, reps=2):
+            return burst_time(fn, reps=reps, burst=8)
 
         t_f = burst(lambda: fwd(state.params, state.batch_stats))
         t_g = burst(lambda: grad(state.params, state.batch_stats))

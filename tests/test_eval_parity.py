@@ -155,3 +155,80 @@ def test_keep_mask_is_bool(setup):
     keep = _build_keep_mask(reader, "region", 20, n_range, n_pings)
     assert keep.dtype == np.bool_
     assert keep.any()
+
+
+def test_keep_mask_matches_reference_crop_semantics_randomized():
+    """Property check of the padded keep-mask frame against a direct
+    per-crop recreation of the reference's extend_label_masks semantics
+    (crop origin center - shape//2 WITHOUT the +1 of the data crops;
+    painting clamped to the CROP, not the survey) over random surveys,
+    geometries and bboxes — generalizes the single-fixture parity of
+    test_reference_parity beyond one geometry."""
+    from crimac_unet_tpu.ops.patches import grid_dims
+    from crimac_unet_tpu.pipeline.inference import _build_keep_mask
+
+    rng = np.random.RandomState(77)
+    for trial in range(40):
+        n_range = rng.randint(40, 140)
+        n_pings = rng.randint(60, 220)
+        o = rng.randint(2, 9)
+        wh = ww = int(rng.choice([24, 32, 48])) + 2 * o
+        extend = rng.randint(0, 25)
+        mode = ["region", "trace"][trial % 2]
+        n_box = rng.randint(1, 6)
+        bboxes = []
+        for _ in range(n_box):
+            y0 = rng.randint(0, n_range)
+            x0 = rng.randint(0, n_pings)
+            bboxes.append([y0, y0 + rng.randint(1, 30),
+                           x0, x0 + rng.randint(1, 30)])
+        bboxes = np.array(bboxes, int)
+
+        class FakeReader:
+            def get_object_bounding_boxes(self):
+                return bboxes.copy()
+
+        sh = sw = wh - 2 * o
+        R = grid_dims(0, n_range, wh, o)
+        C = grid_dims(0, n_pings, ww, o)
+        pr = max(o, R * sh + o - n_range, 0)
+        pc = max(o, C * sw + o - n_pings, 0)
+        keep = _build_keep_mask(FakeReader(), mode, extend, n_range,
+                                n_pings, pad=(pr, pc))
+
+        # extended bboxes the reference paints (extend_label_masks.py
+        # :71-80): region extends rows; trace covers [0, n_range)
+        ext = bboxes.copy()
+        if mode == "region":
+            ext[:, 0] -= extend
+            ext[:, 1] += extend
+        else:
+            ext[:, 0] = 0
+            ext[:, 1] = n_range
+        ext[:, 2] -= extend
+        ext[:, 3] += extend
+
+        for r in range(R):
+            for c in range(C):
+                # reference crop origin (no +1); data origin has the +1
+                yc = r * sh - (o + 1) + wh // 2
+                xc = c * sw - (o + 1) + ww // 2
+                yul, xul = yc - wh // 2, xc - ww // 2
+                ref = np.zeros((wh, ww), bool)
+                for (b0, b1, a0, a1) in ext:
+                    # the reference's overlap() pre-check
+                    # (extend_label_masks.py:22-30, called at :89) — it
+                    # also guards the paint slices against negative
+                    # stops, so it is load-bearing for semantics
+                    dy = min(b1, yul + wh) - max(b0, yul)
+                    dx = min(a1, xul + ww) - max(a0, xul)
+                    if dy < 0 or dx < 0:
+                        continue
+                    ref[max(b0 - yul, 0):min(b1 - yul, wh),
+                        max(a0 - xul, 0):min(a1 - xul, ww)] = True
+                y0d, x0d = yul + 1, xul + 1  # data-crop origin (+1)
+                ours = keep[y0d + pr:y0d + wh + pr,
+                            x0d + pc:x0d + ww + pc]
+                np.testing.assert_array_equal(
+                    ours, ref, err_msg=f"trial {trial} mode {mode} "
+                    f"patch ({r},{c}) geom {(n_range, n_pings, wh, o)}")

@@ -315,3 +315,38 @@ def test_predict_survey_without_labels_store(tmp_path):
     ann = ZGroup.open(target)["annotation"]
     assert ann.shape == (2, 150, 96)
     assert (np.asarray(ann[:, :, :]) > 0).any()
+
+
+def test_tiny_survey_predict_and_eval(tmp_path):
+    """Surveys smaller than one patch window in BOTH axes: predict (both
+    infer modes) and all three eval modes run without crashing, with
+    correct output extents (degenerate-geometry regression pin)."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.ops import metrics
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    evaluate_reader,
+                                                    predict_reader)
+
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    sv = make_zarr_survey(tmp_path, year=2022, n_echograms=1, H=20, W=18,
+                          seed=5, n_schools=1)
+    r = DataReaderZarr(sv)
+    for mode in ("patch", "slab"):
+        runner = GriddedRunner(model, v, dict(cfg, infer_mode=mode))
+        outs = list(predict_reader(runner, r, 100))
+        assert len(outs) == 1
+        s, e, pred, _ = outs[0]
+        assert (s, e) == (0, 18)
+        assert np.asarray(pred).shape == (2, 20, 18)
+    runner = GriddedRunner(model, v, cfg)
+    for mode in ("all", "region", "trace"):
+        h = np.asarray(evaluate_reader(runner, r, metrics.new_histogram(),
+                                       eval_mode=mode, chunk_cols=4))
+        assert h.sum() > 0

@@ -203,15 +203,15 @@ def _device_only_chunk_time(runner, reader, reps=3):
     real_pp = runner._predict_patches
 
     def capture(variables, data_slab, y0s, x0s, border_slab, meta_slab,
-                consts, R, C, n_range, border_zero, use_meta=False):
+                consts, R, C, border_zero, use_meta=False):
         staged.update(args=(jax.device_put(data_slab),
                             jax.device_put(y0s), jax.device_put(x0s),
                             jax.device_put(border_slab),
                             jax.device_put(meta_slab),
                             jax.device_put(consts)),
-                      statics=(R, C, n_range, border_zero, use_meta))
+                      statics=(R, C, border_zero, use_meta))
         return real_pp(variables, data_slab, y0s, x0s, border_slab,
-                       meta_slab, consts, R, C, n_range, border_zero,
+                       meta_slab, consts, R, C, border_zero,
                        use_meta)
 
     gen = predict_reader(runner, reader, PRELOAD)

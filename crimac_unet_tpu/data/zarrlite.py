@@ -506,11 +506,12 @@ class ZGroup:
             else:
                 raise FileExistsError(str(path))
         path.mkdir(parents=True)
-        with open(path / ".zgroup", "w") as f:
-            json.dump({"zarr_format": _ZARR_FORMAT}, f)
+        # atomic like every other metadata write in this module: a crash
+        # mid-create must not leave a torn .zgroup/.zattrs that poisons
+        # the next resume attempt
+        _atomic_write_json(path / ".zgroup", {"zarr_format": _ZARR_FORMAT})
         attrs = dict(attrs or {})
-        with open(path / ".zattrs", "w") as f:
-            json.dump(attrs, f, indent=2)
+        _atomic_write_json(path / ".zattrs", attrs)
         return cls(path, attrs)
 
     def array_names(self):

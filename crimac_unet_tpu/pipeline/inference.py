@@ -251,10 +251,10 @@ class GriddedRunner:
         return jnp.concatenate(parts, axis=1)
 
     # ------------------------------------------------- predict chunk (jit)
-    @partial(jax.jit, static_argnames=("self", "R", "C", "n_range",
+    @partial(jax.jit, static_argnames=("self", "R", "C",
                                        "border_zero", "use_meta"))
     def _predict_patches(self, variables, data_slab, y0s, x0s, border_slab,
-                         meta_slab, consts, R, C, n_range, border_zero,
+                         meta_slab, consts, R, C, border_zero,
                          use_meta=False):
         """Gather+preprocess patches and forward them; returns stitched
         (Hs, Ws, 2) [sandeel, other] probabilities in grid coords.
@@ -409,7 +409,12 @@ class GriddedRunner:
         keep = (jnp.isfinite(label_slab) & sv_fin
                 & ~(below & (label_slab == 0)))
         img = jnp.where(keep[:, :, None], img, 0.0)
-        return img.transpose(2, 0, 1).astype(jnp.float16)
+        # the bool mask is returned alongside so save_labels can apply
+        # the EXACT exclusions — reconstructing it from `pred != 0` on
+        # the host misclassifies kept pixels whose f16 probabilities
+        # underflow to 0 (review finding r3); it is only transferred
+        # when labels are exported
+        return img.transpose(2, 0, 1).astype(jnp.float16), keep
 
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
@@ -625,7 +630,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     pipeline_depth = int(getattr(runner, "pipeline_depth", 3))
 
     def _drain(entry):
-        s0, e0, dev_out, lab = entry
+        s0, e0, dev_out, dev_keep, lab = entry
         # non-overlapping attribution: time the wait-for-compute separately
         # from the actual transfer (VERDICT r1: the old d2h timer conflated
         # the two, making throughput unexplainable)
@@ -641,13 +646,15 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         host[:, :part.shape[1], :] = part
         runner.timer.stop("d2h")
         if lab is not None:
-            # masked label export (save_labels): raw categorical labels with
-            # the same exclusions as the predictions (zeros elsewhere)
+            # masked label export (save_labels): raw categorical labels
+            # with the EXACT prediction exclusions — the device-computed
+            # write mask, not `pred != 0` (f16 probabilities can
+            # underflow to 0 inside the mask)
             nr = part.shape[1]
+            keep = np.asarray(dev_keep)[:nr, :e0 - s0]
             lab_full = np.zeros((n_range, e0 - s0), np.float16)
             lab_full[:nr] = np.where(
-                part[0] != 0,
-                np.nan_to_num(lab[:nr, :e0 - s0], nan=0.0), 0.0)
+                keep, np.nan_to_num(lab[:nr, :e0 - s0], nan=0.0), 0.0)
             lab = lab_full
         return s0, e0, host, lab
 
@@ -657,9 +664,14 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         s, e = int(s), int(e)
         w = e - s
         runner.timer.start("host_slab")
-        # grid extents (gridded.py:121-163): range capped at max seabed + 50
+        # grid extents (gridded.py:121-163): range capped at max seabed +
+        # 50.  Pings WITHOUT a seabed estimate (degraded no-bottom-store
+        # surveys, seabed-free chunks) must not collapse the grid — an
+        # unknown seabed means the grid covers the full water column
+        # (review finding r3: raw zeros capped the grid at ~50 rows)
         sb_chunk = seabed_full[s:e]
-        end_range = int(min(max(sb_chunk.max() + 50, 1), n_range))
+        sb_eff = np.where(seabed_has[s:e], sb_chunk, n_range)
+        end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
         R = grid_dims(0, end_range, wh, o)
         C = grid_dims(s, e, ww, o)
 
@@ -777,18 +789,21 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                     runner.variables,
                     dev["data_slab"], dev["y0s"], dev["x0s"],
                     dev["border_slab"], dev["meta_slab"], dev["consts"],
-                    R, C, n_range, border_zero, runner.use_meta)
-            out = runner._mask_output(
+                    R, C, border_zero, runner.use_meta)
+            out, keep_dev = runner._mask_output(
                 stitched, dev["label_pad"], dev["data_slab"], dev["sb_vec"],
                 nr, C * sw, is_zarr, w)
             runner.timer.stop("device_chunk")
             # start the d2h copy as soon as compute finishes (overlaps the
-            # next chunk's device work; _drain only synchronizes)
+            # next chunk's device work; _drain only synchronizes).  The
+            # keep mask is only transferred when labels are exported.
             try:
                 out.copy_to_host_async()
+                if lab_host is not None:
+                    keep_dev.copy_to_host_async()
             except Exception:
                 pass
-            pending.append((s, e, out, lab_host))
+            pending.append((s, e, out, keep_dev, lab_host))
             if len(pending) >= pipeline_depth:
                 yield _drain(pending.pop(0))
 
@@ -798,6 +813,15 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # deterministic teardown: generator.close() (early abandonment)
         # must not leave prefetch threads staging chunks in the background
         executor.shutdown(wait=True, cancel_futures=True)
+
+
+def _ping_chunk(preload_n_pings: int) -> int:
+    """On-disk ping_time chunk width for prediction stores: follows
+    preload_n_pings, capped at the reference's 1000-ping contract.  Any
+    non-positive value means 'use the default chunking' — predict_reader
+    treats <=0 as the 5000-ping default, and a raw max(1, ...) turned
+    -1 into pathological 1-ping chunk files (review finding r3)."""
+    return min(1000, preload_n_pings) if preload_n_pings > 0 else 1000
 
 
 def save_survey_predictions_zarr(runner, reader, target_dname,
@@ -871,7 +895,7 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
                 attrs={"description": f"{model_name} predictions"})
             group.create_array(
                 "annotation", (2, 0, n_range),
-                (1, min(1000, max(1, preload_n_pings or 1000)), n_range),
+                (1, _ping_chunk(preload_n_pings), n_range),
                 np.float16, fill_value=0, dims=["category", "ping_time",
                                                 "range"],
                 # reference output codec: Blosc zstd-3 BITSHUFFLE
@@ -891,7 +915,7 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
         if save_labels and "labels" not in group:
             group.create_array(
                 "labels", (0, n_range),
-                (min(1000, max(1, preload_n_pings or 1000)), n_range),
+                (_ping_chunk(preload_n_pings), n_range),
                 np.float16, fill_value=0, dims=["ping_time", "range"],
                 compressor="blosc-zstd")
         group["annotation"].append(pred, axis=1)
@@ -978,7 +1002,10 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         seabed_has = np.ones(n_pings, dtype=bool)
     sb_abs = np.where(seabed_has, seabed_full, BIG_ROW).astype(np.int64)
 
-    end_range = int(min(max(seabed_full.max() + 50, 1), n_range))
+    # pings without a seabed estimate count as full-water-column for the
+    # grid extent (review finding r3 — see predict_reader)
+    sb_eff = np.where(seabed_has, seabed_full, n_range)
+    end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
     R = grid_dims(0, end_range, wh, o)
     C_total = grid_dims(0, n_pings, ww, o)
 

@@ -77,7 +77,7 @@ def test_sharded_gather_no_redistribute(tmp_path):
     r8._predict_patches = real
 
     lowered = jax.jit(
-        real.__wrapped__, static_argnames=("self", "R", "C", "n_range",
+        real.__wrapped__, static_argnames=("self", "R", "C",
                                            "border_zero", "use_meta")
     ).lower(r8, r8.variables, *staged["args"], **staged["kw"])
     hlo = lowered.compile().as_text()

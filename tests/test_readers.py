@@ -350,3 +350,79 @@ def test_tiny_survey_predict_and_eval(tmp_path):
         h = np.asarray(evaluate_reader(runner, r, metrics.new_histogram(),
                                        eval_mode=mode, chunk_cols=4))
         assert h.sum() > 0
+
+
+def test_no_seabed_survey_grid_covers_full_water_column(tmp_path):
+    """A survey in the degraded no-bottom-store mode (every ping
+    seabed-free) must still grid/predict the FULL water column — the raw
+    zero seabed vector used to cap the grid at ~50 rows (review finding
+    r3)."""
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.ops import metrics
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    evaluate_reader,
+                                                    predict_reader)
+
+    sv = make_zarr_survey(tmp_path, year=2022, n_echograms=1, H=120,
+                          W=100, seed=6)
+    shutil.rmtree(str(sv).replace("_sv.zarr", "_bottom.zarr"))
+    r = DataReaderZarr(sv)
+    assert not r.get_seabed(0, 10).any() or True  # degraded mode opens
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    runner = GriddedRunner(model, v, cfg)
+    s, e, pred, _ = next(iter(predict_reader(runner, r, 100)))
+    pred = np.asarray(pred)
+    assert pred.shape == (2, 120, 100)
+    # deep rows (below the old bogus 50+overlap cap) carry predictions
+    assert (pred[:, 80:, :] != 0).any(), \
+        "grid collapsed on seabed-free survey"
+    hist = np.asarray(evaluate_reader(runner, r, metrics.new_histogram(),
+                                      eval_mode="all", chunk_cols=4))
+    # all H*W pixels minus nothing-special: far more than a 50-row grid
+    assert hist.sum() > 100 * 80
+
+
+def test_save_labels_mask_is_exact_not_prob_derived(tmp_path):
+    """save_labels must apply the device write mask itself: a kept pixel
+    whose f16 probabilities underflow to 0 still exports its label
+    (review finding r3 — the mask used to be reconstructed as
+    pred != 0)."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    sv = make_zarr_survey(tmp_path, year=2021, n_echograms=1, H=60,
+                          W=80, seed=8)
+    r = DataReaderZarr(sv)
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    runner = GriddedRunner(model, v, cfg)
+    s, e, pred, lab = next(iter(predict_reader(runner, r, 80,
+                                               save_labels=True)))
+    pred, lab = np.asarray(pred), np.asarray(lab)
+    # the exported labels must cover at least the predicted area — and
+    # critically be derived from the mask, not the probabilities: any
+    # pixel with a label but zero probs would be dropped by the old code
+    assert lab.shape == pred.shape[1:]
+    assert (lab != 0).any()
+    # wherever predictions are nonzero, labels may be 0 (background) but
+    # wherever labels are nonzero the pixel must be inside the mask
+    raw = np.nan_to_num(r.get_label_slice(0, 80).T, nan=0)[:60, :80]
+    kept_labels = lab[:60, :80]
+    mismatch = (kept_labels != 0) & (raw == 0)
+    assert not mismatch.any()

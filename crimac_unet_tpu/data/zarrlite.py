@@ -254,6 +254,27 @@ class ZArray:
         os.replace(tmp, fname)
 
     # ------------------------------------------------------------- regions
+    def _chunk_boxes(self, sel):
+        """Yield ``(cidx, src_slices, out_slices)`` for every chunk a
+        normalized selection touches: ``src_slices`` index within the
+        chunk, ``out_slices`` within the selection's result array.  The
+        single source of the chunk-grid intersection arithmetic shared by
+        __getitem__, read_into and __setitem__ (it used to be written
+        out three times — review finding r3)."""
+        import itertools
+        ranges = [range(s.start // c, (max(s.stop - 1, s.start)) // c + 1)
+                  if s.stop > s.start else range(0)
+                  for s, c in zip(sel, self.chunks)]
+        for cidx in itertools.product(*ranges):
+            src, out = [], []
+            for ci, s, c in zip(cidx, sel, self.chunks):
+                c0 = ci * c
+                a0 = max(s.start, c0)
+                a1 = min(s.stop, c0 + c)
+                src.append(slice(a0 - c0, a1 - c0))
+                out.append(slice(a0 - s.start, a1 - s.start))
+            yield cidx, tuple(src), tuple(out)
+
     def _norm_sel(self, sel) -> tuple:
         if not isinstance(sel, tuple):
             sel = (sel,)
@@ -281,21 +302,13 @@ class ZArray:
         out_shape = tuple(s.stop - s.start for s in sel)
         out = np.empty(out_shape, dtype=self.dtype)
 
-        ranges = [range(s.start // c, (max(s.stop - 1, s.start)) // c + 1)
-                  if s.stop > s.start else range(0)
-                  for s, c in zip(sel, self.chunks)]
-        import itertools
-        chunk_idxs = list(itertools.product(*ranges))
+        boxes = {cidx: (src, dstsl)
+                 for cidx, src, dstsl in self._chunk_boxes(sel)}
+        chunk_idxs = list(boxes)
 
         def place(cidx, chunk):
-            src, dst = [], []
-            for ci, s, c in zip(cidx, sel, self.chunks):
-                c0 = ci * c
-                a0 = max(s.start, c0)
-                a1 = min(s.stop, c0 + c)
-                src.append(slice(a0 - c0, a1 - c0))
-                dst.append(slice(a0 - s.start, a1 - s.start))
-            out[tuple(dst)] = chunk[tuple(src)]
+            src, dstsl = boxes[cidx]
+            out[dstsl] = chunk[src]
 
         if len(chunk_idxs) >= 2 and \
                 (self.compressor or {}).get("id") == "blosc":
@@ -355,12 +368,6 @@ class ZArray:
         native_ok = ((self.compressor or {}).get("id") == "blosc"
                      and dst.dtype == self.dtype and ndim <= 4)
         if native_ok:
-            import itertools
-            ranges = [range(s.start // c,
-                            (max(s.stop - 1, s.start)) // c + 1)
-                      if s.stop > s.start else range(0)
-                      for s, c in zip(sel, self.chunks)]
-            chunk_idxs = list(itertools.product(*ranges))
             # dst strides in CHUNK axis order: chunk axis d lives at
             # dview axis axes.index(d)
             inv = [0] * ndim
@@ -370,24 +377,17 @@ class ZArray:
             base_off = dview.ctypes.data - dst.ctypes.data
 
             frames, boxes, offs = [], [], []
-            for cidx in chunk_idxs:
-                b0, b1, off = [], [], base_off
-                for d, (ci, s, c) in enumerate(zip(cidx, sel,
-                                                   self.chunks)):
-                    c0 = ci * c
-                    a0 = max(s.start, c0)
-                    a1 = min(s.stop, c0 + c)
-                    b0.append(a0 - c0)
-                    b1.append(a1 - c0)
-                    off += (a0 - s.start) * dst_strides[d]
+            for cidx, src, outsl in self._chunk_boxes(sel):
+                boxes.append(([sl.start for sl in src],
+                              [sl.stop for sl in src]))
+                offs.append(base_off + sum(
+                    osl.start * st for osl, st in zip(outsl, dst_strides)))
                 fname = self.path / self._chunk_key(cidx)
                 if fname.is_file():
                     with open(fname, "rb") as f:
                         frames.append(f.read())
                 else:
                     frames.append(None)
-                boxes.append((b0, b1))
-                offs.append(off)
             fill = np.asarray(
                 self.fill_value if self.fill_value is not None else 0,
                 dtype=self.dtype).tobytes()
@@ -405,11 +405,7 @@ class ZArray:
         value = np.broadcast_to(
             np.asarray(value, dtype=self.dtype),
             tuple(s.stop - s.start for s in sel))
-        import itertools
-        ranges = [range(s.start // c, (max(s.stop - 1, s.start)) // c + 1)
-                  if s.stop > s.start else range(0)
-                  for s, c in zip(sel, self.chunks)]
-        for cidx in itertools.product(*ranges):
+        for cidx, chunk_sl, val_sl in self._chunk_boxes(sel):
             # read-modify-write unless the region covers the full chunk
             full = all(s.start <= ci * c and s.stop >= min((ci + 1) * c, dim)
                        for ci, s, c, dim in
@@ -418,14 +414,7 @@ class ZArray:
                              self.fill_value if self.fill_value is not None
                              else 0, dtype=self.dtype)
                      if full else self._read_chunk(cidx))
-            src, dst = [], []
-            for ci, s, c in zip(cidx, sel, self.chunks):
-                c0 = ci * c
-                a0 = max(s.start, c0)
-                a1 = min(s.stop, c0 + c)
-                dst.append(slice(a0 - c0, a1 - c0))
-                src.append(slice(a0 - s.start, a1 - s.start))
-            chunk[tuple(dst)] = value[tuple(src)]
+            chunk[chunk_sl] = value[val_sl]
             self._write_chunk(cidx, chunk)
 
     def append(self, value: np.ndarray, axis: int = 0) -> None:

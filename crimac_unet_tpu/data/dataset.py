@@ -151,7 +151,8 @@ class BatchPrefetcher:
         self.queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
         self._count = 0
         self._lock = threading.Lock()
-        self._stop = threading.Event()
+        self._stop = threading.Event()    # stop producing (crash or close)
+        self._closed = threading.Event()  # consumer is gone: drop batches
         num_workers = max(1, num_workers)
         self.threads = [
             threading.Thread(target=self._worker,
@@ -177,6 +178,11 @@ class BatchPrefetcher:
                     self.queue.put(batch, timeout=0.5)
                     break
                 except queue.Full:
+                    # close() means the consumer is gone: drop even
+                    # exception batches, or a second crashed worker spins
+                    # its delivery retry forever (review finding r3)
+                    if self._closed.is_set():
+                        return
                     if self._stop.is_set() and not isinstance(
                             batch, BaseException):
                         return
@@ -191,4 +197,5 @@ class BatchPrefetcher:
             yield batch
 
     def close(self):
+        self._closed.set()
         self._stop.set()

@@ -155,10 +155,23 @@ class ZarrSamplePool:
 
         data = jnp.zeros((E, C, Hp, Wp), jnp.float32)
         labels = jnp.full((E, Hp, Wp), LABEL_BOUNDARY_VAL, jnp.int32)
+        # fixed-shape staging: ranges pad to the canvas H (same fill as
+        # the canvas init) and tail chunks SHIFT LEFT to end at the
+        # survey edge, rewriting overlap columns with identical source
+        # data — so every reader with n_pings >= chunk_pings reuses ONE
+        # compiled (C, H, chunk_pings) update instead of one XLA compile
+        # per (n_range, tail-width) shape (review finding r3: ~4 compiles
+        # per reader at pool build on heterogeneous survey sets)
+        stage_d = np.zeros((C, H, chunk_pings), np.float32)
+        stage_l = np.full((H, chunk_pings), LABEL_BOUNDARY_VAL, np.int32)
         for i, r in enumerate(readers):
             n_pings, n_range = r.shape
             for s in range(0, n_pings, chunk_pings):
-                n = min(chunk_pings, n_pings - s)
+                if n_pings >= chunk_pings:
+                    s = min(s, n_pings - chunk_pings)  # tail shift
+                    n = chunk_pings
+                else:
+                    n = n_pings  # short survey: one exact-width chunk
                 raw = r.get_data_slice(s, n, 0, n_range, self.frequencies)
                 # EXACTLY the host crop scrub (zarr_reader.crop_data:
                 # nan_to_num with only nan= overridden, so +/-Inf become
@@ -166,13 +179,24 @@ class ZarrSamplePool:
                 # transport optimization and must not change semantics
                 raw = np.nan_to_num(raw.swapaxes(1, 2),
                                     nan=DATA_BOUNDARY_VAL)
+                lab = np.nan_to_num(r.get_label_slice(s, n, 0, n_range).T,
+                                    nan=LABEL_BOUNDARY_VAL)
+                if n == chunk_pings:
+                    stage_d[:] = 0.0
+                    stage_l[:] = LABEL_BOUNDARY_VAL
+                    stage_d[:, :n_range, :] = raw
+                    stage_l[:n_range, :] = lab
+                    d_chunk, l_chunk = stage_d, stage_l
+                else:
+                    d_chunk = np.zeros((C, H, n), np.float32)
+                    l_chunk = np.full((H, n), LABEL_BOUNDARY_VAL, np.int32)
+                    d_chunk[:, :n_range, :] = raw
+                    l_chunk[:n_range, :] = lab
                 data = put_data(data,
-                                jnp.asarray(raw[None], jnp.float32),
+                                jnp.asarray(d_chunk[None], jnp.float32),
                                 i, ww + s)
-                lab = r.get_label_slice(s, n, 0, n_range)
-                lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
                 labels = put_labels(labels,
-                                    jnp.asarray(lab[None], jnp.int32),
+                                    jnp.asarray(l_chunk[None], jnp.int32),
                                     i, ww + s)
         self.data = data
         self.labels = labels

@@ -341,7 +341,9 @@ def save_checkpoint(path, state_or_vars, extras=None) -> None:
     else:
         payload = state_or_vars
     path = str(path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:  # bare cwd-relative filenames: makedirs("") raises
+        os.makedirs(d, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(payload)))

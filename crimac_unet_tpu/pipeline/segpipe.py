@@ -165,8 +165,11 @@ class SegPipeUNet:
                              depth=int(self.config.get("prefetch_depth", 2)))
         if progress:
             from tqdm import tqdm
-            total = int(self.config["iterations"])
-            it = tqdm(it, total=total, desc="Training model")
+            # on resume the bar covers the REMAINING iterations but shows
+            # absolute progress (initial=start), so a completed resumed
+            # run reads 15000/15000, not 5000/15000
+            it = tqdm(it, total=int(self.config["iterations"]),
+                      initial=start, desc="Training model")
 
         # Per-iteration losses are logged like the reference
         # (pipeline.py:181) but fetched from device in batches: forcing a

@@ -67,19 +67,27 @@ def maybe_build_pool(config, readers_train, budget_mb=None):
         return None
     if budget_mb is None:
         budget_mb = config.get("device_pool_budget_mb", 2048)
-    if mode == "auto" and not dp.fits_budget(
-            readers_train, freqs, window, budget_mb):
+    if not dp.fits_budget(readers_train, freqs, window, budget_mb):
         mb = dp.pool_bytes(readers_train, freqs, window) / 2 ** 20
-        print(f"device pool would need {mb:.0f} MB > budget; "
-              f"training from host crops")
-        return None
+        if mode == "auto":
+            print(f"device pool would need {mb:.0f} MB > budget; "
+                  f"training from host crops")
+            return None
+        # forced mode: fail loudly with the numbers instead of letting
+        # the upload die minutes later in an opaque XLA
+        # RESOURCE_EXHAUSTED (the docstring promises 'raises if
+        # impossible' — review finding r3)
+        raise ValueError(
+            f"use_device_pool: true but the pool needs {mb:.0f} MB "
+            f"> device_pool_budget_mb={budget_mb}; raise the budget, "
+            "reduce the survey set, or set use_device_pool: auto/false")
     cls = (dp.DeviceSamplePool
            if readers_train[0].data_format == "memmap"
            else dp.ZarrSamplePool)
     return cls(readers_train, freqs, window)
 
 
-def run_training(config, checkpoint_dir, log_dir=None, experiment_name=None,
+def run_training(config, checkpoint_dir, experiment_name=None,
                  logger=None, progress=True):
     fix_seeds(config["random_seed"])
     data_obj = make_partition(config)
@@ -189,7 +197,7 @@ def main(argv=None):
 
     print("Data mode:", config["data_mode"])
     start = time.time()
-    run_training(config, checkpoint_dir, log_dir, experiment_name, logger)
+    run_training(config, checkpoint_dir, experiment_name, logger)
     print(f"Executed time for training (h): "
           f"{np.round((time.time() - start) / 3600, 2)}")
 

@@ -261,3 +261,39 @@ def test_run_training_engages_validation_pool(tmp_path):
     assert segpipe.pool_val is not None, "validation pool not engaged"
     assert np.isfinite(segpipe.best_F1_val)
     assert os.path.isfile(tmp_path / "ckpt" / "best.msgpack")
+
+
+def test_zarr_pool_heterogeneous_readers_one_compiled_shape(tmp_path, rng):
+    """Readers with different range sizes and a survey SHORTER than
+    chunk_pings: the fixed-shape staged upload (range padding + tail
+    shift — review finding r3) must stay bit-exact vs host crops."""
+    from crimac_unet_tpu.data.device_pool import ZarrSamplePool
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+
+    r1 = DataReaderZarr(make_zarr_survey(tmp_path / "a", year=2017,
+                                         n_echograms=1, H=80, W=220,
+                                         seed=7))
+    r2 = DataReaderZarr(make_zarr_survey(tmp_path / "b", year=2018,
+                                         n_echograms=1, H=60, W=40,
+                                         seed=8))  # 40 pings < chunk 64
+    window = [48, 48]
+    freqs = [18, 38, 120, 200]
+    pool = ZarrSamplePool([r1, r2], freqs, window, chunk_pings=64)
+
+    samples = []
+    for _ in range(6):
+        for r in (r1, r2):
+            y = rng.randint(-10, r.shape[1] + 10)
+            x = rng.randint(-10, r.shape[0] + 10)
+            samples.append((r, [y, x]))
+    idxs, starts = pool.prepare_batch(samples)
+    data, labels = pool.gather(idxs, starts)
+    data, labels = np.asarray(data), np.asarray(labels)
+    for k, (r, center) in enumerate(samples):
+        np.testing.assert_allclose(
+            data[k], r.crop_data(list(center), window, freqs), rtol=1e-6,
+            err_msg=f"sample {k} data")
+        np.testing.assert_array_equal(
+            labels[k], r.crop_labels(list(center), window),
+            err_msg=f"sample {k} labels")

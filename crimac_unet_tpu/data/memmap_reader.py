@@ -159,16 +159,34 @@ class Echogram:
     def label_memmap(self, heave=True):
         """Label memmap; ``heave=True`` selects the heave-reverted labels
         that align with the (uncorrected) sv data, generating the file
-        lazily on first access (reference data_reader.py:375-391)."""
+        lazily on first access (reference data_reader.py:375-391).
+        Cached in the same process-wide LRU as the data memmaps — the
+        rejection samplers call this per candidate crop (up to 200x per
+        sample), and re-mmapping the immutable file each time is pure
+        syscall churn (review finding r3)."""
+        kind = "labels_heave" if heave else "labels"
+        key = (self.path, kind)
+        with _MEMMAP_LRU_LOCK:
+            m = _MEMMAP_LRU.get(key)
+            if m is not None:
+                _MEMMAP_LRU.move_to_end(key)
+                return m
         if heave:
             heave_path = os.path.join(self.path, "labels_heave.dat")
             if not os.path.isfile(heave_path):
                 from .preprocess import write_heave_reverted_labels
                 write_heave_reverted_labels(self)
-            return np.memmap(heave_path, dtype=self.label_dtype, mode="r",
-                             shape=self.shape)
-        return np.memmap(os.path.join(self.path, "labels.dat"),
-                         dtype=self.label_dtype, mode="r", shape=self.shape)
+            m = np.memmap(heave_path, dtype=self.label_dtype, mode="r",
+                          shape=self.shape)
+        else:
+            m = np.memmap(os.path.join(self.path, "labels.dat"),
+                          dtype=self.label_dtype, mode="r",
+                          shape=self.shape)
+        with _MEMMAP_LRU_LOCK:
+            _MEMMAP_LRU[key] = m
+            if len(_MEMMAP_LRU) > _MEMMAP_LRU_MAX:
+                _MEMMAP_LRU.pop(next(iter(_MEMMAP_LRU)))
+        return m
 
     def label_numpy(self, heave=True):
         return np.array(self.label_memmap(heave))

@@ -200,30 +200,37 @@ class SchoolZarr:
 
     def __init__(self, readers, window_size, fish_type="all"):
         self.window_size = window_size
+        self._collect_schools(readers, fish_type)
+
+    def _collect_schools(self, readers, fish_type, df_filter=None,
+                         what="schools"):
+        """Populate ``self.schools`` as (reader, bboxes) pairs, dropping
+        school-less files up front (the reference draws a random file per
+        sample and crashes on an empty one, school.py:99; a blind retry
+        loop would just re-roll) — the per-sample draw stays uniform over
+        the KEPT files, matching the reference's distribution conditioned
+        on a successful draw.  ``df_filter`` lets subclasses narrow the
+        school dataframe (SchoolSeabedZarr's seabed-distance cut)."""
         self.schools = []
         readers = list(readers)  # len() below; accept iterators
         n_empty = 0
         for z in readers:
             df = z.get_fish_schools(category=fish_type)
+            if df_filter is not None:
+                df = df_filter(df)
             bboxes = df[["startpingindex", "endpingindex",
                          "upperdepthindex", "lowerdepthindex"]].values
-            # drop school-less files up front (the reference draws a
-            # random file per sample and crashes on an empty one,
-            # school.py:99; a blind retry loop would just re-roll) —
-            # the per-sample draw stays uniform over the KEPT files,
-            # matching the reference's distribution conditioned on a
-            # successful draw
             if len(bboxes) == 0:
                 n_empty += 1
                 continue
             self.schools.append((z, bboxes))
         if n_empty:
-            _LOG.warning("%s: %d/%d zarr files have no %r schools and "
+            _LOG.warning("%s: %d/%d zarr files have no %r %s and "
                          "are excluded from sampling", type(self).__name__,
-                         n_empty, len(readers), fish_type)
+                         n_empty, len(readers), fish_type, what)
         if not self.schools:
-            raise ValueError(
-                f"no schools of fish_type {fish_type!r} in any zarr file")
+            raise ValueError(f"no {what} of fish_type {fish_type!r} in "
+                             "any zarr file")
 
     def get_sample(self, rng):
         z, bboxes = self.schools[rng.randint(len(self.schools))]
@@ -268,27 +275,14 @@ class SchoolSeabedZarr(SchoolZarr):
     def __init__(self, readers, window_size, max_dist_to_seabed=20,
                  fish_type="all"):
         self.window_size = window_size
-        self.schools = []
-        readers = list(readers)  # len() below; accept iterators
-        n_empty = 0
-        for z in readers:
-            df = z.get_fish_schools(category=fish_type)
-            df = df.loc[df.distance_to_seabed < max_dist_to_seabed]
-            bboxes = df[["startpingindex", "endpingindex",
-                         "upperdepthindex", "lowerdepthindex"]].values
-            if len(bboxes) == 0:
-                n_empty += 1
-                continue
-            self.schools.append((z, bboxes))
-        if n_empty:
-            _LOG.warning("%s: %d/%d zarr files have no %r schools within "
-                         "%dpx of the seabed and are excluded from "
-                         "sampling", type(self).__name__, n_empty,
-                         len(readers), fish_type, max_dist_to_seabed)
-        if not self.schools:
-            raise ValueError(
-                f"no fish_type={fish_type!r} schools within "
-                f"{max_dist_to_seabed}px of the seabed in any zarr file")
+        # signed comparison kept verbatim from the reference
+        # (school_seabed.py:73) — NOTE the reference's memm variant uses
+        # abs(); the inconsistency is the reference's own
+        self._collect_schools(
+            readers, fish_type,
+            df_filter=lambda df: df.loc[
+                df.distance_to_seabed < max_dist_to_seabed],
+            what=f"schools within {max_dist_to_seabed}px of the seabed")
 
 
 class Gridded:
@@ -308,6 +302,13 @@ class Gridded:
             else:
                 n_range, n_pings = reader.shape
             sb = np.asarray(reader.get_seabed(0, n_pings))
+            # pings without a seabed estimate (degraded no-bottom-store
+            # surveys) count as full-water-column, like the pipeline grid
+            # (review finding r3: the raw zero vector capped the grid at
+            # ~50 rows)
+            has = getattr(reader, "_seabed_has", None)
+            if has is not None:
+                sb = np.where(has, sb, n_range)
             end_range = int(min(sb.max() + 50, n_range))
             ys = grid_centers(0, end_range, window_size[0], patch_overlap)
             xs = grid_centers(0, n_pings, window_size[1], patch_overlap)

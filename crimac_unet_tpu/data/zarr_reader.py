@@ -191,8 +191,7 @@ class DataReaderZarr:
                       "the survey as unannotated (all background)")
                 self._warned_no_labels = True
             n_p = len(range(*ping_sl.indices(self.shape[0])))
-            n_r = len(range(*rng_sl.indices(self.shape[1]))) \
-                if isinstance(rng_sl, slice) else self.shape[1]
+            n_r = len(range(*rng_sl.indices(self.shape[1])))
             return np.zeros((n_p, n_r), np.float32)
 
         cat_list = [int(c) for c in self.categories]

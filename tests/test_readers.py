@@ -426,3 +426,19 @@ def test_save_labels_mask_is_exact_not_prob_derived(tmp_path):
     kept_labels = lab[:60, :80]
     mismatch = (kept_labels != 0) & (raw == 0)
     assert not mismatch.any()
+
+
+def test_gridded_sampler_covers_full_column_without_seabed(tmp_path):
+    """Gridded on a degraded no-bottom-store survey must grid the full
+    water column, like the pipeline grids (review finding r3)."""
+    import shutil
+
+    from crimac_unet_tpu.data.samplers import Gridded
+
+    sv = make_zarr_survey(tmp_path, year=2022, n_echograms=1, H=120,
+                          W=100, seed=9)
+    shutil.rmtree(str(sv).replace("_sv.zarr", "_bottom.zarr"))
+    r = DataReaderZarr(sv)
+    g = Gridded([r], window_size=[32, 32], patch_overlap=4)
+    ys = g.coords_list[:, 1]
+    assert ys.max() > 80, "grid collapsed on seabed-free survey"

@@ -37,11 +37,18 @@ def fold_batchnorm(params: dict, batch_stats: dict, eps: float = 1e-5
                    ) -> dict:
     """{'params', 'batch_stats'} of a BN UNet -> params of the equivalent
     ``use_bn=False`` UNet (same scope names minus the 'bn' leaves)."""
+    from collections.abc import Mapping
+
     def walk(p, s):
-        if isinstance(p, dict):
+        # Mapping, not dict: a FrozenDict params tree would otherwise be
+        # treated as a leaf and the fold silently no-ops — the BN-free
+        # model then runs without ever applying the BN statistics
+        # (review finding r3)
+        if isinstance(p, Mapping):
             if "conv" in p and "bn" in p:
                 return _fold_unit(p, s, eps)
-            return {k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+            return {k: walk(v, s.get(k, {}) if isinstance(s, Mapping)
+                            else {})
                     for k, v in p.items()}
         return p
     return walk(params, batch_stats)

@@ -37,6 +37,19 @@ def _bias_init_like_torch(key, shape, dtype, fan_in):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def _convT_kernel_init_like_torch(key, shape, dtype=jnp.float32):
+    """torch ConvTranspose2d kaiming_uniform(a=sqrt(5)): torch's fan-in
+    convention for TRANSPOSE convs is ``weight.size(1) * kh * kw`` =
+    out_channels * k^2 (a documented torch quirk), not in_channels * k^2
+    — flax's variance_scaling(fan_in) on the (kh, kw, in, out) kernel
+    computes the latter and lands sqrt(2) small (review finding r3;
+    verified against torch empirically)."""
+    import jax
+    kh, kw, _, out_ch = shape
+    bound = 1.0 / ((out_ch * kh * kw) ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 class ConvBNRelu(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -122,18 +135,19 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, from_down, from_up, train: bool):
-        fan_in = from_up.shape[-1] * 4
+        # torch fan-in convention for transpose convs: out_channels * k^2
+        fan_in = self.features * 4
         bias_init = lambda k, s, d=jnp.float32: \
             _bias_init_like_torch(k, s, d, fan_in)  # noqa: E731
         if self.dts_upsample:
             up = Transpose2x2(self.features, dtype=self.dtype,
-                              kernel_init=conv_kernel_init,
+                              kernel_init=_convT_kernel_init_like_torch,
                               bias_init=bias_init, name="upconv")(from_up)
         else:
             up = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
                                   padding="VALID", use_bias=True,
                                   dtype=self.dtype,
-                                  kernel_init=conv_kernel_init,
+                                  kernel_init=_convT_kernel_init_like_torch,
                                   bias_init=bias_init,
                                   name="upconv")(from_up)
         x = jnp.concatenate([up, from_down], axis=-1)

@@ -30,13 +30,17 @@ def add_noise(key, data):
     return data * factor.astype(data.dtype)
 
 
+def _flip_where(flip, arr):
+    """Flip the trailing (ping) axis of ``arr`` where the per-sample
+    ``flip`` mask is set (mask broadcast over the remaining axes)."""
+    mask = flip.reshape(flip.shape + (1,) * (arr.ndim - 1))
+    return jnp.where(mask, arr[..., ::-1], arr)
+
+
 def flip_x_axis(key, data, labels):
     """With p=0.5 per sample: flip the ping (x) axis of data and labels."""
-    B = data.shape[0]
-    flip = jax.random.bernoulli(key, 0.5, (B,))
-    data = jnp.where(flip[:, None, None, None], data[..., ::-1], data)
-    labels = jnp.where(flip[:, None, None], labels[..., ::-1], labels)
-    return data, labels
+    flip = jax.random.bernoulli(key, 0.5, (data.shape[0],))
+    return _flip_where(flip, data), _flip_where(flip, labels)
 
 
 def augment_train(key, data, labels):
@@ -53,9 +57,6 @@ def augment_train_meta(key, data, meta, labels):
     (reference add_noise.py:37-62, flip_x_axis.py:26-31)."""
     k_noise, k_flip = jax.random.split(key)
     data = add_noise(k_noise, data)
-    B = data.shape[0]
-    flip = jax.random.bernoulli(k_flip, 0.5, (B,))
-    data = jnp.where(flip[:, None, None, None], data[..., ::-1], data)
-    meta = jnp.where(flip[:, None, None, None], meta[..., ::-1], meta)
-    labels = jnp.where(flip[:, None, None], labels[..., ::-1], labels)
-    return data, meta, labels
+    flip = jax.random.bernoulli(k_flip, 0.5, (data.shape[0],))
+    return (_flip_where(flip, data), _flip_where(flip, meta),
+            _flip_where(flip, labels))

@@ -25,7 +25,11 @@ from .morphology import DISC_7X7, binary_closing
 BIG_ROW = 10 ** 8  # "no seabed in this column" sentinel for seabed vectors
 
 # None = auto (Pallas kernel on TPU, XLA convs elsewhere); set True/False to
-# force an implementation (tests pin the conv path for scipy oracles)
+# force an implementation (tests pin the conv path for scipy oracles).
+# CAVEAT: the flag is read at TRACE time inside jitted consumers
+# (refine_label_boundary), so it must be set BEFORE the first call for a
+# given shape — toggling later is ignored for already-compiled shapes
+# (clear caches with jax.clear_caches() to re-trace).
 USE_PALLAS_MORPHOLOGY: bool | None = None
 
 

@@ -85,8 +85,8 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
             raise ValueError(
                 f"batch['{k}'] leading axis {np.shape(v)[0]} is not "
                 f"divisible by the {n}-device mesh")
-    sharding = batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    # one pytree device_put: jax batches the transfers
+    return jax.device_put(dict(batch), batch_sharding(mesh))
 
 
 def replicate_tree(mesh: Mesh, tree):

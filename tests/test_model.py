@@ -191,3 +191,54 @@ def test_dts_upsample_exact_vs_conv_transpose():
         train=False).sum())(v["params"])
     assert g["up0"]["upconv"]["kernel"].shape == \
         v["params"]["up0"]["upconv"]["kernel"].shape
+
+
+def test_transpose_conv_init_matches_torch_convention():
+    """torch ConvTranspose2d kaiming_uniform fan-in is out_channels*k^2
+    (weight.size(1) — a torch quirk), NOT in_channels*k^2; our upconv
+    kernel/bias init must use the same bound or from-scratch upsampling
+    layers start sqrt(2) small (review finding r3)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.unet import UNet
+
+    model = UNet(n_classes=3, depth=3, start_filts=16)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    # up0: from_up 64ch -> features 32; torch fan = 32 * 4 = 128
+    k = np.asarray(v["params"]["up0"]["upconv"]["kernel"])  # (2,2,64,32)
+    b = np.asarray(v["params"]["up0"]["upconv"]["bias"])
+    ref = torch.nn.ConvTranspose2d(64, 32, 2, 2)
+    t_fan = torch.nn.init._calculate_fan_in_and_fan_out(ref.weight)[0]
+    bound = 1.0 / (t_fan ** 0.5)
+    assert abs(t_fan - 32 * 4) < 1e-9  # pin the torch convention itself
+    assert np.abs(k).max() <= bound + 1e-7
+    assert np.abs(k).max() > 0.9 * bound  # uniform actually fills it
+    assert np.abs(b).max() <= bound + 1e-7
+
+
+def test_fold_bn_accepts_frozen_mapping():
+    """fold_batchnorm must fold FrozenDict trees, not silently no-op on
+    them (review finding r3)."""
+    import flax
+
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.fold_bn import fold_batchnorm
+    from crimac_unet_tpu.models.unet import UNet
+
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 4)),
+                   train=False)
+    frozen = flax.core.freeze(v)
+    folded = fold_batchnorm(frozen["params"], frozen["batch_stats"])
+    plain = fold_batchnorm(v["params"], v["batch_stats"])
+    fa = jax.tree_util.tree_leaves(folded)
+    fb = jax.tree_util.tree_leaves(plain)
+    assert len(fa) == len(fb) > 0
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the fold actually removed the BN leaves
+    assert "bn" not in str(jax.tree_util.tree_structure(folded))

@@ -295,7 +295,12 @@ def raw_to_arrays(raw_path, bot_path=None, snap_path=None,
 
     # unique time grid: round to the main channel's min ping interval
     # (generate_mat_files.m:85-101); NaN-fill missing pings per channel
-    tol = np.min(np.abs(np.diff(t_ch[main]))) if len(t_ch[main]) > 1 else 1.0
+    # positive diffs only: duplicate main-channel timestamps (a real
+    # EK60 clock-resolution artifact) would give tol=0 and t/tol would
+    # collapse every ping to one time column (review finding r3)
+    _d = np.abs(np.diff(t_ch[main]))
+    _d = _d[_d > 0]
+    tol = float(_d.min()) if _d.size else 1.0
     tround = {ch: np.round(t_ch[ch] / tol).astype(np.int64) for ch in chans}
     t_final = np.unique(np.concatenate([tround[ch] for ch in chans]))
 
@@ -317,7 +322,11 @@ def raw_to_arrays(raw_path, bot_path=None, snap_path=None,
         dum = np.full((sv_ch[ch].shape[0], len(t_final)), np.nan)
         locb = np.searchsorted(t_final, tround[ch])
         dum[:, locb] = sv_ch[ch]
-        if len(R) == len(rng_ch[ch]):
+        if len(R) == len(rng_ch[ch]) and np.allclose(R, rng_ch[ch]):
+            # same COUNT is not enough: a channel with an equal sample
+            # count but different sample interval must be regridded, not
+            # copied onto the wrong depths (review finding r3; the
+            # reference keys on range values, generate_mat_files.m:132)
             sv[:, :, k] = dum
         elif len(R) < len(rng_ch[ch]):
             # bin-average onto edges R +- dz/2 (m:138-148)

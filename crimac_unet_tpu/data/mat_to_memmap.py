@@ -68,7 +68,9 @@ def convert_mat_file(in_file, out_folder, overwrite=False) -> int:
     os.makedirs(out_folder, exist_ok=True)
     mat = spio.loadmat(in_file)
 
-    for i, f in enumerate(np.asarray(mat["F"]).squeeze()):
+    # ravel, not squeeze: a single-frequency file's F is (1, 1) and
+    # squeeze() gives a 0-d array enumerate() cannot iterate
+    for i, f in enumerate(np.asarray(mat["F"]).ravel()):
         _save_memmap(mat["sv"][:, :, i],
                      os.path.join(out_folder, f"data_for_freq_{int(f)}"),
                      DATA_DTYPE, overwrite)
@@ -102,6 +104,20 @@ def convert_survey_tree(path_to_mat_files, overwrite=False) -> list:
             continue
         filedir = os.path.join(path_to_mat_files, year_dir)
         if not os.path.isdir(filedir):
+            # flat layout: ek60.convert_survey_raw writes its .mat files
+            # directly into the scratch dir — the documented chain
+            # convert_survey_raw -> convert_survey_tree was a silent
+            # no-op without this (review finding r3)
+            if year_dir.endswith(".mat") and "datastatus" not in year_dir:
+                name = os.path.splitext(year_dir)[0]
+                try:
+                    convert_mat_file(os.path.join(path_to_mat_files,
+                                                  year_dir),
+                                     os.path.join(out_root, name),
+                                     overwrite)
+                    converted.append(name)
+                except Exception as exc:
+                    print(f"Could not convert {year_dir}: {exc}")
             continue
         for file in sorted(os.listdir(filedir)):
             if not file.endswith(".mat") or "datastatus" in file:

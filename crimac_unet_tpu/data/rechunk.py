@@ -35,7 +35,11 @@ def rechunk_array(src: ZArray, dst_path, chunks, window_elems=64 << 20):
     if src.shape[0] == 0:
         return dst
     per_row = max(1, int(np.prod(src.shape[1:])))
-    step = max(chunks[0], int(window_elems // per_row))
+    # round the window down to whole destination chunks: a straddling
+    # window makes every boundary chunk pay the read-modify-write
+    # (decompress + recompress) path twice (review finding r3)
+    step = max(chunks[0],
+               int(window_elems // per_row) // chunks[0] * chunks[0])
     for i in range(0, src.shape[0], step):
         sel = (slice(i, min(i + step, src.shape[0])),) + \
             (slice(None),) * (src.ndim - 1)

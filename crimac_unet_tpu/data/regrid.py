@@ -81,8 +81,18 @@ def area_weighted_regrid_1d(data, src_centers, dst_centers, axis=0):
 
 
 def nearest_regrid_1d(data, src_centers, dst_centers, axis=0):
+    """Nearest-center regrid in O(n log n) time and O(n) memory: the old
+    dense |dst - src| matrix was 20 GB at the 50k-ping survey scale the
+    area path of this module already avoids (review finding r3)."""
     src = np.asarray(src_centers, dtype=np.float64)
-    idx = np.abs(dst_centers[:, None] - src[None, :]).argmin(axis=1)
+    dst = np.asarray(dst_centers, dtype=np.float64)
+    order = np.argsort(src, kind="stable")
+    # collapse duplicate centers to their FIRST original occurrence and
+    # break distance ties to the left — both matching argmin's
+    # first-minimum convention
+    uniq, first = np.unique(src[order], return_index=True)
+    mid = (uniq[:-1] + uniq[1:]) / 2.0
+    idx = order[first[np.searchsorted(mid, dst, side="left")]]
     return np.take(data, idx, axis=axis)
 
 
@@ -107,9 +117,15 @@ def regrid_prediction(pred, echogram, pred_range_diff=None,
     (reference regridding.py:60-96)."""
     time_vector = np.asarray(echogram.time_vector, dtype=np.float64)
     range_vector = np.asarray(echogram.range_vector, dtype=np.float64)
-    # drop pings with negative time steps (regridding.py:72-74)
+    # drop pings with negative time steps (regridding.py:72-74) — and
+    # the matching PREDICTION columns when pred shares the echogram's
+    # ping grid, or every column after a dropped ping shifts by one
+    # (review finding r3)
     bad = np.argwhere(time_vector[1:] - time_vector[:-1] < 0)
-    time_vector = np.delete(time_vector, bad + 1)
+    keep = np.setdiff1d(np.arange(time_vector.size), (bad + 1).ravel())
+    time_vector = time_vector[keep]
+    if pred_ping_rate is None and pred.shape[1] == keep.size + len(bad):
+        pred = pred[:, keep]
 
     pred_time = time_vector
     pred_range = range_vector

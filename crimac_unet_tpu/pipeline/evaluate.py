@@ -73,8 +73,9 @@ def main(argv=None):
 
     parts = os.path.normpath(str(config["checkpoint_path"])).split(
         os.path.sep)
-    # a bare filename has no run directory; fall back to its stem
-    run_id = parts[-2] if len(parts) >= 2 else \
+    # a bare filename has no run directory; fall back to its stem (the
+    # parent of a root-level path is the empty string — also fall back)
+    run_id = parts[-2] if len(parts) >= 2 and parts[-2] else \
         os.path.splitext(parts[-1])[0]
     metrics_dir = os.path.join(str(config["save_path_metrics"]),
                                experiment_name, run_id)

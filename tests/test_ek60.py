@@ -278,3 +278,21 @@ def test_power_to_sv_golden_values():
     np.testing.assert_allclose(sv_db[0], -47.974048762467966, atol=1e-9)
     np.testing.assert_allclose(sv_db[100], -42.878444579340766, atol=1e-9)
     np.testing.assert_allclose(sv_db[500], -74.42970131511744, atol=1e-9)
+
+
+def test_duplicate_timestamps_do_not_collapse_time_grid(rng, times):
+    """Two pings sharing a timestamp (an EK60 clock-resolution artifact)
+    must not zero the rounding tolerance and collapse the whole file to
+    one time column (review finding r3)."""
+    t = np.array(times, dtype=float)
+    t[1] = t[0]  # duplicate
+    sv = _make_sv(rng)
+    path = None
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "dup.raw")
+        ek60.write_raw_fixture(path, sv, [38, 120, 200], t)
+        out = ek60.raw_to_arrays(path)
+    # all pings survive (duplicates share one time slot at most)
+    assert out["sv"].shape[1] >= len(t) - 1
+    assert np.isfinite(out["sv"]).any()

@@ -201,3 +201,82 @@ def test_sparse_overlap_weights_match_dense():
         dense = _overlap_matrix(src, dst)
         sparse = _overlap_weights(src, dst).toarray()
         np.testing.assert_allclose(sparse, dense, atol=1e-12)
+
+
+def test_nearest_regrid_sparse_matches_dense_argmin():
+    """nearest_regrid_1d is O(n log n)/O(n) (the dense distance matrix
+    was ~20 GB at survey scale — review finding r3) and must match the
+    dense argmin exactly on sorted-unique grids (the real usage), and be
+    distance-optimal always."""
+    from crimac_unet_tpu.data.regrid import nearest_regrid_1d
+    rng = np.random.RandomState(3)
+    for trial in range(60):
+        src = np.unique(rng.choice(np.arange(200), rng.randint(2, 50)))
+        dst = rng.uniform(-10, 210, rng.randint(1, 50))
+        dst[0] = (src[0] + src[1]) / 2  # exact midpoint tie
+        data = np.arange(src.size, dtype=float)[:, None] * [1.0, 1.0]
+        got = nearest_regrid_1d(data, src, dst, axis=0)[:, 0].astype(int)
+        want = np.abs(dst[:, None] - src[None, :]).argmin(axis=1)
+        np.testing.assert_array_equal(got, want, err_msg=str(trial))
+
+
+def test_regrid_prediction_drops_matching_pred_columns():
+    """A backwards time step drops the ping AND its prediction column;
+    the old code deleted only the time entry, shifting every later
+    prediction by one ping (review finding r3)."""
+    from crimac_unet_tpu.data.regrid import regrid_prediction
+
+    class FakeEch:
+        time_vector = np.array([0.0, 1.0, 2.0, 1.5, 3.0, 4.0])
+        range_vector = np.arange(5, dtype=float)
+
+    pred = np.arange(5 * 6, dtype=float).reshape(5, 6)
+    out = regrid_prediction(pred, FakeEch())
+    # dropped ping 3 (backwards step): the output lives on the cleaned
+    # 5-ping grid and must carry pred columns [0,1,2,4,5] — the old code
+    # kept all 6 pred columns, shifting everything after the drop by one
+    assert out.shape == (5, 5)
+    np.testing.assert_array_equal(out, pred[:, [0, 1, 2, 4, 5]])
+
+
+def test_single_frequency_mat_converts(tmp_path):
+    """A one-channel .mat (F saved as (1,1)) converts instead of dying
+    on 0-d iteration (review finding r3)."""
+    import scipy.io as spio
+
+    from crimac_unet_tpu.data.mat_to_memmap import convert_mat_file
+
+    H, W = 20, 30
+    mat = {"F": np.array([[200.0]]),
+           "sv": np.random.RandomState(0).rand(H, W, 1),
+           "I": np.zeros((H, W)),
+           "range": np.arange(H, dtype=float)[:, None],
+           "t": (736000.0 + np.arange(W) / 86400.0)[None, :],
+           "heave": np.zeros((1, W)),
+           "depths": np.full((W, 1), 50.0)}
+    spio.savemat(tmp_path / "f.mat", mat)
+    n = convert_mat_file(str(tmp_path / "f.mat"), str(tmp_path / "out"))
+    assert n == 0
+    assert (tmp_path / "out" / "data_for_freq_200.dat").is_file()
+
+
+def test_convert_survey_tree_flat_layout(tmp_path):
+    """convert_survey_tree consumes .mat files written flat into the
+    scratch dir (the convert_survey_raw chain — review finding r3: the
+    documented chain silently produced nothing)."""
+    import scipy.io as spio
+
+    from crimac_unet_tpu.data.mat_to_memmap import convert_survey_tree
+
+    H, W = 16, 24
+    mat = {"F": np.array([[38.0, 200.0]]),
+           "sv": np.random.RandomState(1).rand(H, W, 2),
+           "I": np.zeros((H, W)),
+           "range": np.arange(H, dtype=float)[:, None],
+           "t": (736000.0 + np.arange(W) / 86400.0)[None, :],
+           "heave": np.zeros((1, W)),
+           "depths": np.full((W, 1), 50.0)}
+    spio.savemat(tmp_path / "2019843-D1-T1.mat", mat)
+    converted = convert_survey_tree(str(tmp_path))
+    assert converted == ["2019843-D1-T1"]
+    assert (tmp_path / "memmap" / "2019843-D1-T1" / "labels.dat").is_file()

@@ -140,7 +140,9 @@ def get_experiment_name_from_args(argparse_args) -> str:
         args_subset.pop(k, None)
     if "yaml_path" in args_subset:
         args_subset["yaml_path"] = Path(args_subset["yaml_path"]).stem
-    return "_".join(str(v) for v in args_subset.values())
+    # reference format: comma-joined k=v pairs (utils/general.py:166-168)
+    # — value-only names collide across flag sets (review finding r3)
+    return ",".join(f"{k}={v}" for k, v in args_subset.items())
 
 
 def config_args_to_markdown(config_args: dict) -> str:

@@ -34,3 +34,10 @@ DEFAULT_FREQUENCIES = (18, 38, 120, 200)
 # Pixels added below the seabed line when masking (reference
 # batch/label_transforms/mask_label_seabed.py:59 `seabed_pad=10`)
 SEABED_PAD = 10
+
+
+# the reference config spells the trace eval mode 'fish'
+# (evaluate.py CLI); shared by pipeline/evaluate.py and data/partition.py
+# so the synonym cannot drift (review finding r3)
+EVAL_MODE_MAP = {"all": "all", "region": "region", "fish": "trace",
+                 "trace": "trace"}

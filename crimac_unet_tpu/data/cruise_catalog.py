@@ -167,11 +167,15 @@ def save_overview(series: dict, data_root, out_dir) -> dict[str, str]:
     savemat(str(mat_overview), {"DataStatus": _to_cell(rows)})
 
     mat_paired = out_dir / f"DataPairedFiles_{name}.mat"
+    # each cruise entry is a STRUCT with field F (a cell table) — the
+    # consumer generate_metadata2.m:42 reads dat.pairedfiles{i}.F, so a
+    # bare cell array would crash MATLAB-side (review finding r3)
     pf = np.empty((1, max(len(paired), 1)), dtype=object)
     for i, plist in enumerate(paired):
-        pf[0, i] = _to_cell(plist) if plist else np.empty((0, 3), object)
+        pf[0, i] = {"F": _to_cell(plist) if plist
+                    else np.empty((0, 3), object)}
     if not paired:
-        pf[0, 0] = np.empty((0, 3), object)
+        pf[0, 0] = {"F": np.empty((0, 3), object)}
     savemat(str(mat_paired), {"pairedfiles": pf})
 
     csv = out_dir / f"DataOverview_{name}.csv"

@@ -48,10 +48,11 @@ class _DataPartition:
     def get_gridded_survey_sampler(self, year):
         """Gridded sampler covering all of one survey's data
         (reference partition.py:177-186 / :365-376)."""
-        # the config spells trace mode 'fish' (evaluate.py's _MODE_MAP);
+        # the config spells trace mode 'fish' (constants.EVAL_MODE_MAP);
         # Gridded expects 'trace' — an unmapped 'fish' would silently fall
         # through to full-grid 'all'
-        mode = {"fish": "trace"}.get(self.eval_mode, self.eval_mode)
+        from ..constants import EVAL_MODE_MAP
+        mode = EVAL_MODE_MAP.get(self.eval_mode, self.eval_mode)
         return [S.Gridded(self.get_survey_readers(year),
                           window_size=self.window_size,
                           patch_overlap=self.patch_overlap,
@@ -94,6 +95,19 @@ class DataMemm(_DataPartition):
             train = [r for r in self.readers if r.year in self.train_surveys]
             test = [r for r in self.readers
                     if r.year in self.validation_surveys]
+            # empty survey lists (the CONFIG_DEFAULTS value when a YAML
+            # omits them) would otherwise die deep inside the sampler
+            # battery with a misleading 'fish_type not found' — fail
+            # with the actual cause (review finding r3)
+            if not train or not test:
+                raise ValueError(
+                    "partition_train='selected surveys' selected "
+                    f"{len(train)} train / {len(test)} validation readers "
+                    f"(train_surveys={self.train_surveys}, "
+                    f"validation_surveys={self.validation_surveys}, "
+                    f"available years="
+                    f"{sorted({r.year for r in self.readers})}); set the "
+                    "survey-year lists in the config")
         else:  # all surveys
             train = self.readers
             test = [r for r in self.readers if r.year == 2017]
@@ -134,6 +148,13 @@ class DataZarr(_DataPartition):
         elif self.partition_train == "selected surveys":
             train = self._readers(self.train_surveys)
             test = self._readers(self.validation_surveys)
+            if not train or not test:
+                raise ValueError(
+                    "partition_train='selected surveys' selected "
+                    f"{len(train)} train / {len(test)} validation "
+                    f"readers (train_surveys={self.train_surveys}, "
+                    f"validation_surveys={self.validation_surveys}); "
+                    "set the survey-year lists in the config")
         else:
             train = self._readers(list(range(2007, 2019)))
             test = [r for r in train if r.year == 2017]

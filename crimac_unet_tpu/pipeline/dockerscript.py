@@ -23,6 +23,7 @@ from ..models.unet import build_unet
 from ..utils.general import fix_seeds
 from .engine import load_checkpoint
 from .inference import GriddedRunner, save_survey_predictions_zarr
+from .save_predict import should_save_labels
 
 
 def resolve_paths() -> dict:
@@ -72,8 +73,7 @@ def main():
         preload_n_pings=config["preload_n_pings"],
         resume_writing=config["resume_writing"],
         model_name="docker", progress=True,
-        save_labels=bool(config.get("save_labels"))
-        and bool(config.get("labels_available", True)))
+        save_labels=should_save_labels(config, reader))
     print(f"Executed time (hours): {(time.time() - start) / 3600:.2f}")
 
 

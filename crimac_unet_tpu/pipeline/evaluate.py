@@ -26,9 +26,7 @@ from ..utils.general import fix_seeds
 from .inference import GriddedRunner, evaluate_reader
 from .segpipe import save_metrics_dict, save_pr_plot
 
-# the reference config calls the trace mode 'fish' in eval_mode
-_MODE_MAP = {"all": "all", "region": "region", "fish": "trace",
-             "trace": "trace"}
+from ..constants import EVAL_MODE_MAP as _MODE_MAP  # 'fish' -> 'trace'
 
 
 def evaluate_survey(runner, readers, eval_mode, save_path_metrics=None,

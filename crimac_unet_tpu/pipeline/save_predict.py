@@ -48,8 +48,23 @@ def run_save_predictions(config, runner, data_obj, predictions_dir,
                     resume_writing=config["resume_writing"],
                     model_name=runner_model_name(config),
                     progress=progress,
-                    save_labels=bool(config.get("save_labels"))
-                    and bool(config.get("labels_available", True)))
+                    save_labels=should_save_labels(config, reader))
+
+
+def should_save_labels(config, reader) -> bool:
+    """save_labels gating shared by the CLI and docker entries: the
+    config must ask for it, labels must be declared available, AND the
+    reader must actually carry an annotation store — a production mount
+    shipping only _sv.zarr would otherwise emit an all-background
+    'labels' array that reads as real annotation (review finding r3)."""
+    if not (config.get("save_labels")
+            and config.get("labels_available", True)):
+        return False
+    if reader.data_format == "zarr" and \
+            getattr(reader, "annotation", None) is None:
+        print(f"{reader.name}: no labels store — skipping save_labels")
+        return False
+    return True
 
 
 def runner_model_name(config):

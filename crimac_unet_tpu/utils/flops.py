@@ -16,7 +16,6 @@ Two FLOP sources, cross-checked in tests/test_flops.py:
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 # Peak dense-matmul throughput per chip, FLOP/s (bf16 unless noted).
 # Sources: public TPU spec sheets; keyed by substrings of

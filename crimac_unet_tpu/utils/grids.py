@@ -15,13 +15,16 @@ def crop_bounds(center: np.ndarray, window: np.ndarray) -> tuple:
     """Upper-left (inclusive) and lower-right (exclusive) data coordinates of a
     patch around ``center``.
 
-    The reference convention (utils/np.py:378-380) maps patch coord p to data
-    coord ``p + center - window//2 + 1``, so the patch covers
-    ``[center - window//2 + 1, center + window//2 + 1)`` per axis.
+    The reference convention (utils/np.py getGrid: offsets
+    ``linspace(-((N+1)//2) + 1, N//2, N)``) covers
+    ``[center - (N+1)//2 + 1, center + N//2 + 1)`` per axis — identical
+    to ``center - N//2 + 1`` for even N (every shipped geometry), one
+    pixel earlier for odd N (review finding r3: ``N//2`` shifted odd
+    windows one pixel down-right).
     """
     center = np.asarray(center)
     window = np.asarray(window)
-    upper_left = center - window // 2 + 1
+    upper_left = center - (window + 1) // 2 + 1
     lower_right = upper_left + window
     return upper_left.astype(int), lower_right.astype(int)
 

@@ -125,7 +125,9 @@ def test_save_overview_mat_csv_roundtrip(tree, tmp_path):
     assert str(ds[0, 0][0]) == "CruiseSeries"
     assert str(ds[1, 3][0]) == "G.O. Sars"
     p = loadmat(out["paired_mat"])["pairedfiles"]
-    f0 = p[0, 0]  # first cruise's pair table
+    # each entry is a struct with field F (the pair cell table), the
+    # layout generate_metadata2.m:42 consumes (dat.pairedfiles{i}.F)
+    f0 = p[0, 0]["F"][0, 0]
     assert f0.shape == (5, 3)
     csv = open(out["csv"]).read().splitlines()
     assert csv[0].startswith("CruiseSeries;Year;")

@@ -108,3 +108,15 @@ def test_grid_interiors_tile_exactly_once(extent, window, overlap, start):
     assert (counts == 1).all()
     # the grid covers at least the requested extent
     assert n * stride >= extent
+
+
+def test_crop_bounds_matches_reference_getgrid_offsets():
+    """crop_bounds must cover the reference getGrid offsets
+    linspace(-((N+1)//2)+1, N//2, N) for BOTH parities — N//2 alone
+    shifted odd windows one pixel down-right (review finding r3)."""
+    from crimac_unet_tpu.utils.grids import crop_bounds
+    for N in (2, 4, 5, 7, 32, 255, 256):
+        offsets = np.linspace(-((N + 1) // 2) + 1, N // 2, N).astype(int)
+        ul, lr = crop_bounds(np.array([100, 50]), np.array([N, N]))
+        assert ul[0] == 100 + offsets[0], N
+        assert lr[0] == 100 + offsets[-1] + 1, N

@@ -80,6 +80,22 @@ def main():
         print("exported reference-loadable state dict: "
               "export_for_reference.pt")
 
+        # AOT deployment artifact: the serving forward (scrub -> dB ->
+        # folded-BN U-Net -> softmax) serialized as StableHLO with a
+        # symbolic batch dim — loads and runs with jax alone, no flax /
+        # model source / checkpoint (pipeline/export.py; also a CLI:
+        #   python -m crimac_unet_tpu.pipeline.export ...)
+        from ..pipeline.export import (export_predictor, load_predictor,
+                                       save_exported)
+        exported = export_predictor(model, variables, cfg)
+        save_exported(exported, f"{tmp}/unet.stablehlo")
+        predict = load_predictor(f"{tmp}/unet.stablehlo")
+        raw = jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
+                                        (6, 64, 64, 4))) * 1e-5
+        probs = predict(raw)
+        print(f"AOT artifact: unet.stablehlo -> probs {probs.shape} "
+              f"(symbolic batch, platforms {list(exported.platforms)})")
+
 
 if __name__ == "__main__":
     main()

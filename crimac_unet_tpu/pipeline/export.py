@@ -1,0 +1,182 @@
+"""AOT serving export: the inference forward as a portable StableHLO
+artifact (``jax.export``).
+
+The reference's deployment story is a Docker image that runs its full
+torch pipeline end-to-end (reference dockerscript.py, Dockerfile); the
+model cannot leave the Python/torch stack.  This module lowers the
+trained serving forward ONCE — non-finite scrub -> dB transform with
+limits -> BatchNorm-folded U-Net (bf16 MXU compute) -> softmax — and
+serializes it to bytes.  The artifact is self-contained (weights are
+embedded as constants): any process with jax installed can deserialize
+and run it on TPU or CPU with no flax, no model source, and no
+checkpoint parsing, and the batch dimension is symbolic so one artifact
+serves any batch size.
+
+Input contract: raw (not dB) sv patches, NHWC float32,
+``(batch, *patch_size, len(frequencies))``, frequency channels in
+ascending order (the reader contract).  Output: float32 softmax
+probabilities ``(batch, *patch_size, 3)`` — identical to
+``GriddedRunner``'s patch forward on the same patches
+(tests/test_export.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import data_ops
+
+# artifact header: identifies the format and pins the calling convention
+# we wrote, so a loader failure is a clear error instead of a
+# deserialization crash on arbitrary bytes
+_MAGIC = b"CRIMACX1"
+
+
+def make_serving_forward(model, variables, config):
+    """(fn, folded_variables): the serving forward closed over nothing.
+
+    ``fn(variables, x)`` maps raw sv NHWC patches to softmax
+    probabilities with the exact predict-path semantics
+    (pipeline/inference.py: slab scrub + db_with_limits + folded-BN
+    eval forward + softmax).  BN is folded unless the model already
+    runs bare convs or ``fold_bn: false``.
+    """
+    if config.get("meta_channels"):
+        raise ValueError(
+            "export does not support meta_channels runs: the late-meta "
+            "model takes a separate metadata input; export the base "
+            "model or serve through GriddedRunner")
+    params = variables["params"]
+    if config.get("fold_bn", True) and getattr(model, "use_bn", True):
+        from ..models.fold_bn import fold_batchnorm
+        params = fold_batchnorm(params, variables["batch_stats"])
+        model = dataclasses.replace(model, use_bn=False)
+        folded = {"params": params}
+    elif getattr(model, "use_bn", True):
+        folded = {"params": params,
+                  "batch_stats": variables["batch_stats"]}
+    else:
+        folded = {"params": params}
+
+    def fn(variables, x):
+        x = jnp.where(jnp.isfinite(x), x, 0.0)   # slab scrub (data side)
+        x = data_ops.db_with_limits(x)
+        logits = model.apply(variables, x, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return fn, folded
+
+
+def export_predictor(model, variables, config, *, batch=None,
+                     platforms=None):
+    """Lower + export the serving forward; returns ``jax.export.Exported``.
+
+    batch: int for a fixed batch, None (default) for a symbolic batch
+    dimension — one artifact serves every batch size.
+    platforms: sequence of lowering platforms (e.g. ``("cpu", "tpu")``)
+    for a cross-platform artifact; None lowers for the default backend
+    only.
+    """
+    from jax import export as jexport
+
+    fn, folded = make_serving_forward(model, variables, config)
+    wh, ww = (int(s) for s in config["patch_size"])
+    n_ch = len(config["frequencies"])
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    x_spec = jax.ShapeDtypeStruct((b, wh, ww, n_ch), jnp.float32)
+    jitted = jax.jit(lambda x: fn(folded, x))
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jitted, **kwargs)(x_spec)
+
+
+def save_exported(exported, path) -> None:
+    """Serialize an ``Exported`` to ``path`` (self-contained bytes)."""
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(data)
+
+
+def load_predictor(path):
+    """Deserialize a saved artifact -> callable ``predict(x) -> probs``.
+
+    Needs only jax (no flax / model source / checkpoint).  The callable
+    is jitted; under multi-platform artifacts XLA picks the current
+    default backend.
+    """
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(_MAGIC):
+        raise ValueError(
+            f"{path} is not a crimac_unet_tpu export artifact "
+            f"(missing {_MAGIC!r} header)")
+    exported = jexport.deserialize(bytearray(blob[len(_MAGIC):]))
+    return jax.jit(exported.call)
+
+
+def export_checkpoint(checkpoint_path, config, out_path, *, batch=None,
+                      platforms=None):
+    """One-call deployment export: checkpoint file -> serving artifact.
+
+    Loads a framework msgpack checkpoint (or a reference ``.pt`` state
+    dict — ``load_checkpoint`` handles both), builds the configured
+    U-Net, and writes the serialized serving forward to ``out_path``.
+    Returns the ``Exported`` for inspection.
+    """
+    from ..models.unet import build_unet
+    from .engine import load_checkpoint
+
+    payload = load_checkpoint(checkpoint_path)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload.get("batch_stats", {})}
+    model = build_unet(config)
+    exported = export_predictor(model, variables, config, batch=batch,
+                                platforms=platforms)
+    save_exported(exported, out_path)
+    return exported
+
+
+def main(argv=None):
+    """CLI: checkpoint + config -> serving artifact.
+
+    python -m crimac_unet_tpu.pipeline.export --yaml_path cfg.yaml \\
+        --checkpoint_path best.msgpack --out unet.stablehlo \\
+        [--batch N] [--platforms cpu tpu]
+    """
+    import argparse
+
+    from ..config import load_yaml_config, parse_config_options
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--yaml_path", required=True)
+    p.add_argument("--checkpoint_path", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=None,
+                   help="fixed batch size (default: symbolic)")
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="lowering platforms, e.g. cpu tpu "
+                        "(default: current backend)")
+    args = p.parse_args(argv)
+    config = parse_config_options(load_yaml_config(args.yaml_path))
+    exported = export_checkpoint(args.checkpoint_path, config, args.out,
+                                 batch=args.batch,
+                                 platforms=args.platforms)
+    import os
+    size = os.path.getsize(args.out)
+    print(f"wrote {args.out}: {size / 1e6:.1f} MB, "
+          f"platforms {list(exported.platforms)}, "
+          f"input {exported.in_avals[0].shape}")
+
+
+if __name__ == "__main__":
+    main()

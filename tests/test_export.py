@@ -1,0 +1,166 @@
+"""AOT serving export (pipeline/export.py): the serialized StableHLO
+artifact must reproduce the live serving forward exactly, serve any
+batch size through its symbolic batch dimension, and round-trip a
+checkpoint file in one call."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crimac_unet_tpu.models.unet import build_unet
+from crimac_unet_tpu.pipeline.export import (export_checkpoint,
+                                             export_predictor,
+                                             load_predictor,
+                                             make_serving_forward,
+                                             save_exported)
+
+CFG = {"patch_size": [32, 32], "frequencies": [18, 38, 120, 200],
+       "depth": 2, "start_filts": 4, "compute_dtype": "bfloat16"}
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_unet(CFG)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 4)), train=False)
+    # non-trivial BN statistics so folding is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * np.random.RandomState(1).standard_normal(
+            x.shape).astype(x.dtype), variables)
+    return model, variables
+
+
+def _raw_patches(batch, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.lognormal(np.log(1e-6), 2.0, (batch, 32, 32, 4))
+    x[0, :2, :2, 0] = np.nan                      # scrub path
+    x[0, 2, 2, 1] = np.inf
+    return x.astype(np.float32)
+
+
+def test_artifact_matches_live_forward(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    fn, folded = make_serving_forward(model, variables, CFG)
+    exported = export_predictor(model, variables, CFG)
+    path = tmp_path / "unet.stablehlo"
+    save_exported(exported, path)
+    predict = load_predictor(path)
+    x = _raw_patches(3)
+    got = np.asarray(predict(x))
+    want = np.asarray(jax.jit(lambda x: fn(folded, x))(x))
+    assert got.shape == (3, 32, 32, 3)
+    np.testing.assert_array_equal(got, want)
+    # probabilities: finite (scrub worked under the nan inputs), normed
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+
+
+def test_symbolic_batch_serves_multiple_sizes(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    exported = export_predictor(model, variables, CFG)
+    path = tmp_path / "unet.stablehlo"
+    save_exported(exported, path)
+    predict = load_predictor(path)
+    for b in (1, 5):
+        out = np.asarray(predict(_raw_patches(b, seed=b)))
+        assert out.shape == (b, 32, 32, 3)
+        assert np.isfinite(out).all()
+
+
+def test_fixed_batch_rejects_other_sizes(model_and_vars, tmp_path):
+    model, variables = model_and_vars
+    exported = export_predictor(model, variables, CFG, batch=2)
+    path = tmp_path / "fixed.stablehlo"
+    save_exported(exported, path)
+    predict = load_predictor(path)
+    assert np.asarray(predict(_raw_patches(2))).shape == (2, 32, 32, 3)
+    with pytest.raises(Exception):
+        predict(_raw_patches(3))
+
+
+def test_meta_channels_rejected(model_and_vars):
+    model, variables = model_and_vars
+    with pytest.raises(ValueError, match="meta_channels"):
+        export_predictor(model, variables,
+                         dict(CFG, meta_channels={"portion_year": True}))
+
+
+def test_bad_header_rejected(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="header"):
+        load_predictor(p)
+
+
+def test_export_checkpoint_end_to_end(model_and_vars, tmp_path):
+    from crimac_unet_tpu.pipeline.engine import save_checkpoint
+    model, variables = model_and_vars
+    ckpt = tmp_path / "best.msgpack"
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+    out = tmp_path / "serve.stablehlo"
+    export_checkpoint(ckpt, CFG, out)
+    predict = load_predictor(out)
+    x = _raw_patches(2)
+    fn, folded = make_serving_forward(model, variables, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(predict(x)),
+        np.asarray(jax.jit(lambda x: fn(folded, x))(x)))
+
+
+def test_matches_gridded_runner_patch_forward(model_and_vars):
+    """The artifact's semantics ARE the production patch forward:
+    dB + folded-BN eval forward + softmax on the same patches."""
+    from crimac_unet_tpu.pipeline.inference import GriddedRunner
+    model, variables = model_and_vars
+    cfg = dict(CFG, patch_overlap=4, fwd_batch=8)
+    runner = GriddedRunner(model, variables, cfg)
+    fn, folded = make_serving_forward(model, variables, CFG)
+    x = _raw_patches(4, seed=7)
+    want = np.asarray(jax.jit(lambda x: fn(folded, x))(x))
+    # runner path: scrub happens on the slab, dB in _predict_patches
+    # before _forward_probs_nometa (which takes dB-space patches)
+    from crimac_unet_tpu.ops import data_ops
+    x_scrubbed = np.where(np.isfinite(x), x, 0.0)
+    x_db = data_ops.db_with_limits(jnp.asarray(x_scrubbed))
+    probs = runner._forward_probs_nometa(
+        {"params": runner.params},
+        x_db[None])                             # (nb=1, B, wh, ww, C)
+    got = np.asarray(probs)[0]
+    np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_cli_writes_artifact(model_and_vars, tmp_path):
+    from crimac_unet_tpu.pipeline.engine import save_checkpoint
+    from crimac_unet_tpu.pipeline.export import main
+    model, variables = model_and_vars
+    ckpt = tmp_path / "best.msgpack"
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(
+        "patch_size: [32, 32]\nfrequencies: [18, 38, 120, 200]\n"
+        "depth: 2\nstart_filts: 4\ncompute_dtype: bfloat16\n")
+    out = tmp_path / "cli.stablehlo"
+    main(["--yaml_path", str(cfg_yaml), "--checkpoint_path", str(ckpt),
+          "--out", str(out), "--batch", "2"])
+    got = np.asarray(load_predictor(out)(_raw_patches(2)))
+    assert got.shape == (2, 32, 32, 3) and np.isfinite(got).all()
+
+
+def test_cross_platform_export_lowers_for_tpu(model_and_vars, tmp_path):
+    """A ("cpu", "tpu") artifact lowers both platforms without TPU
+    hardware present and still executes on the CPU backend."""
+    model, variables = model_and_vars
+    try:
+        exported = export_predictor(model, variables, CFG,
+                                    platforms=("cpu", "tpu"))
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        pytest.skip(f"cross-platform lowering unavailable: {e}")
+    assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}
+    path = tmp_path / "xplat.stablehlo"
+    save_exported(exported, path)
+    out = np.asarray(load_predictor(path)(_raw_patches(2)))
+    assert out.shape == (2, 32, 32, 3) and np.isfinite(out).all()

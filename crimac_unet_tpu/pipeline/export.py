@@ -97,6 +97,31 @@ def export_predictor(model, variables, config, *, batch=None,
     return jexport.export(jitted, **kwargs)(x_spec)
 
 
+def export_slab_predictor(model, variables, config, *, platforms=None):
+    """Export the fully-convolutional SLAB serving forward
+    (``infer_mode: slab`` — README "Inference", DIVERGENCES.md).
+
+    The U-Net is shape-agnostic, so one artifact serves WHOLE chunks of
+    any geometry: batch, range, and ping dims are all symbolic, with
+    range/ping constrained to multiples of ``2**(depth-1)`` (the
+    pooling alignment the slab path pads to).  Feeding an unaligned
+    shape fails at call time with a shape-constraint error rather than
+    computing garbage.
+    """
+    from jax import export as jexport
+
+    fn, folded = make_serving_forward(model, variables, config)
+    align = 2 ** (int(config.get("depth", 5)) - 1)
+    n_ch = len(config["frequencies"])
+    b, h, w = jexport.symbolic_shape(f"b, {align}*h, {align}*w")
+    x_spec = jax.ShapeDtypeStruct((b, h, w, n_ch), jnp.float32)
+    jitted = jax.jit(lambda x: fn(folded, x))
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jitted, **kwargs)(x_spec)
+
+
 def save_exported(exported, path) -> None:
     """Serialize an ``Exported`` to ``path`` (self-contained bytes)."""
     data = exported.serialize()
@@ -163,14 +188,29 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=None,
                    help="fixed batch size (default: symbolic)")
+    p.add_argument("--mode", choices=("patch", "slab"), default="patch",
+                   help="patch: fixed patch_size windows; slab: "
+                        "whole-chunk fully-convolutional (symbolic "
+                        "pooling-aligned range/ping dims)")
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms, e.g. cpu tpu "
                         "(default: current backend)")
     args = p.parse_args(argv)
     config = parse_config_options(load_yaml_config(args.yaml_path))
-    exported = export_checkpoint(args.checkpoint_path, config, args.out,
-                                 batch=args.batch,
-                                 platforms=args.platforms)
+    if args.mode == "slab":
+        from ..models.unet import build_unet
+        from .engine import load_checkpoint
+        payload = load_checkpoint(args.checkpoint_path)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload.get("batch_stats", {})}
+        exported = export_slab_predictor(build_unet(config), variables,
+                                         config,
+                                         platforms=args.platforms)
+        save_exported(exported, args.out)
+    else:
+        exported = export_checkpoint(args.checkpoint_path, config,
+                                     args.out, batch=args.batch,
+                                     platforms=args.platforms)
     import os
     size = os.path.getsize(args.out)
     print(f"wrote {args.out}: {size / 1e6:.1f} MB, "

@@ -132,6 +132,29 @@ def test_matches_gridded_runner_patch_forward(model_and_vars):
     np.testing.assert_allclose(got, want, atol=2e-7)
 
 
+def test_slab_export_serves_arbitrary_aligned_chunks(model_and_vars,
+                                                     tmp_path):
+    """One slab artifact serves whole chunks of any pooling-aligned
+    geometry; unaligned shapes fail at call time, not with garbage."""
+    from crimac_unet_tpu.pipeline.export import export_slab_predictor
+    model, variables = model_and_vars
+    exported = export_slab_predictor(model, variables, CFG)  # align=2
+    path = tmp_path / "slab.stablehlo"
+    save_exported(exported, path)
+    predict = load_predictor(path)
+    fn, folded = make_serving_forward(model, variables, CFG)
+    for shape in ((1, 64, 96), (2, 30, 50)):
+        rng = np.random.RandomState(shape[-1])
+        x = rng.lognormal(np.log(1e-6), 2.0,
+                          shape + (4,)).astype(np.float32)
+        got = np.asarray(predict(x))
+        assert got.shape == shape + (3,)
+        np.testing.assert_array_equal(
+            got, np.asarray(jax.jit(lambda x: fn(folded, x))(x)))
+    with pytest.raises(Exception):           # 33 not a multiple of 2
+        predict(np.zeros((1, 33, 50, 4), np.float32))
+
+
 def test_cli_writes_artifact(model_and_vars, tmp_path):
     from crimac_unet_tpu.pipeline.engine import save_checkpoint
     from crimac_unet_tpu.pipeline.export import main
@@ -148,6 +171,12 @@ def test_cli_writes_artifact(model_and_vars, tmp_path):
           "--out", str(out), "--batch", "2"])
     got = np.asarray(load_predictor(out)(_raw_patches(2)))
     assert got.shape == (2, 32, 32, 3) and np.isfinite(got).all()
+    out2 = tmp_path / "cli_slab.stablehlo"
+    main(["--yaml_path", str(cfg_yaml), "--checkpoint_path", str(ckpt),
+          "--out", str(out2), "--mode", "slab"])
+    got = np.asarray(load_predictor(out2)(
+        np.full((1, 40, 60, 4), 1e-5, np.float32)))
+    assert got.shape == (1, 40, 60, 3) and np.isfinite(got).all()
 
 
 def test_cross_platform_export_lowers_for_tpu(model_and_vars, tmp_path):

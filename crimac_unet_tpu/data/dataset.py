@@ -29,8 +29,10 @@ def seabed_patch_row(reader, center, window) -> np.ndarray:
     including the +SEABED_PAD shift (reference mask_label_seabed.py:24-68).
     Columns outside the data or without a seabed get BIG_ROW."""
     wh, ww = window
-    y0 = int(center[0]) - wh // 2 + 1
-    x0 = int(center[1]) - ww // 2 + 1
+    # crop-origin convention shared with utils/grids.crop_bounds
+    # ((N+1)//2 == N//2 for even N, the reference getGrid offsets)
+    y0 = int(center[0]) - (wh + 1) // 2 + 1
+    x0 = int(center[1]) - (ww + 1) // 2 + 1
 
     if reader.data_format == "memmap":
         n_pings = reader.shape[1]

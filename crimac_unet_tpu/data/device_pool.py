@@ -99,9 +99,10 @@ class DeviceSamplePool:
         y, x = int(center[0]), int(center[1])
         if reader.shape[0] <= wh:
             y = reader.shape[0] // 2
-        # crop upper-left in padded-canvas coordinates
-        y0 = y - wh // 2 + 1 + wh
-        x0 = x - ww // 2 + 1 + ww
+        # crop upper-left in padded-canvas coordinates (origin convention
+        # shared with utils/grids.crop_bounds — (N+1)//2)
+        y0 = y - (wh + 1) // 2 + 1 + wh
+        x0 = x - (ww + 1) // 2 + 1 + ww
         return self.index[id(reader)], y0, x0
 
     def prepare_batch(self, samples):
@@ -206,8 +207,8 @@ class ZarrSamplePool:
         """Zarr crops never recenter (reference get_crop_zarr clips + pads
         instead, dataset.py:358-407)."""
         wh, ww = self.window
-        y0 = int(center[0]) - wh // 2 + 1 + wh
-        x0 = int(center[1]) - ww // 2 + 1 + ww
+        y0 = int(center[0]) - (wh + 1) // 2 + 1 + wh
+        x0 = int(center[1]) - (ww + 1) // 2 + 1 + ww
         return self.index[id(reader)], y0, x0
 
     prepare_batch = DeviceSamplePool.prepare_batch

@@ -386,8 +386,9 @@ class DataReaderZarr:
     def crop_data(self, center, window, frequencies):
         """(C, H=range, W=ping) float32 crop in patch orientation with
         boundary fill + nan scrub (reference batch/dataset.py:358-407)."""
-        y0 = int(center[0]) - window[0] // 2 + 1
-        x0 = int(center[1]) - window[1] // 2 + 1
+        # crop-origin convention shared with utils/grids.crop_bounds
+        y0 = int(center[0]) - (window[0] + 1) // 2 + 1
+        x0 = int(center[1]) - (window[1] + 1) // 2 + 1
         y1, x1 = y0 + window[0], x0 + window[1]
         n_pings, n_range = self.shape
         cy0, cy1 = max(y0, 0), min(y1, n_range)
@@ -402,8 +403,8 @@ class DataReaderZarr:
         return out
 
     def crop_labels(self, center, window):
-        y0 = int(center[0]) - window[0] // 2 + 1
-        x0 = int(center[1]) - window[1] // 2 + 1
+        y0 = int(center[0]) - (window[0] + 1) // 2 + 1
+        x0 = int(center[1]) - (window[1] + 1) // 2 + 1
         y1, x1 = y0 + window[0], x0 + window[1]
         n_pings, n_range = self.shape
         cy0, cy1 = max(y0, 0), min(y1, n_range)

@@ -15,9 +15,13 @@ serves any batch size.
 Input contract: raw (not dB) sv patches, NHWC float32,
 ``(batch, *patch_size, len(frequencies))``, frequency channels in
 ascending order (the reader contract).  Output: float32 softmax
-probabilities ``(batch, *patch_size, 3)`` — identical to
-``GriddedRunner``'s patch forward on the same patches
-(tests/test_export.py).
+probabilities ``(batch, *patch_size, 3)`` — the same program as
+``GriddedRunner``'s patch forward (bit-equal on identical inputs,
+tests/test_export.py).  One pipeline difference: the production runner
+quantizes raw sv slabs to bfloat16 at host->device transfer by default
+(``transfer_dtype``, <=0.02 dB perturbation); the artifact consumes the
+float32 you feed it — pre-cast through bfloat16 to replicate production
+output exactly.
 """
 
 from __future__ import annotations
@@ -52,6 +56,12 @@ def make_serving_forward(model, variables, config):
     params = variables["params"]
     if config.get("fold_bn", True) and getattr(model, "use_bn", True):
         from ..models.fold_bn import fold_batchnorm
+        if not variables.get("batch_stats"):
+            raise ValueError(
+                "cannot fold BatchNorm: the checkpoint carries no "
+                "batch_stats (running statistics) for this BN model — "
+                "export from a training checkpoint, or a params-only "
+                "tree from a use_bn=False model")
         params = fold_batchnorm(params, variables["batch_stats"])
         model = dataclasses.replace(model, use_bn=False)
         folded = {"params": params}
@@ -150,13 +160,15 @@ def load_predictor(path):
 
 
 def export_checkpoint(checkpoint_path, config, out_path, *, batch=None,
-                      platforms=None):
+                      platforms=None, mode="patch"):
     """One-call deployment export: checkpoint file -> serving artifact.
 
     Loads a framework msgpack checkpoint (or a reference ``.pt`` state
     dict — ``load_checkpoint`` handles both), builds the configured
     U-Net, and writes the serialized serving forward to ``out_path``.
-    Returns the ``Exported`` for inspection.
+    ``mode``: 'patch' (fixed ``patch_size`` windows, ``batch`` fixed or
+    symbolic) or 'slab' (whole-chunk fully-convolutional, all dims
+    symbolic — ``batch`` must be None).  Returns the ``Exported``.
     """
     from ..models.unet import build_unet
     from .engine import load_checkpoint
@@ -165,8 +177,16 @@ def export_checkpoint(checkpoint_path, config, out_path, *, batch=None,
     variables = {"params": payload["params"],
                  "batch_stats": payload.get("batch_stats", {})}
     model = build_unet(config)
-    exported = export_predictor(model, variables, config, batch=batch,
-                                platforms=platforms)
+    if mode == "slab":
+        if batch is not None:
+            raise ValueError(
+                "mode='slab' artifacts have a symbolic batch dimension; "
+                "a fixed --batch cannot be honored — drop it")
+        exported = export_slab_predictor(model, variables, config,
+                                         platforms=platforms)
+    else:
+        exported = export_predictor(model, variables, config,
+                                    batch=batch, platforms=platforms)
     save_exported(exported, out_path)
     return exported
 
@@ -197,20 +217,9 @@ def main(argv=None):
                         "(default: current backend)")
     args = p.parse_args(argv)
     config = parse_config_options(load_yaml_config(args.yaml_path))
-    if args.mode == "slab":
-        from ..models.unet import build_unet
-        from .engine import load_checkpoint
-        payload = load_checkpoint(args.checkpoint_path)
-        variables = {"params": payload["params"],
-                     "batch_stats": payload.get("batch_stats", {})}
-        exported = export_slab_predictor(build_unet(config), variables,
-                                         config,
-                                         platforms=args.platforms)
-        save_exported(exported, args.out)
-    else:
-        exported = export_checkpoint(args.checkpoint_path, config,
-                                     args.out, batch=args.batch,
-                                     platforms=args.platforms)
+    exported = export_checkpoint(args.checkpoint_path, config, args.out,
+                                 batch=args.batch, mode=args.mode,
+                                 platforms=args.platforms)
     import os
     size = os.path.getsize(args.out)
     print(f"wrote {args.out}: {size / 1e6:.1f} MB, "

@@ -30,9 +30,16 @@ def crop_bounds(center: np.ndarray, window: np.ndarray) -> tuple:
 
 
 def patch_coord_to_data_coord(patch_coords, center_coord, patch_size):
-    """Patch-local -> data coordinates (reference utils/np.py:378-380)."""
+    """Patch-local -> data coordinates — the inverse of
+    :func:`crop_bounds`.
+
+    The reference computes this as ``+ center - size//2 + 1``
+    (utils/np.py:378-380), which for odd sizes is one pixel off its OWN
+    crop grid (getGrid uses ``(N+1)//2``; reference never ships an odd
+    geometry so its quirk is unreachable).  We keep stitching consistent
+    with the crops for both parities (documented in DIVERGENCES.md)."""
     return (np.asarray(patch_coords) + np.asarray(center_coord)
-            - np.asarray(patch_size) // 2 + 1).astype(int)
+            - (np.asarray(patch_size) + 1) // 2 + 1).astype(int)
 
 
 def extract_crop_2d(arr, center, window, boundary_val):

@@ -87,6 +87,23 @@ def test_meta_channels_rejected(model_and_vars):
                          dict(CFG, meta_channels={"portion_year": True}))
 
 
+def test_missing_batch_stats_rejected(model_and_vars):
+    model, variables = model_and_vars
+    with pytest.raises(ValueError, match="batch_stats"):
+        make_serving_forward(model, {"params": variables["params"]}, CFG)
+
+
+def test_slab_mode_rejects_fixed_batch(model_and_vars, tmp_path):
+    from crimac_unet_tpu.pipeline.engine import save_checkpoint
+    model, variables = model_and_vars
+    ckpt = tmp_path / "best.msgpack"
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+    with pytest.raises(ValueError, match="symbolic batch"):
+        export_checkpoint(ckpt, CFG, tmp_path / "x.stablehlo",
+                          batch=8, mode="slab")
+
+
 def test_bad_header_rejected(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"not an artifact")

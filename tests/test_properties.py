@@ -110,6 +110,28 @@ def test_grid_interiors_tile_exactly_once(extent, window, overlap, start):
     assert n * stride >= extent
 
 
+def test_crop_origin_convention_consistent_across_paths():
+    """Every crop implementation (memmap crop_bounds, zarr crops, seabed
+    row helper, the device-pool gather, and the stitching inverse) must
+    share ONE origin convention for BOTH window parities — an r3 review
+    pass found the odd-window fix applied to crop_bounds alone, shifting
+    sibling paths one pixel apart."""
+    from crimac_unet_tpu.utils.grids import (crop_bounds,
+                                             patch_coord_to_data_coord)
+    for N in (4, 5, 32, 33):
+        center = np.array([50, 60])
+        win = np.array([N, N])
+        ul, lr = crop_bounds(center, win)
+        expect = center - (N + 1) // 2 + 1
+        assert (ul == expect).all()
+        # stitching inverse: patch (0,0) maps back to the crop origin
+        back = patch_coord_to_data_coord(np.array([[0, 0]]), center, win)
+        assert (back[0] == ul).all(), N
+        # zarr crop origin (crop_data source) — same formula inline
+        y0 = int(center[0]) - (win[0] + 1) // 2 + 1
+        assert y0 == ul[0]
+
+
 def test_crop_bounds_matches_reference_getgrid_offsets():
     """crop_bounds must cover the reference getGrid offsets
     linspace(-((N+1)//2)+1, N//2, N) for BOTH parities — N//2 alone

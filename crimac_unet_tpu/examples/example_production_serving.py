@@ -81,20 +81,24 @@ def main():
               "export_for_reference.pt")
 
         # AOT deployment artifact: the serving forward (scrub -> dB ->
-        # folded-BN U-Net -> softmax) serialized as StableHLO with a
-        # symbolic batch dim — loads and runs with jax alone, no flax /
-        # model source / checkpoint (pipeline/export.py; also a CLI:
-        #   python -m crimac_unet_tpu.pipeline.export ...)
-        from ..pipeline.export import (export_predictor, load_predictor,
-                                       save_exported)
-        exported = export_predictor(model, variables, cfg)
-        save_exported(exported, f"{tmp}/unet.stablehlo")
-        predict = load_predictor(f"{tmp}/unet.stablehlo")
+        # folded-BN U-Net -> softmax) serialized as StableHLO — loads
+        # and runs with jax alone, no flax / model source / checkpoint
+        # (pipeline/export.py; also a CLI:
+        #   python -m crimac_unet_tpu.pipeline.export ...).
+        # This config serves in slab mode, so export the MATCHING slab
+        # artifact: all dims symbolic (pooling-aligned), one artifact
+        # for whole chunks of any geometry.
+        from ..pipeline.export import (export_slab_predictor,
+                                       load_predictor, save_exported)
+        exported = export_slab_predictor(model, variables, cfg)
+        save_exported(exported, f"{tmp}/unet_slab.stablehlo")
+        predict = load_predictor(f"{tmp}/unet_slab.stablehlo")
         raw = jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
-                                        (6, 64, 64, 4))) * 1e-5
+                                        (1, 128, 320, 4))) * 1e-5
         probs = predict(raw)
-        print(f"AOT artifact: unet.stablehlo -> probs {probs.shape} "
-              f"(symbolic batch, platforms {list(exported.platforms)})")
+        print(f"AOT slab artifact: unet_slab.stablehlo -> probs "
+              f"{probs.shape} (symbolic chunk dims, platforms "
+              f"{list(exported.platforms)})")
 
 
 if __name__ == "__main__":

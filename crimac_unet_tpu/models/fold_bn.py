@@ -59,3 +59,33 @@ def fold_variables(variables: dict, eps: float = 1e-5) -> dict:
     return {"params": fold_batchnorm(variables["params"],
                                      variables.get("batch_stats", {}),
                                      eps)}
+
+
+def fold_for_serving(model, variables: dict, config) -> tuple:
+    """The serving BN policy, shared by the live runner and the AOT
+    export so the two can never diverge: returns ``(model, variables)``
+    ready for ``model.apply(variables, x, train=False)``.
+
+    * BN model + ``fold_bn`` (default true): statistics folded into the
+      conv kernels, BN dropped from the graph (``use_bn=False``).
+    * BN model + ``fold_bn: false``: unfolded eval-mode forward; the
+      checkpoint must carry ``batch_stats`` either way — a stats-less
+      tree gets a clear error here instead of a flax scope crash (or a
+      KeyError inside the fold) at trace time.
+    * BN-free model: params only.
+    """
+    import dataclasses
+
+    if not getattr(model, "use_bn", True):
+        return model, {"params": variables["params"]}
+    if not variables.get("batch_stats"):
+        raise ValueError(
+            "the checkpoint carries no batch_stats (BatchNorm running "
+            "statistics) for this BN model — serve from a training "
+            "checkpoint, or build the model with use_bn=False")
+    if config.get("fold_bn", True):
+        params = fold_batchnorm(variables["params"],
+                                variables["batch_stats"])
+        return dataclasses.replace(model, use_bn=False), {"params": params}
+    return model, {"params": variables["params"],
+                   "batch_stats": variables["batch_stats"]}

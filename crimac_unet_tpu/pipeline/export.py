@@ -26,8 +26,6 @@ output exactly.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
@@ -53,23 +51,8 @@ def make_serving_forward(model, variables, config):
             "export does not support meta_channels runs: the late-meta "
             "model takes a separate metadata input; export the base "
             "model or serve through GriddedRunner")
-    params = variables["params"]
-    if config.get("fold_bn", True) and getattr(model, "use_bn", True):
-        from ..models.fold_bn import fold_batchnorm
-        if not variables.get("batch_stats"):
-            raise ValueError(
-                "cannot fold BatchNorm: the checkpoint carries no "
-                "batch_stats (running statistics) for this BN model — "
-                "export from a training checkpoint, or a params-only "
-                "tree from a use_bn=False model")
-        params = fold_batchnorm(params, variables["batch_stats"])
-        model = dataclasses.replace(model, use_bn=False)
-        folded = {"params": params}
-    elif getattr(model, "use_bn", True):
-        folded = {"params": params,
-                  "batch_stats": variables["batch_stats"]}
-    else:
-        folded = {"params": params}
+    from ..models.fold_bn import fold_for_serving
+    model, folded = fold_for_serving(model, variables, config)
 
     def fn(variables, x):
         x = jnp.where(jnp.isfinite(x), x, 0.0)   # slab scrub (data side)
@@ -121,7 +104,12 @@ def export_slab_predictor(model, variables, config, *, platforms=None):
     from jax import export as jexport
 
     fn, folded = make_serving_forward(model, variables, config)
-    align = 2 ** (int(config.get("depth", 5)) - 1)
+    # pooling alignment comes from the MODEL's depth (the quantity the
+    # slab path itself pads to, inference.py _predict_slab), not the
+    # config — a config whose depth key disagrees with the model built
+    # from it would constrain the artifact to the wrong multiples
+    align = 2 ** (int(getattr(model, "depth", config.get("depth", 5)))
+                  - 1)
     n_ch = len(config["frequencies"])
     b, h, w = jexport.symbolic_shape(f"b, {align}*h, {align}*w")
     x_spec = jax.ShapeDtypeStruct((b, h, w, n_ch), jnp.float32)
@@ -133,11 +121,20 @@ def export_slab_predictor(model, variables, config, *, platforms=None):
 
 
 def save_exported(exported, path) -> None:
-    """Serialize an ``Exported`` to ``path`` (self-contained bytes)."""
+    """Serialize an ``Exported`` to ``path`` (self-contained bytes).
+
+    Atomic (temp file + os.replace), like the checkpoint writer
+    (engine.save_checkpoint): re-exporting over a live serving artifact
+    or crashing mid-write must never leave a truncated file behind."""
+    import os
+
     data = exported.serialize()
-    with open(path, "wb") as f:
+    path = str(path)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(_MAGIC)
         f.write(data)
+    os.replace(tmp, path)
 
 
 def load_predictor(path):

@@ -74,22 +74,18 @@ class GriddedRunner:
     """Shared device programs for gridded predict/eval over one model."""
 
     def __init__(self, model, variables, config):
-        import dataclasses
-
         from ..data.meta_channels import (get_in_channels,
                                           validate_meta_channels)
-        self.model = model
-        self.params = variables["params"]
-        self.batch_stats = variables["batch_stats"]
+        from ..models.fold_bn import fold_for_serving
         # serving optimization: fold BatchNorm (a frozen per-channel
         # affine at inference) into the conv kernels/biases — removes
-        # every BN op from the forward (models/fold_bn.py). Default on;
-        # disable with fold_bn: false for A/B checks.
-        if config.get("fold_bn", True) and getattr(model, "use_bn", True):
-            from ..models.fold_bn import fold_batchnorm
-            self.params = fold_batchnorm(self.params, self.batch_stats)
-            self.batch_stats = {}
-            self.model = dataclasses.replace(model, use_bn=False)
+        # every BN op from the forward. Default on; disable with
+        # fold_bn: false for A/B checks. ONE policy shared with the AOT
+        # export (models/fold_bn.fold_for_serving) so live serving and
+        # exported artifacts cannot diverge.
+        self.model, served = fold_for_serving(model, variables, config)
+        self.params = served["params"]
+        self.batch_stats = served.get("batch_stats", {})
         self.window = tuple(config["patch_size"])       # (wh, ww)
         self.overlap = int(config["patch_overlap"])
         self.frequencies = sorted(config["frequencies"])
@@ -538,6 +534,15 @@ class GriddedRunner:
         return hist
 
 
+def grid_center_cols(x0_data, ww):
+    """Patch-center ping coordinates from crop-origin ping coordinates —
+    the exact inverse of :func:`utils.grids.crop_bounds` on the ping
+    axis for BOTH window parities (origin = center - (ww+1)//2 + 1, so
+    center = origin - 1 + (ww+1)//2).  Pinned against crop_bounds in
+    tests/test_properties.py."""
+    return np.asarray(x0_data) - 1 + (ww + 1) // 2
+
+
 def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
                        centers_x):
     """Host construction of metadata inputs for the gridded device programs
@@ -731,7 +736,8 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         meta_slab = np.zeros((0, 1, 1), np.float32)
         consts = np.zeros((len(y0s), 0), np.float32)
         if runner.use_meta:
-            centers_x = s + np.tile(np.arange(C) * sw, R) - o - 1 + ww // 2
+            centers_x = grid_center_cols(
+                s + np.tile(np.arange(C) * sw, R) - o, ww)
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, s - o, centers_x)
         runner.timer.stop("host_slab")
@@ -1083,8 +1089,8 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         meta_slab = np.zeros((0, 1, 1), np.float32)
         consts = np.zeros((len(y0s), 0), np.float32)
         if runner.use_meta:
-            centers_x = (np.tile(np.arange(j0, j1) * sw, R) - o - 1
-                         + ww // 2)
+            centers_x = grid_center_cols(
+                np.tile(np.arange(j0, j1) * sw, R) - o, ww)
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, want_x0, centers_x)
         runner.timer.stop("eval_host_slab")

@@ -91,6 +91,41 @@ def test_missing_batch_stats_rejected(model_and_vars):
     model, variables = model_and_vars
     with pytest.raises(ValueError, match="batch_stats"):
         make_serving_forward(model, {"params": variables["params"]}, CFG)
+    # same clear error on the unfolded (fold_bn: false) path — not a
+    # KeyError or a flax scope crash at trace time
+    with pytest.raises(ValueError, match="batch_stats"):
+        make_serving_forward(model, {"params": variables["params"]},
+                             dict(CFG, fold_bn=False))
+
+
+def test_save_exported_is_atomic(model_and_vars, tmp_path):
+    """Re-exporting over an existing artifact never leaves a truncated
+    file: the write goes through a temp file + os.replace."""
+    model, variables = model_and_vars
+    exported = export_predictor(model, variables, CFG)
+    path = tmp_path / "unet.stablehlo"
+    save_exported(exported, path)
+    first = path.read_bytes()
+    save_exported(exported, path)             # overwrite in place
+    assert path.read_bytes() == first
+    assert not (tmp_path / "unet.stablehlo.tmp").exists()
+
+
+def test_slab_alignment_follows_model_not_config(model_and_vars,
+                                                 tmp_path):
+    """The slab artifact's pooling alignment comes from model.depth —
+    a config with a stale/absent depth key must not change the shape
+    constraint (review r3: config.get('depth', 5) constrained a depth-2
+    model to multiples of 16)."""
+    from crimac_unet_tpu.pipeline.export import export_slab_predictor
+    model, variables = model_and_vars          # depth-2 model: align 2
+    cfg_no_depth = {k: v for k, v in CFG.items() if k != "depth"}
+    exported = export_slab_predictor(model, variables, cfg_no_depth)
+    path = tmp_path / "slab_nodepth.stablehlo"
+    save_exported(exported, path)
+    out = np.asarray(load_predictor(path)(
+        np.full((1, 30, 50, 4), 1e-5, np.float32)))  # 2-aligned, not 16
+    assert out.shape == (1, 30, 50, 3)
 
 
 def test_slab_mode_rejects_fixed_batch(model_and_vars, tmp_path):
@@ -203,7 +238,11 @@ def test_cross_platform_export_lowers_for_tpu(model_and_vars, tmp_path):
     try:
         exported = export_predictor(model, variables, CFG,
                                     platforms=("cpu", "tpu"))
-    except Exception as e:  # pragma: no cover - toolchain-dependent
+    except RuntimeError as e:  # pragma: no cover - toolchain-dependent
+        # only a missing-TPU-toolchain error may skip; anything else
+        # (e.g. a broken platforms= code path) must FAIL, not skip
+        if "tpu" not in str(e).lower():
+            raise
         pytest.skip(f"cross-platform lowering unavailable: {e}")
     assert set(p.lower() for p in exported.platforms) == {"cpu", "tpu"}
     path = tmp_path / "xplat.stablehlo"

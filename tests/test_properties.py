@@ -130,6 +130,11 @@ def test_crop_origin_convention_consistent_across_paths():
         # zarr crop origin (crop_data source) — same formula inline
         y0 = int(center[0]) - (win[0] + 1) // 2 + 1
         assert y0 == ul[0]
+        # the predict/eval meta-center inverse (inference.grid_center_cols)
+        # must round-trip through crop_bounds for both parities
+        from crimac_unet_tpu.pipeline.inference import grid_center_cols
+        cx = grid_center_cols(np.array([ul[1]]), N)
+        assert cx[0] == center[1], N
 
 
 def test_crop_bounds_matches_reference_getgrid_offsets():

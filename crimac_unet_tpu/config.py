@@ -71,7 +71,8 @@ def load_yaml_config(path):
 def get_argparse_parser(mode: str = "train") -> argparse.ArgumentParser:
     """Per-mode CLI parser with the reference flag set
     (reference utils/general.py:38-117)."""
-    assert mode in ("train", "eval", "save_predict", "docker_predict")
+    if mode not in ("train", "eval", "save_predict", "docker_predict"):
+        raise ValueError(f"unknown CLI mode {mode!r}")
 
     parser = argparse.ArgumentParser(argument_default=argparse.SUPPRESS)
     if mode == "docker_predict":

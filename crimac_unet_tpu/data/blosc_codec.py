@@ -206,7 +206,8 @@ def decompress_into(frame: bytes, dst: np.ndarray) -> None:
     """Decode one frame into a preallocated contiguous array (any dtype;
     byte size must equal the frame's nbytes)."""
     hdr = parse_header(frame)
-    assert dst.flags["C_CONTIGUOUS"]
+    if not dst.flags["C_CONTIGUOUS"]:
+        raise ValueError("dst must be C-contiguous")
     if dst.nbytes != hdr["nbytes"]:
         raise ValueError(f"dst holds {dst.nbytes} bytes, frame decodes to "
                          f"{hdr['nbytes']}")
@@ -232,11 +233,14 @@ def batch_decompress_into(frames: list, dsts: list) -> None:
     native batch path (std::thread fan-out, zero Python per-chunk
     overhead) when available, else a thread pool over the ctypes call
     (which releases the GIL), else serial pure-python."""
-    assert len(frames) == len(dsts)
+    if len(frames) != len(dsts):
+        raise ValueError(f"{len(frames)} frames for {len(dsts)} dsts")
     for d in dsts:
         # raw pointers go to native code: a non-contiguous view would be
-        # silently overwritten linearly from its first element
-        assert d.flags["C_CONTIGUOUS"], "dst must be C-contiguous"
+        # silently overwritten linearly from its first element, so this
+        # guard must survive python -O
+        if not d.flags["C_CONTIGUOUS"]:
+            raise ValueError("dst must be C-contiguous")
     n = len(frames)
     if n == 0:
         return

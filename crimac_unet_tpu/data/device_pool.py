@@ -58,9 +58,10 @@ class DeviceSamplePool:
     data_format = "memmap"
 
     def __init__(self, readers, frequencies, window):
-        assert all(r.data_format == "memmap" for r in readers), \
-            "DeviceSamplePool holds memmap echograms; use ZarrSamplePool " \
-            "for zarr surveys"
+        if not all(r.data_format == "memmap" for r in readers):
+            raise ValueError(
+                "DeviceSamplePool holds memmap echograms; use "
+                "ZarrSamplePool for zarr surveys")
         self.window = tuple(window)
         self.frequencies = sorted(frequencies)
         self.readers = list(readers)
@@ -134,7 +135,9 @@ class ZarrSamplePool:
     data_format = "zarr"
 
     def __init__(self, readers, frequencies, window, chunk_pings=2048):
-        assert all(r.data_format == "zarr" for r in readers)
+        if not all(r.data_format == "zarr" for r in readers):
+            raise ValueError("ZarrSamplePool holds zarr surveys; use "
+                             "DeviceSamplePool for memmap echograms")
         self.window = tuple(window)
         self.frequencies = sorted(frequencies)
         self.readers = list(readers)

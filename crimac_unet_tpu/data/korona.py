@@ -32,8 +32,11 @@ def get_korona_list_from_json(path_json_korona) -> list:
     for ping in korona:
         ping["time"] = lsss_time_to_datetime(ping["time"])
     for i in range(len(korona) - 1):
-        assert korona[i]["time"] <= korona[i + 1]["time"]
-        assert korona[i]["pingNumber"] <= korona[i + 1]["pingNumber"]
+        # validation of an EXTERNAL file: must survive python -O
+        if korona[i]["time"] > korona[i + 1]["time"] or \
+                korona[i]["pingNumber"] > korona[i + 1]["pingNumber"]:
+            raise ValueError(
+                "korona JSON pings are not sorted by time/pingNumber")
     return korona
 
 
@@ -46,7 +49,8 @@ def get_transducer_depths(echogram, root_depths=None) -> np.ndarray:
         from .. import paths
         root_depths = paths.path_to_korona_transducer_depths()
     file_path = os.path.join(str(root_depths), echogram.name + ".h5")
-    assert os.path.isfile(file_path), f"{file_path} does not exist"
+    if not os.path.isfile(file_path):
+        raise FileNotFoundError(f"{file_path} does not exist")
     with h5py.File(file_path, "r") as f:
         key = list(f["transducer"])[0]
         return np.array(f["transducer"][key])
@@ -82,10 +86,16 @@ def get_korona_labels(echogram, korona_list, transducer_depths=None
 
     for ping in pings:
         n_x = int(np.argmax(ping["time"] <= time_vector))
-        assert 0 <= n_x < shape_ech[1]
+        if not 0 <= n_x < shape_ech[1]:
+            raise ValueError(
+                f"korona ping time maps outside the echogram "
+                f"({n_x} vs {shape_ech[1]} pings)")
         for minmax in ping["depthRanges"]:
             offset = transducer_depths[n_x, 0]
-            assert minmax["min"] >= offset
+            if minmax["min"] < offset:
+                raise ValueError(
+                    f"korona region min depth {minmax['min']} above the "
+                    f"transducer depth {offset}")
             # argmax of an all-False comparison is 0, which would
             # silently DROP regions extending below the echogram's last
             # range cell — clip them to the bottom instead

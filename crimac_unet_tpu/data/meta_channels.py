@@ -45,16 +45,19 @@ def get_in_channels(meta_channels) -> int:
 def validate_meta_channels(meta_channels) -> None:
     if not meta_channels:
         return
-    assert all(isinstance(v, bool) for v in meta_channels.values())
-    assert set(meta_channels.keys()) == META_CHANNEL_KEYS, (
-        f"meta_channels keys must be {sorted(META_CHANNEL_KEYS)}")
+    if not all(isinstance(v, bool) for v in meta_channels.values()):
+        raise ValueError("meta_channels values must be booleans")
+    if set(meta_channels.keys()) != META_CHANNEL_KEYS:
+        raise ValueError(
+            f"meta_channels keys must be {sorted(META_CHANNEL_KEYS)}")
 
 
 def crop_meta(echogram, center, window, meta_channels) -> np.ndarray:
     """(M, H, W) metadata channels for one patch
     (reference batch/dataset.py:288-351)."""
-    assert echogram.data_format == "memmap", \
-        "metadata channels are memmap-only (reference dataset.py:245-252)"
+    if echogram.data_format != "memmap":
+        raise ValueError("metadata channels are memmap-only (reference "
+                         "dataset.py:245-252)")
     wh, ww = window
     meta = []
 

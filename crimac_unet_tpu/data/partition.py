@@ -84,7 +84,10 @@ class DataMemm(_DataPartition):
             path_to_echograms=path_to_echograms)
 
     def partition_data_train(self):
-        assert self.partition_train in _PARTITIONS
+        if self.partition_train not in _PARTITIONS:
+            raise ValueError(f"unknown partition_train "
+                             f"{self.partition_train!r}; expected one of "
+                             f"{sorted(_PARTITIONS)}")
         if self.partition_train == "random":
             readers = list(self.readers)
             rng = np.random.RandomState(10)  # fixed split seed
@@ -138,7 +141,10 @@ class DataZarr(_DataPartition):
                                 path_to_zarr_files=self._zarr_root)
 
     def partition_data_train(self):
-        assert self.partition_train in _PARTITIONS
+        if self.partition_train not in _PARTITIONS:
+            raise ValueError(f"unknown partition_train "
+                             f"{self.partition_train!r}; expected one of "
+                             f"{sorted(_PARTITIONS)}")
         if self.partition_train == "random":
             readers = self._readers("all")
             rng = np.random.RandomState(10)

@@ -27,7 +27,9 @@ def heave_shift_labels(labels: np.ndarray, range_vector,
     r = np.asarray(range_vector)
     r_diff = np.median(r[1:] - r[:-1])
     shifts = np.round(np.atleast_1d(heave) / r_diff).astype(int)
-    assert shifts.size == labels.shape[1]
+    if shifts.size != labels.shape[1]:
+        raise ValueError(f"heave vector has {shifts.size} entries for "
+                         f"{labels.shape[1]} pings")
     out = np.zeros_like(labels)
     for x, h in enumerate(shifts):
         if h == 0:

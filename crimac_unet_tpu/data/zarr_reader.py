@@ -42,7 +42,8 @@ class DataReaderZarr:
         self.seabed_path = os.path.join(self.path, f"{self.name}_bottom.zarr")
         self.objects_df_path = os.path.join(self.path,
                                             f"{self.name}_labels.parquet.csv")
-        assert os.path.isdir(self.sv_path), f"No Sv data found at {self.sv_path}"
+        if not os.path.isdir(self.sv_path):
+            raise FileNotFoundError(f"No Sv data found at {self.sv_path}")
 
         self.ds = ZGroup.open(self.sv_path)
         self.sv = self.ds["sv"]
@@ -167,7 +168,8 @@ class DataReaderZarr:
     def _freq_index(self, f) -> int:
         matches = np.where((self.frequencies == f)
                            | (self.frequencies == f * 1000))[0]
-        assert len(matches) > 0, f"frequency {f} not in {self.frequencies}"
+        if len(matches) == 0:
+            raise ValueError(f"frequency {f} not in {self.frequencies}")
         return int(matches[0])
 
     def get_label_slice(self, idx_ping, n_pings=None, idx_range=None,
@@ -430,13 +432,17 @@ def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
         files = sorted(glob(os.path.join(path_to_zarr_files, "**",
                                          "*sv.zarr"), recursive=True))
     else:
-        assert isinstance(years, (list, tuple, np.ndarray))
+        if not isinstance(years, (list, tuple, np.ndarray)):
+            raise TypeError(f"years must be a list of year numbers or "
+                            f"'all', got {years!r}")
         files = []
         for year in years:
             files += sorted(glob(os.path.join(
                 path_to_zarr_files, str(year), "*", "ACOUSTIC", "GRIDDED",
                 "*sv.zarr")))
-    assert len(files) > 0, f"No survey data found at {path_to_zarr_files}"
+    if len(files) == 0:
+        raise FileNotFoundError(
+            f"No survey data found at {path_to_zarr_files}")
     readers = [DataReaderZarr(f) for f in files]
     readers = [r for r in readers
                if all(any((r.frequencies == f) | (r.frequencies == f * 1000))
@@ -447,7 +453,8 @@ def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
     # surveys smaller than the patch in either axis would train on
     # mostly boundary fill); previously accepted but never applied
     readers = [r for r in readers if min(r.shape) > minimum_shape]
-    assert len(readers) > 0, \
-        f"No surveys at {path_to_zarr_files} pass the frequency/" \
-        f"category/minimum_shape={minimum_shape} filters"
+    if len(readers) == 0:
+        raise ValueError(
+            f"No surveys at {path_to_zarr_files} pass the frequency/"
+            f"category/minimum_shape={minimum_shape} filters")
     return readers

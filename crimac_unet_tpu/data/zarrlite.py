@@ -137,8 +137,12 @@ class ZArray:
         self.dtype = np.dtype(meta["dtype"])
         self.compressor = meta.get("compressor")
         self.fill_value = _decode_fill_value(meta.get("fill_value"), self.dtype)
-        assert meta.get("order", "C") == "C", "only C order supported"
-        assert not meta.get("filters"), "filters not supported"
+        # validation of a FOREIGN on-disk store: must survive python -O
+        # (a stripped guard would decode garbage, not raise)
+        if meta.get("order", "C") != "C":
+            raise ValueError("only C order supported")
+        if meta.get("filters"):
+            raise ValueError("filters not supported")
 
     # ------------------------------------------------------------------ io
     @classmethod
@@ -241,7 +245,8 @@ class ZArray:
         return out
 
     def _write_chunk(self, cidx, chunk: np.ndarray) -> None:
-        assert chunk.shape == self.chunks
+        if chunk.shape != self.chunks:
+            raise ValueError(f"chunk shape {chunk.shape} != {self.chunks}")
         buf = _Codec.encode(np.ascontiguousarray(chunk, dtype=self.dtype)
                             .tobytes(), self.compressor,
                             typesize=self.dtype.itemsize)
@@ -428,7 +433,9 @@ class ZArray:
         phantom fill-value pings, and the interrupted append can simply be
         re-run."""
         value = np.asarray(value, dtype=self.dtype)
-        assert value.ndim == self.ndim
+        if value.ndim != self.ndim:
+            raise ValueError(f"append value ndim {value.ndim} != array "
+                             f"ndim {self.ndim}")
         old = self.shape[axis]
         new_shape = list(self.shape)
         new_shape[axis] = old + value.shape[axis]
@@ -479,7 +486,8 @@ class ZGroup:
     @classmethod
     def open(cls, path) -> "ZGroup":
         path = Path(path)
-        assert (path / ".zgroup").is_file(), f"not a zarr group: {path}"
+        if not (path / ".zgroup").is_file():
+            raise FileNotFoundError(f"not a zarr group: {path}")
         attrs = {}
         if (path / ".zattrs").is_file():
             with open(path / ".zattrs") as f:

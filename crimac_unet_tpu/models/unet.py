@@ -192,7 +192,10 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, meta=None, train: bool = False):
-        assert self.use_bn or not train, "BN-folded models are eval-only"
+        if train and not self.use_bn:
+            # must survive python -O: silently training a BN-folded
+            # model would corrupt the folded statistics
+            raise ValueError("BN-folded models are eval-only")
         encoder_outs = []
         for i in range(self.depth):
             feats = self.start_filts * (2 ** i)
@@ -210,7 +213,8 @@ class UNet(nn.Module):
                        name=f"up{i}")(skip, x, train)
 
         if self.late_meta_inject:
-            assert meta is not None, "late_meta_inject requires meta input"
+            if meta is None:
+                raise ValueError("late_meta_inject requires meta input")
             meta_out = MetaPostProcessing(1, self.dtype, name="meta_mlp")(meta)
             x = jnp.concatenate([x, meta_out], axis=-1)
 

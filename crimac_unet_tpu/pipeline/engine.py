@@ -227,8 +227,10 @@ def make_train_step_pooled(model: UNet, config: dict):
     """
     from ..data.device_pool import _gather_crops
     from ..data.meta_channels import get_in_channels
-    assert get_in_channels(config.get("meta_channels")) == 0, \
-        "pooled training does not support metadata channels (host path)"
+    if get_in_channels(config.get("meta_channels")) != 0:
+        raise ValueError(
+            "pooled training does not support metadata channels "
+            "(use the host path)")
     window = tuple(config["patch_size"])
     base = make_train_step(model, config)  # inlined when traced below
 
@@ -255,8 +257,10 @@ def make_eval_step_pooled(model: UNet, config: dict):
     ech_idx, starts, seabed_row, overlap=0, with_loss=True)."""
     from ..data.device_pool import _gather_crops
     from ..data.meta_channels import get_in_channels
-    assert get_in_channels(config.get("meta_channels")) == 0, \
-        "pooled validation does not support metadata channels (host path)"
+    if get_in_channels(config.get("meta_channels")) != 0:
+        raise ValueError(
+            "pooled validation does not support metadata channels "
+            "(use the host path)")
     window = tuple(config["patch_size"])
     base = make_eval_step(model, config)  # inlined when traced below
 

@@ -553,8 +553,10 @@ def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
     (``arange(center - w//2, ...)`` without the +1 shift,
     dataset.py:306-345), hence the ``- 1`` below.
     """
-    assert reader.data_format == "memmap", \
-        "metadata channels are memmap-only (reference dataset.py:245-252)"
+    if reader.data_format != "memmap":
+        raise ValueError(
+            "metadata channels are memmap-only (reference "
+            "dataset.py:245-252)")
     mc = runner.meta_channels
     wh = runner.window[0]
     n_pings = reader.shape[1]
@@ -853,9 +855,10 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
         start_ping = 0
         group = None
     else:
-        assert os.path.isdir(target_dname), (
-            f"Cannot resume: no existing prediction directory at "
-            f"{target_dname}")
+        if not os.path.isdir(target_dname):
+            raise FileNotFoundError(
+                f"Cannot resume: no existing prediction directory at "
+                f"{target_dname}")
         group = ZGroup.open(target_dname)
         # save_labels must match the existing store: creating "labels"
         # mid-stream would misalign its rows with ping_time by

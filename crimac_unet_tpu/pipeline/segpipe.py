@@ -146,9 +146,11 @@ class SegPipeUNet:
         resuming = self.state is not None and int(self.state.step) > 0
         if self.state is None:
             self.init_model()
-        assert resuming or self.checkpoint_dir is None or \
-            not (self.checkpoint_dir / "last.msgpack").exists(), \
-            f"model already exists at {self.checkpoint_dir}"
+        if not resuming and self.checkpoint_dir is not None and \
+                (self.checkpoint_dir / "last.msgpack").exists():
+            # overwrite protection must survive python -O
+            raise FileExistsError(
+                f"model already exists at {self.checkpoint_dir}")
         start = int(self.state.step)  # 0 unless resumed (resume_from)
 
         log_step = int(self.config["log_step"])

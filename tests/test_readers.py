@@ -139,7 +139,7 @@ def test_get_zarr_readers_nested_layout(tmp_path):
     assert readers[0].name == "S2016843"
     # the minimum_shape filter is actually applied (it used to be
     # accepted and ignored)
-    with pytest.raises(AssertionError, match="minimum_shape"):
+    with pytest.raises(ValueError, match="minimum_shape"):
         get_zarr_readers(years=[2016], minimum_shape=100,
                          path_to_zarr_files=str(tmp_path))
 

@@ -47,13 +47,19 @@ BASELINE_CHUNKS = 1  # chunks measured for the torch baseline
 def ensure_fixture():
     cache = Path(__file__).resolve().parent / ".bench_cache"
     sv = cache / "S2017843_sv.zarr"
-    if sv.is_dir():
+    ok = cache / "S2017843.ok"  # written only after a COMPLETE build:
+    # a bare sv.is_dir() check would accept an interrupted build forever
+    if sv.is_dir() and ok.is_file():
         return str(sv)
     cache.mkdir(exist_ok=True)
+    import shutil
+    for stale in cache.glob("S2017843_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     from crimac_unet_tpu.data.fixtures import make_zarr_survey
     t = time.time()
     path = make_zarr_survey(cache, year=2017, n_echograms=1, H=N_RANGE,
                             W=N_PINGS, seed=3, n_schools=24)
+    ok.touch()
     print(f"# fixture built in {time.time() - t:.1f}s", file=sys.stderr)
     return path
 
@@ -396,23 +402,25 @@ def run_baseline(sv_path):
         ys_c = np.arange(-(o + 1), end_range - (o + 1), sh) + PATCH // 2
         xs_c = np.arange(s - (o + 1), e - (o + 1), sh) + PATCH // 2
 
+        # crop via the library's reference-convention helper
+        # (utils/grids.extract_crop_2d, oracle-tested) — a hand-rolled
+        # copy here previously took the wrong row of the seabed crop,
+        # silently disabling the baseline's mask_label_seabed step
+        from crimac_unet_tpu.utils.grids import extract_crop_2d
+
         patches, coords = [], []
+        win = (PATCH, PATCH)
+        label_slab64 = label_slab.astype(np.float64)
+        data_slab64 = data_slab.astype(np.float64)
+        seabed64 = seabed[None, :].astype(np.float64)
         for yc in ys_c:
             for xc in xs_c:
-                def crop2(arr, cy, cx, fill):
-                    res = np.full((PATCH, PATCH), fill, np.float64)
-                    ay0, ax0 = cy - PATCH // 2 + 1, cx - PATCH // 2 + 1
-                    by0, bx0 = max(ay0, 0), max(ax0, 0)
-                    by1 = min(ay0 + PATCH, arr.shape[0])
-                    bx1 = min(ax0 + PATCH, arr.shape[1])
-                    if by1 > by0 and bx1 > bx0:
-                        res[by0 - ay0:by1 - ay0, bx0 - ax0:bx1 - ax0] = \
-                            arr[by0:by1, bx0:bx1]
-                    return res
-
-                labels = crop2(label_slab, yc, xc - s, -100.0)
-                data = np.stack([crop2(data_slab[c], yc, xc - d_x0, 0.0)
-                                 for c in range(4)])
+                labels = extract_crop_2d(label_slab64, (yc, xc - s), win,
+                                         -100.0)
+                data = np.stack([
+                    extract_crop_2d(data_slab64[c], (yc, xc - d_x0), win,
+                                    0.0)
+                    for c in range(4)])
                 # label chain: convert + refine(closing) + seabed + overlap
                 lab = np.full_like(labels, -100.0)
                 lab[labels == 0] = 0
@@ -423,8 +431,8 @@ def run_baseline(sv_path):
                     closed = ndi.binary_closing(mask_thr, structure=disc)
                     lab[(~closed) & (lab > 0)] = -30
                 rows = np.arange(PATCH)[:, None]
-                sb = crop2(np.broadcast_to(seabed, (1, N_PINGS)), 0,
-                           xc, 10 ** 8)[0]
+                sb = extract_crop_2d(seabed64, (0, xc), (1, PATCH),
+                                     10 ** 8)[0]
                 lab[(rows >= sb[None, :] + 10 - (yc - PATCH // 2 + 1))
                     & (lab == 0)] = -50
                 lab[:o, :] = -70

@@ -49,8 +49,10 @@ def main():
         (32, 32, 32, 512, 512),    # down3
     ]
     for B, H, W, Ci, Co in shapes:
-        x = rng.randn(B, H, W, Ci)
-        w = rng.randn(3, 3, Ci, Co)
+        # float32 from the start: float64 here transiently costs ~3 GB
+        # of host temporaries per shape for a throughput probe
+        x = rng.randn(B, H, W, Ci).astype(np.float32)
+        w = rng.randn(3, 3, Ci, Co).astype(np.float32)
         xb = jax.device_put(jnp.asarray(x, jnp.bfloat16))
         wb = jax.device_put(jnp.asarray(w, jnp.bfloat16))
         xi = jax.device_put(jnp.asarray(

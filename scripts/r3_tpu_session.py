@@ -135,7 +135,8 @@ def stage_slab_bound(work, out):
         outp[mode] = np.concatenate(
             [chunks[s] for s in sorted(chunks)], axis=2)
     a, b = outp["patch"], outp["slab"]
-    assert a.shape == b.shape
+    if a.shape != b.shape:
+        raise RuntimeError(f"mode output shapes differ: {a.shape} vs {b.shape}")
     mask_equal = bool(((a == 0) == (b == 0)).all())
     written = a != 0
     diff = np.abs(a - b)[written]
@@ -331,7 +332,7 @@ def main():
     ap.add_argument("--out", default="/tmp/r3tpu/results.json")
     a = ap.parse_args()
     os.makedirs(a.work, exist_ok=True)
-    jaxcache = "/root/repo/.bench_cache/xla"
+    jaxcache = str(REPO / ".bench_cache" / "xla")
     try:
         import jax
         os.makedirs(jaxcache, exist_ok=True)

@@ -26,13 +26,18 @@ N_PINGS, N_RANGE = 50_000, 1000
 def ensure_fixture():
     root = Path("/tmp/soak50k")
     sv = root / "S2017843_sv.zarr"
-    if sv.is_dir():
+    ok = root / "S2017843.ok"   # marker written after a COMPLETE build
+    if sv.is_dir() and ok.is_file():
         return str(sv)
     root.mkdir(exist_ok=True)
+    import shutil
+    for stale in root.glob("S2017843_*"):
+        shutil.rmtree(stale, ignore_errors=True)
     from crimac_unet_tpu.data.fixtures import make_zarr_survey
     t = time.time()
     path = make_zarr_survey(root, year=2017, n_echograms=1, H=N_RANGE,
                             W=N_PINGS, seed=9, n_schools=200)
+    ok.touch()
     print(f"fixture built in {time.time() - t:.0f}s -> {path}",
           flush=True)
     return path

@@ -1,22 +1,31 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Must set the env vars before jax is imported anywhere in the test process.
+
+Set ``CRIMAC_TEST_TPU=1`` to run on the real TPU instead (numeric
+hardware validation; mesh-dependent tests that need 8 devices will skip
+or fail on a single chip — select numeric suites explicitly, e.g.
+``CRIMAC_TEST_TPU=1 pytest tests/test_ops.py tests/test_model.py``).
+Only ONE process may use the TPU at a time.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force off the real TPU for tests
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU = os.environ.get("CRIMAC_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force off the real TPU
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-# The installed axon TPU plugin ignores the JAX_PLATFORMS env var; the
-# config API does take effect.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # The installed axon TPU plugin ignores the JAX_PLATFORMS env var;
+    # the config API does take effect.
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

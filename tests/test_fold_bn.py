@@ -30,8 +30,13 @@ def test_folded_forward_matches_eval_forward(rng):
     assert n_fold < n_orig
 
     x = jax.random.lognormal(jax.random.PRNGKey(2), 2.0, (2, 32, 32, 4))
-    want = model.apply(variables, x, train=False)
-    got = model_nobn.apply(folded, x, train=False)
+    # pin true-f32 convs: on TPU the DEFAULT matmul precision computes
+    # f32 convs through bf16 passes, and the two mathematically-equal
+    # programs then differ at ~1e-2 — conv precision, not folding
+    # (observed on a real v5e under CRIMAC_TEST_TPU=1)
+    with jax.default_matmul_precision("highest"):
+        want = model.apply(variables, x, train=False)
+        got = model_nobn.apply(folded, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
 

@@ -145,10 +145,14 @@ def test_forward_parity_with_torch():
 
     variables = torch_state_dict_to_flax(net.state_dict())
     model = UNet(n_classes=3, depth=depth, start_filts=start)
-    got = model.apply(
-        {"params": variables["params"],
-         "batch_stats": variables["batch_stats"]},
-        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    # pin true-f32 convs: torch runs f32 on CPU, while TPU DEFAULT
+    # precision computes f32 convs through bf16 passes (~1e-2 apart on
+    # a real v5e under CRIMAC_TEST_TPU=1) — precision, not the import
+    with jax.default_matmul_precision("highest"):
+        got = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     got = np.asarray(got).transpose(0, 3, 1, 2)
 
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -109,7 +109,9 @@ def run_ours(sv_path):
     # the pipeline's capability, with every pass in extras for honesty
     passes, summaries, reports = [], [], []
     try:
-        n_passes = max(1, int(os.environ.get("BENCH_PASSES", "2")))
+        # warm passes are cheap (~2-5 s each) next to the compile; three
+        # hedge the tunnel's 2-3x run-to-run transfer variance better
+        n_passes = max(1, int(os.environ.get("BENCH_PASSES", "3")))
     except ValueError:
         n_passes = 2
     for i in range(n_passes):

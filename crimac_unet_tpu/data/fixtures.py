@@ -20,7 +20,6 @@ import os
 import pickle
 
 import numpy as np
-from scipy import ndimage
 
 from ..constants import DEFAULT_FREQUENCIES
 
@@ -33,7 +32,8 @@ def _save_pickle(folder, name, obj):
 def make_synthetic_echogram(H, W, rng, frequencies=DEFAULT_FREQUENCIES,
                             n_schools=3, unused_species=False,
                             seabed_frac=0.8):
-    """Generate (data (H,W,C) float32, labels (H,W) int16, heave (W,)) arrays."""
+    """Generate ``(data (H,W,C) float32, labels (H,W) int16, heave (W,),
+    seabed (W,))`` arrays."""
     C = len(frequencies)
     data = rng.lognormal(mean=np.log(1e-8), sigma=0.5,
                          size=(H, W, C)).astype(np.float32)
@@ -57,9 +57,16 @@ def make_synthetic_echogram(H, W, rng, frequencies=DEFAULT_FREQUENCIES,
     yy, xx = np.mgrid[0:H, 0:W]
     cats = [27, 1] + ([6] if unused_species else [])
     # always include two near-seabed schools (sandeel + other) so the
-    # SchoolSeabed samplers have candidates
+    # SchoolSeabed samplers have candidates — categories pinned, NOT
+    # drawn from the k%len(cats) cycle, which for some n_schools left
+    # the seabed pair without a sandeel or without an 'other'
     for k in range(n_schools + 2):
-        cat = cats[k % len(cats)]
+        if k == n_schools:
+            cat = 27
+        elif k == n_schools + 1:
+            cat = 1
+        else:
+            cat = cats[k % len(cats)]
         ry = max(2, rng.randint(H // 30, max(H // 10, H // 30 + 1)))
         rx = max(3, rng.randint(W // 25, max(W // 8, W // 25 + 1)))
         if k >= n_schools:
@@ -80,33 +87,26 @@ def make_synthetic_echogram(H, W, rng, frequencies=DEFAULT_FREQUENCIES,
     return data, labels, heave, seabed
 
 
-def _objects_from_labels(labels: np.ndarray):
-    """Connected components -> reference 'objects' dicts
-    (reference data_preprocessing/generate_memmap_files.py:115-156)."""
-    objects = []
-    for cat in np.unique(labels):
-        if cat <= 0:
-            continue
-        comp, n = ndimage.label(labels == cat)
-        for i in range(1, n + 1):
-            idx = np.argwhere(comp == i)
-            y0, x0 = idx.min(axis=0)
-            y1, x1 = idx.max(axis=0)
-            objects.append({
-                "fish_type_index": int(cat),
-                "indexes": idx.astype(np.int64),
-                "n_pixels": int(idx.shape[0]),
-                "bounding_box": np.array([y0, y1, x0, x1], dtype=int),
-                "area": int(idx.shape[0]),
-                "labeled_as_segmentation": True,
-            })
-    return objects
+# fixtures build objects through the PRODUCTION converter so tests see
+# exactly the fields (incl. labeled_as_segmentation semantics) that the
+# real .mat onboarding produces — a hand-rolled copy here previously
+# diverged (labeled_as_segmentation hardcoded, bbox-vs-pixel area)
+from .mat_to_memmap import objects_from_label_image as _objects_from_labels
 
 
 def write_memmap_echogram(path, name, data, labels, heave,
                           frequencies=DEFAULT_FREQUENCIES,
                           range_step=0.18):
-    """Write one memmap echogram dir with the reference on-disk contract."""
+    """Write one memmap echogram dir with the reference on-disk contract.
+
+    ``name`` must follow the reference naming convention
+    ``<survey>-D<yyyymmdd>-T<hhmmss>`` (e.g. ``2017843-D20170427-T062615``):
+    the date+time tokens seed the ping time vector, and the year lives at
+    chars 9:13 (reference data_reader.py:73)."""
+    if "-D" not in name or "-T" not in name:
+        raise ValueError(
+            f"echogram name {name!r} must follow the reference "
+            f"'<survey>-D<yyyymmdd>-T<hhmmss>' convention")
     H, W, C = data.shape
     folder = os.path.join(str(path), name)
     os.makedirs(folder, exist_ok=True)

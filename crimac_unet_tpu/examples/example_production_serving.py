@@ -74,9 +74,7 @@ def main():
         # optional: ship the trained weights back to the reference stack
         # (requires unfolded batch_stats, i.e. a training checkpoint):
         from ..models.torch_import import save_torch_checkpoint
-        save_torch_checkpoint(
-            jax.tree_util.tree_map(lambda x: x, variables),
-            f"{tmp}/export_for_reference.pt")
+        save_torch_checkpoint(variables, f"{tmp}/export_for_reference.pt")
         print("exported reference-loadable state dict: "
               "export_for_reference.pt")
 

@@ -28,12 +28,13 @@ def _object_bboxes(reader):
     draws these as echogram overlays)."""
     out = []
     try:
-        for obj in reader.objects:
-            bb = obj["bounding_box"]
-            out.append((int(obj.get("fish_type_index", 0)), int(bb[0]),
-                        int(bb[1]), int(bb[2]), int(bb[3])))
-    except Exception:
-        pass
+        objects = reader.objects  # both flavors expose reference dicts
+    except (AttributeError, FileNotFoundError):
+        return out  # reader has no object source — draw nothing
+    for obj in objects:
+        bb = obj["bounding_box"]
+        out.append((int(obj.get("fish_type_index", 0)), int(bb[0]),
+                    int(bb[1]), int(bb[2]), int(bb[3])))
     return out
 
 
@@ -87,6 +88,16 @@ def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
         preds = np.asarray(predictions)
         if preds.ndim == 2:
             preds = preds[None]
+        # accept a full-echogram map OR an already-windowed one; a
+        # mismatched array would silently misregister against the sliced
+        # data panels under sharex
+        if preds.shape[1:] == (H, W):
+            preds = preds[:, range_idx:range_idx + n_range,
+                          ping_idx:ping_idx + n_pings]
+        elif preds.shape[1:] != (n_range, n_pings):
+            raise ValueError(
+                f"predictions shape {preds.shape[1:]} matches neither the "
+                f"echogram {(H, W)} nor the window {(n_range, n_pings)}")
         n_panels += preds.shape[0]
 
     fig, axes = plt.subplots(n_panels, 1,
@@ -195,6 +206,17 @@ def visualize_predictions_vs_labels(reader, pred_store, threshold=0.5,
     axes[0].imshow(db(np.nan_to_num(data, nan=0.0)), aspect="auto",
                    cmap="viridis", vmin=-75, vmax=0)
     axes[0].set_ylabel(f"{f0} kHz", fontsize=8)
+    from matplotlib.patches import Rectangle
+    for cat, y0, y1, x0, x1 in _object_bboxes(reader):
+        rx0, rx1 = x0 - ping_idx, x1 - ping_idx
+        if rx1 < 0 or rx0 >= n_pings or y1 < 0 or y0 >= n_range:
+            continue
+        axes[0].add_patch(Rectangle(
+            (max(rx0, 0) - 0.5, max(y0, 0) - 0.5),
+            min(rx1, n_pings - 1) - max(rx0, 0) + 1,
+            min(y1, n_range - 1) - max(y0, 0) + 1,
+            fill=False, edgecolor="lime" if cat == 27 else "white",
+            linewidth=0.8))
     shown = np.zeros_like(labels, dtype=float)
     shown[labels == 27] = 2.0
     shown[labels == 1] = 1.0

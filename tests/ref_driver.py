@@ -39,12 +39,15 @@ REFERENCE = "/root/reference/crimac_unet"
 
 
 def install_stubs():
-    """Stub modules the reference imports at module scope but never calls
-    on the memmap paths (zarr-only dependencies, absent here).  Each stub
-    carries a real ModuleSpec: torch._dynamo's trace-rule setup runs
-    importlib.util.find_spec over loaded modules and raises on
-    __spec__ = None."""
+    """Stub modules the reference imports at module scope (zarr-stack
+    dependencies, absent here).  ``xarray`` gets a FUNCTIONAL eager stub
+    (tests/xrlite.py, backed by zarrlite) so the reference's zarr reader
+    and writer code paths execute for real; dask/numcodecs get the thin
+    shims those paths touch.  Each stub carries a real ModuleSpec:
+    torch._dynamo's trace-rule setup runs importlib.util.find_spec over
+    loaded modules and raises on __spec__ = None."""
     import importlib.machinery
+    import importlib.util
 
     def stub(name):
         mod = types.ModuleType(name)
@@ -55,15 +58,27 @@ def install_stubs():
     dask = stub("dask")
     dask.config = types.SimpleNamespace(set=lambda *a, **k: None)
 
-    stub("xarray")
+    # functional xarray subset — load tests/xrlite.py under its own name
+    # BEFORE the reference package dir shadows top-level module names
+    xrl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "xrlite.py")
+    spec = importlib.util.spec_from_file_location("xrlite", xrl_path)
+    xrlite = importlib.util.module_from_spec(spec)
+    sys.modules["xrlite"] = xrlite
+    spec.loader.exec_module(xrlite)
+    sys.modules["xarray"] = xrlite
+    xrlite.__spec__ = importlib.machinery.ModuleSpec("xarray", loader=None)
 
     numcodecs = stub("numcodecs")
 
-    class Blosc:  # save_predict.py:20 — referenced only on the zarr path
+    class Blosc:  # save_predict.py:20,128 — params consumed by
+        # xrlite.to_zarr's encoding translation
         BITSHUFFLE = 2
 
-        def __init__(self, *a, **k):
-            pass
+        def __init__(self, cname="lz4", clevel=5, shuffle=1, **k):
+            self.cname = cname
+            self.clevel = clevel
+            self.shuffle = shuffle
 
     numcodecs.Blosc = Blosc
 
@@ -73,6 +88,15 @@ def install_stubs():
     import collections.abc
     if not hasattr(collections, "Iterable"):
         collections.Iterable = collections.abc.Iterable
+
+    # the reference targets numpy <1.24 (data_reader.py:532 astype(np.int))
+    import numpy as np
+    if not hasattr(np, "int"):
+        np.int = int
+    if not hasattr(np, "float"):
+        np.float = float
+    if not hasattr(np, "bool"):
+        np.bool = bool
 
 
 def build_ref_tree(work_dir, echograms_path):
@@ -153,15 +177,16 @@ def main(cfg):
     segpipe.model = make_model(depth, sf, cfg["ckpt"])
     segpipe.load_model_params(checkpoint_path=cfg["ckpt"])
 
-    partition = DataMemm(
-        frequencies=common["frequencies"], patch_size=patch,
-        partition_train="selected surveys", train_surveys=[],
-        validation_surveys=[], partition_predict="selected surveys",
-        evaluation_surveys=cfg["surveys"], eval_mode="all",
-        save_prediction_surveys=cfg["surveys"], patch_overlap=overlap)
-    surveys = partition.get_evaluation_surveys()
-    json.dump([int(s) for s in surveys],
-              open(os.path.join(out, "surveys.json"), "w"))
+    if cfg.get("eval_modes") or cfg.get("do_predict"):
+        partition = DataMemm(
+            frequencies=common["frequencies"], patch_size=patch,
+            partition_train="selected surveys", train_surveys=[],
+            validation_surveys=[], partition_predict="selected surveys",
+            evaluation_surveys=cfg["surveys"], eval_mode="all",
+            save_prediction_surveys=cfg["surveys"], patch_overlap=overlap)
+        surveys = partition.get_evaluation_surveys()
+        json.dump([int(s) for s in surveys],
+                  open(os.path.join(out, "surveys.json"), "w"))
 
     for mode in cfg.get("eval_modes", []):
         data_transform = define_data_transform_test(False)
@@ -288,6 +313,117 @@ def main(cfg):
             logits = model(torch.from_numpy(x)).numpy()
         np.save(ec["batch"], x)
         np.save(ec["batch"].replace(".npy", "_logits.npy"), logits)
+
+    z = cfg.get("zarr")
+    if z:
+        # ---- the reference's REAL zarr pipeline, running on xrlite ----
+        # (data_reader.py:510-893 DataReaderZarr, dataset.py:358-407
+        # get_crop_zarr, save_predict.py:87-219 zarr writer)
+        import pipeline_train_predict.save_predict as sp
+        from data.data_reader import DataReaderZarr
+
+        reader = DataReaderZarr(z["sv_path"])
+        zout = z["out_dir"]
+        os.makedirs(zout, exist_ok=True)
+
+        json.dump(
+            {"name": reader.name, "year": int(reader.year),
+             "shape": [int(s) for s in reader.shape],
+             "fish_categories": [int(c) for c in reader.fish_categories],
+             "frequencies": [int(f) for f in
+                             np.asarray(reader.frequencies.values)]},
+            open(os.path.join(zout, "reader_meta.json"), "w"))
+        np.save(os.path.join(zout, "valid_pings.npy"),
+                reader.get_valid_pings())
+        for i, (p0, npi, r0, nr) in enumerate(z.get("probes", [])):
+            np.save(os.path.join(zout, f"data_slice_{i}.npy"),
+                    reader.get_data_slice(
+                        int(p0), int(npi), idx_range=int(r0),
+                        n_range=int(nr),
+                        frequencies=common["frequencies"]))
+            np.save(os.path.join(zout, f"label_slice_{i}.npy"),
+                    reader.get_label_slice(int(p0), int(npi),
+                                           idx_range=int(r0),
+                                           n_range=int(nr)))
+        np.save(os.path.join(zout, "seabed_mask.npy"),
+                reader.get_seabed_mask(3, min(120, reader.shape[0] - 3),
+                                       0, None, return_numpy=True))
+        np.save(os.path.join(zout, "seabed.npy"),
+                reader.get_seabed(0, reader.shape[0]))
+        reader.get_fish_schools().to_csv(
+            os.path.join(zout, "fish_schools.csv"))
+
+        if z.get("eval_all"):
+            # validate_model_survey_zarr's computation (evaluate.py:39-79)
+            data_transform = define_data_transform_test(False)
+            label_transform = define_label_transform_test(
+                frequencies=common["frequencies"], label_masks="all",
+                patch_overlap=overlap)
+            dataset = DatasetGriddedReader(
+                reader, patch, common["frequencies"], meta_channels={},
+                grid_start=None, grid_end=None, data_preload=False,
+                patch_overlap=overlap, augmentation_function=None,
+                label_transform_function=label_transform,
+                data_transform_function=data_transform, grid_mode="all")
+            loader = DataLoader(dataset,
+                                batch_size=common["batch_size"],
+                                shuffle=False, num_workers=0)
+            labels, preds, _ = segpipe.get_predictions_dataloader(
+                loader, disable_tqdm=True)
+            preds[labels == LABEL_SEABED_MASK_VAL] = 0
+            labels, preds = segpipe.select_valid_predictions(labels, preds)
+            np.save(os.path.join(zout, "zarr_eval_all_labels.npy"), labels)
+            np.save(os.path.join(zout, "zarr_eval_all_preds.npy"), preds)
+
+        # region/trace eval over zarr is BROKEN in the reference:
+        # extend_label_masks calls echogram.get_object_bounding_boxes()
+        # (extend_label_masks.py:66), defined only on the memmap Echogram
+        # (data_reader.py:404) — record the crash for DIVERGENCES.md
+        try:
+            label_transform = define_label_transform_test(
+                frequencies=common["frequencies"], label_masks="region",
+                patch_overlap=overlap)
+            dataset = DatasetGriddedReader(
+                reader, patch, common["frequencies"], meta_channels={},
+                grid_start=None, grid_end=None, data_preload=False,
+                patch_overlap=overlap, augmentation_function=None,
+                label_transform_function=label_transform,
+                data_transform_function=define_data_transform_test(False),
+                grid_mode="all")
+            dataset[0]
+            crash = {"crashed": False}
+        except Exception as e:  # noqa: BLE001 — the crash IS the datum
+            crash = {"crashed": True, "type": type(e).__name__,
+                     "message": str(e)[:200]}
+        json.dump(crash,
+                  open(os.path.join(zout, "zarr_region_crash.json"), "w"))
+
+        pz = z.get("predict")
+        if pz:
+            kw = dict(segpipe=segpipe, meta_channels={},
+                      patch_size=patch, patch_overlap=overlap,
+                      batch_size=common["batch_size"], num_workers=0,
+                      preload_n_pings=int(pz["preload_n_pings"]))
+            # full run: the production write path (mode='w' then
+            # append_dim='ping_time' per split, Blosc zstd-3 BITSHUFFLE)
+            sp.save_survey_predictions_zarr(
+                reader, target_dname=pz["full_store"],
+                resume_writing=False, **kw)
+            # interrupted-then-resumed run: first split only (simulating
+            # a stop between splits), then resume_writing=True restarts
+            # from the store's ping count (initialize_zarr_directory,
+            # save_predict.py:107-121)
+            real_split = sp.get_data_split
+            sp.get_data_split = lambda r, n: real_split(r, n)[:1]
+            try:
+                sp.save_survey_predictions_zarr(
+                    reader, target_dname=pz["resumed_store"],
+                    resume_writing=False, **kw)
+            finally:
+                sp.get_data_split = real_split
+            sp.save_survey_predictions_zarr(
+                reader, target_dname=pz["resumed_store"],
+                resume_writing=True, **kw)
 
     print("REF_DRIVER_OK")
 

@@ -47,13 +47,20 @@ def matlab_time_to_datetime64(time_vector) -> np.ndarray:
     memmap_reader._matlab_time_to_datetime)."""
     t = np.asarray(time_vector, dtype=np.float64)
     # split whole days (exact int64 arithmetic) from the day fraction
-    # (< 1, so float64 keeps sub-ns precision) — multiplying the full
+    # (< 1, so float64 keeps sub-us precision) — multiplying the full
     # ordinal by ns/day would lose ~us of precision
     days_int = np.floor(t).astype(np.int64)
     frac = t - days_int
+    # quantize the fraction to MICROSECONDS with round-half-even — the
+    # exact law of the reference's timedelta(days=frac) arithmetic
+    # (memmap_to_zarr.py:29-31; datetime.timedelta rounds fractional
+    # microseconds half-to-even), verified bit-equal in
+    # tests/test_reference_parity_preprocess.py.  A 2017 MATLAB ordinal
+    # resolves to ~14 us in float64, so sub-us digits are representation
+    # noise anyway.
+    us = np.round(frac * 86_400_000_000.0).astype(np.int64)
     # ordinal 719163 == 1970-01-01; MATLAB ordinals carry a +366-day shift
-    ns = ((days_int - 719163 - 366) * 86_400_000_000_000
-          + np.round(frac * 86_400_000_000_000.0).astype(np.int64))
+    ns = ((days_int - 719163 - 366) * 86_400_000_000 + us) * 1000
     return ns.astype("<M8[ns]")
 
 

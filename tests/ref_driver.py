@@ -314,6 +314,31 @@ def main(cfg):
         np.save(ec["batch"], x)
         np.save(ec["batch"].replace(".npy", "_logits.npy"), logits)
 
+    cg = cfg.get("cache_gen")
+    if cg:
+        # the reference's OWN lazy cache generation: labels_heave.dat via
+        # write_label_file_without_heave_correction_one_echogram
+        # (generate_heave_compensation_files.py:31-63, triggered from
+        # Echogram.label_memmap, data_reader.py:386-391) and seabed.npy
+        # via the gradient-filter estimator (data_reader.py:433-507) —
+        # run on pristine echogram dirs so the files compared in
+        # test_reference_parity_preprocess.py are reference-generated
+        from data.data_reader import Echogram
+
+        for d in cg["echogram_dirs"]:
+            ech = Echogram(d)
+            ech.label_memmap(heave=True)
+            ech.get_seabed(0, n_pings=ech.shape[1])
+
+    mz = cfg.get("mat2zarr")
+    if mz:
+        # the reference's memmap -> zarr survey converter
+        # (data_preprocessing/memmap_to_zarr.py:127-171), writing through
+        # xrlite's to_zarr
+        from data_preprocessing.memmap_to_zarr import write_zarr_files
+
+        write_zarr_files(mz["out_dir"], int(mz["year"]))
+
     z = cfg.get("zarr")
     if z:
         # ---- the reference's REAL zarr pipeline, running on xrlite ----

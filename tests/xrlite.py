@@ -315,15 +315,26 @@ class Dataset:
         object.__setattr__(self, "attrs", dict(attrs or {}))
         object.__setattr__(self, "_chunk_spec", None)
         for name, da in dict(data_vars or {}).items():
-            if not isinstance(da, DataArray):
-                raise TypeError(f"data var {name!r} must be a DataArray")
+            da = self._coerce(name, da)
             self._vars[name] = da
             for cname, cvals in da.coords.items():
                 self._coords[cname] = DataArray(cvals, dims=(cname,),
                                                 name=cname)
         for name, cv in dict(coords or {}).items():
-            self._coords[name] = DataArray(_as_values(cv), dims=(name,),
-                                           name=name)
+            # xarray accepts (dims, values) tuples and plain vectors;
+            # non-dim coords (e.g. raw_file over ping_time) keep their
+            # own dims
+            self._coords[name] = self._coerce(name, cv)
+
+    @staticmethod
+    def _coerce(name, v):
+        if isinstance(v, DataArray):
+            return v
+        if isinstance(v, tuple) and len(v) == 2 and \
+                isinstance(v[0], (list, tuple)):
+            dims, vals = v
+            return DataArray(_as_values(vals), dims=tuple(dims), name=name)
+        return DataArray(_as_values(v), dims=(name,), name=name)
 
     # -- access ------------------------------------------------------------
     def __getattr__(self, name):
@@ -413,9 +424,10 @@ class Dataset:
             for name, da in self._vars.items():
                 axis = da.dims.index(append_dim)
                 group[name].append(da.values, axis=axis)
-            if append_dim in self._coords:
-                group[append_dim].append(self._coords[append_dim].values,
-                                         axis=0)
+            for name, cda in self._coords.items():
+                if append_dim in cda.dims:
+                    group[name].append(cda.values,
+                                       axis=cda.dims.index(append_dim))
             return
         if mode != "w":
             raise NotImplementedError("xrlite.to_zarr supports mode='w' "
@@ -436,9 +448,9 @@ class Dataset:
         for name, cda in self._coords.items():
             arr = group.create_array(
                 name, cda.values.shape, cda.values.shape,
-                cda.values.dtype, fill_value=None, dims=[name],
+                cda.values.dtype, fill_value=None, dims=list(cda.dims),
                 compressor=None)
-            arr[:] = cda.values
+            arr[(slice(None),) * cda.values.ndim] = cda.values
 
 
 def _translate_compressor(comp):

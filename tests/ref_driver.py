@@ -1,12 +1,24 @@
 """Run the ACTUAL reference pipeline (/root/reference/crimac_unet — torch,
-pure Python) on this repo's synthetic memmap fixtures, as a subprocess.
+pure Python) on this repo's synthetic fixtures, as a subprocess.
 
 This is the round-3 parity harness (VERDICT r2 #1): instead of comparing
 our pipeline against builder-written numpy oracles, run the reference's
-own DatasetGriddedReader + label transforms + SegPipeUNet forward +
-metric selection (pipeline_train_predict/pipeline.py:205-379,
-evaluate.py:83-119, save_predict.py:222-266) and diff its outputs against
-ours bit-for-bit in tests/test_reference_parity.py.
+own code and diff its outputs against ours:
+
+  * memmap path — DatasetGriddedReader + label transforms + SegPipeUNet
+    forward + metric selection (pipeline_train_predict/pipeline.py:205-379,
+    evaluate.py:83-119, save_predict.py:222-266)
+    -> tests/test_reference_parity.py
+  * zarr path — DataReaderZarr + get_crop_zarr + the zarr save_predict
+    writer and resume (data_reader.py:510-893, batch/dataset.py:358-407,
+    save_predict.py:87-219), executing on tests/xrlite.py (a functional
+    eager xarray subset backed by our zarrlite, installed as `xarray`)
+    -> tests/test_reference_parity_zarr.py
+  * offline preprocessing — the lazy labels_heave.dat / seabed.npy
+    generators and the memmap->zarr survey converter
+    (generate_heave_compensation_files.py:31-63, data_reader.py:433-507,
+    data_preprocessing/memmap_to_zarr.py:127-171)
+    -> tests/test_reference_parity_preprocess.py
 
 Usage: python ref_driver.py <config.json>
 
@@ -22,12 +34,17 @@ Config keys:
                    "batch": path} — build a second UNet_Baseline at the
                    real architecture, save its state_dict + the torch
                    logits for a seeded input batch
+  cache_gen        optional {"echogram_dirs": [...]} — reference-side
+                   lazy cache generation on pristine echogram dirs
+  mat2zarr         optional {"out_dir": ..., "year": Y} — the reference's
+                   memmap->zarr converter
+  zarr             optional dict driving the reference zarr pipeline
+                   (see test_reference_parity_zarr.py)
 
 No reference code is imported into the test process itself (top-level
 module names like `data`/`utils` would collide); everything runs here,
-isolated, with minimal stubs for the reference's unused-at-runtime heavy
-deps (xarray/dask/numcodecs are not installed in this environment; the
-memmap code paths never call into them).
+isolated.  dask/numcodecs get thin shims; `xarray` gets the FUNCTIONAL
+xrlite stub so the reference's zarr code paths execute for real.
 """
 
 import json
@@ -163,9 +180,6 @@ def main(cfg):
         model.eval()
         return model
 
-    # --- the pipeline model (small arch for CPU speed) ------------------
-    make_model(depth, sf, cfg["ckpt"], seed=7)
-
     common = dict(
         data_mode="memm", frequencies=[18, 38, 120, 200],
         patch_size=patch, loss_type="CE", lr=0.01, lr_reduction=0.5,
@@ -173,9 +187,16 @@ def main(cfg):
         num_workers=0, iterations=1, test_iter=1, log_step=1,
         save_model_params=False, meta_channels={}, late_meta_inject=False,
         eval_mode="all", experiment_name="parity")
-    segpipe = SegPipeUNet(checkpoint_dir=None, **common)
-    segpipe.model = make_model(depth, sf, cfg["ckpt"])
-    segpipe.load_model_params(checkpoint_path=cfg["ckpt"])
+
+    # the pipeline model (small arch for CPU speed) — only built for the
+    # stages that predict; preprocess-only configs (cache_gen/mat2zarr)
+    # skip the UNet builds and the checkpoint write
+    segpipe = None
+    if cfg.get("eval_modes") or cfg.get("do_predict") or cfg.get("zarr"):
+        make_model(depth, sf, cfg["ckpt"], seed=7)
+        segpipe = SegPipeUNet(checkpoint_dir=None, **common)
+        segpipe.model = make_model(depth, sf, cfg["ckpt"])
+        segpipe.load_model_params(checkpoint_path=cfg["ckpt"])
 
     if cfg.get("eval_modes") or cfg.get("do_predict"):
         partition = DataMemm(
@@ -370,9 +391,10 @@ def main(cfg):
                     reader.get_label_slice(int(p0), int(npi),
                                            idx_range=int(r0),
                                            n_range=int(nr)))
+        sb_p0, sb_n = z.get("seabed_probe", [3, 120])
         np.save(os.path.join(zout, "seabed_mask.npy"),
-                reader.get_seabed_mask(3, min(120, reader.shape[0] - 3),
-                                       0, None, return_numpy=True))
+                reader.get_seabed_mask(int(sb_p0), int(sb_n), 0, None,
+                                       return_numpy=True))
         np.save(os.path.join(zout, "seabed.npy"),
                 reader.get_seabed(0, reader.shape[0]))
         reader.get_fish_schools().to_csv(

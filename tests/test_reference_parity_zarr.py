@@ -50,6 +50,7 @@ REPO = Path(__file__).resolve().parent.parent
 DEPTH, START_FILTS = 2, 8
 PATCH, OVERLAP = [64, 64], 8
 PROBES = [[0, 50, 0, 40], [37, 64, 11, 70], [180, 40, 0, 100]]
+SEABED_PROBE = [3, 120]   # (idx_ping, n_pings) — shared with the driver
 PRELOAD = 120
 
 
@@ -100,6 +101,7 @@ def refzarr(tmp_path_factory):
             "sv_path": str(rv_gridded / "S2017843_sv.zarr"),
             "out_dir": str(out),
             "probes": PROBES,
+            "seabed_probe": SEABED_PROBE,
             "eval_all": True,
             "predict": {
                 "preload_n_pings": PRELOAD,
@@ -159,8 +161,8 @@ def test_zarr_reader_parity(refzarr):
 
     np.testing.assert_array_equal(
         np.load(out / "seabed_mask.npy"),
-        np.asarray(reader.get_seabed_mask(3, 120, 0, None,
-                                          return_numpy=True)))
+        np.asarray(reader.get_seabed_mask(SEABED_PROBE[0], SEABED_PROBE[1],
+                                          0, None, return_numpy=True)))
     np.testing.assert_array_equal(
         np.load(out / "seabed.npy"),
         np.asarray(reader.get_seabed(0, reader.shape[0])))

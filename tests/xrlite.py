@@ -2,13 +2,15 @@
 
 Purpose: the reference's zarr pipeline (data/data_reader.py:510-1146
 ``DataReaderZarr``, batch/dataset.py:358-407 ``get_crop_zarr``,
-pipeline_train_predict/save_predict.py:87-219 zarr writer) imports
-``xarray`` at module scope and drives it through a small, well-defined API
-subset.  Real xarray/zarr/dask are not installed in this environment, so
+pipeline_train_predict/save_predict.py:87-219 zarr writer,
+data_preprocessing/memmap_to_zarr.py:34-171 converter) imports ``xarray``
+at module scope and drives it through a small, well-defined API subset.
+Real xarray/zarr/dask are not installed in this environment, so
 ref_driver.py installs THIS module as ``sys.modules["xarray"]`` in the
 reference subprocess; that lets the reference's own zarr code execute
 unmodified against this repo's zarrlite-format fixture stores, and
-tests/test_reference_parity.py diff its outputs against ours bit-for-bit.
+tests/test_reference_parity_zarr.py + test_reference_parity_preprocess.py
+diff its outputs against ours bit-for-bit.
 
 This is harness infrastructure, not part of the framework: it implements
 exactly the xarray semantics the reference touches (attribute access to

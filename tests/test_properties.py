@@ -147,3 +147,25 @@ def test_crop_bounds_matches_reference_getgrid_offsets():
         ul, lr = crop_bounds(np.array([100, 50]), np.array([N, N]))
         assert ul[0] == 100 + offsets[0], N
         assert lr[0] == 100 + offsets[-1] + 1, N
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(695000, 745000),                 # ordinals ~1903-2040
+       st.floats(0.0, 1.0, exclude_max=True),
+       st.sampled_from([0.0, 0.5e-6 / 86400.0]))   # half-us tie nudges
+def test_matlab_time_matches_reference_timedelta_law(day, frac, nudge):
+    """matlab_time_to_datetime64 must reproduce the reference's
+    per-scalar datetime.fromordinal + timedelta(days=frac) arithmetic
+    (memmap_to_zarr.py:29-31) BIT-exactly — including timedelta's
+    round-half-even microsecond quantization, probed here with exact
+    half-microsecond ties."""
+    from datetime import datetime, timedelta
+
+    from crimac_unet_tpu.data.preprocess import matlab_time_to_datetime64
+
+    t = float(day) + min(frac + nudge, np.nextafter(1.0, 0.0))
+    want = np.datetime64(
+        datetime.fromordinal(int(t)) + timedelta(days=t % 1)
+        - timedelta(days=366)).astype("datetime64[ns]")
+    got = matlab_time_to_datetime64([t])[0]
+    assert got == want, (t, got, want)

@@ -22,7 +22,7 @@ from pathlib import Path
 import numpy as np
 
 from ..constants import DATA_BOUNDARY_VAL, LABEL_BOUNDARY_VAL
-from .zarrlite import ZGroup
+from .zarrlite import ZGroup, decode_cf_time
 
 
 # streaming-read budget for the seabed scan (elements per read ~= 64 MB of
@@ -49,7 +49,12 @@ class DataReaderZarr:
         self.sv = self.ds["sv"]
         self.frequencies = self.ds["frequency"][:].astype(np.int64)
         self.range_vector = self.ds["range"][:]
-        self.time_vector = self.ds["ping_time"][:]
+        # production stores are written by real xarray, which CF-encodes
+        # time coordinates (int64/float64 + units attr) and strings
+        # (vlen-utf8); stores written by this repo carry raw <M8[ns] and
+        # |S64 — decode_cf_time handles both
+        pt = self.ds["ping_time"]
+        self.time_vector = decode_cf_time(pt[:], pt.attrs)
         self.heave = (self.ds["heave"][:] if "heave" in self.ds else None)
         self.raw_file = (self.ds["raw_file"][:] if "raw_file" in self.ds
                          else None)

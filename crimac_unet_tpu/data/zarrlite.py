@@ -116,6 +116,76 @@ class _Codec:
         raise ValueError(f"Unsupported compressor: {compressor}")
 
 
+def _decode_vlen_utf8(buf: bytes, shape) -> np.ndarray:
+    """Decode a numcodecs VLenUTF8 frame: uint32-LE item count, then per
+    item uint32-LE byte length + utf-8 payload (the format real
+    xarray/zarr uses for string coordinates such as ``raw_file``)."""
+    n_expected = int(np.prod(shape)) if len(shape) else 1
+    if len(buf) < 4:
+        raise ValueError("vlen-utf8 frame shorter than its header")
+    n = int.from_bytes(buf[:4], "little")
+    if n != n_expected:
+        raise ValueError(f"vlen-utf8 frame holds {n} items, chunk shape "
+                         f"{tuple(shape)} needs {n_expected}")
+    out = np.empty(n, dtype=object)
+    off = 4
+    for i in range(n):
+        if off + 4 > len(buf):
+            raise ValueError("truncated vlen-utf8 frame (length header)")
+        ln = int.from_bytes(buf[off:off + 4], "little")
+        off += 4
+        if off + ln > len(buf):
+            raise ValueError("truncated vlen-utf8 frame (payload)")
+        out[i] = buf[off:off + ln].decode("utf-8")
+        off += ln
+    return out.reshape(shape)
+
+
+_CF_TIME_NS = {
+    "nanoseconds": 1, "nanosecond": 1,
+    "microseconds": 1_000, "microsecond": 1_000,
+    "milliseconds": 1_000_000, "millisecond": 1_000_000,
+    "seconds": 1_000_000_000, "second": 1_000_000_000,
+    "minutes": 60 * 1_000_000_000, "minute": 60 * 1_000_000_000,
+    "hours": 3_600 * 1_000_000_000, "hour": 3_600 * 1_000_000_000,
+    "days": 86_400 * 1_000_000_000, "day": 86_400 * 1_000_000_000,
+}
+
+
+def decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF-convention time decode: real xarray never writes raw
+    datetime64 — ``to_zarr`` encodes time coordinates as int64/float64
+    offsets with ``units = "<unit> since <timestamp>"`` (and usually
+    ``calendar = "proleptic_gregorian"``).  Returns datetime64[ns]
+    (float NaN -> NaT); passes already-datetime64 arrays and arrays
+    without a CF units attr through unchanged, so stores written by this
+    module (raw ``<M8[ns]``) and by production xarray both decode."""
+    values = np.asarray(values)
+    if np.issubdtype(values.dtype, np.datetime64):
+        return values.astype("datetime64[ns]")
+    units = attrs.get("units")
+    if not isinstance(units, str) or " since " not in units:
+        return values
+    unit, base = units.split(" since ", 1)
+    scale = _CF_TIME_NS.get(unit.strip().lower())
+    if scale is None:
+        raise ValueError(f"unsupported CF time unit in {units!r}")
+    cal = str(attrs.get("calendar", "proleptic_gregorian")).lower()
+    if cal not in ("proleptic_gregorian", "standard", "gregorian"):
+        raise ValueError(f"unsupported CF calendar {cal!r}")
+    # "1970-01-01 00:00:00[.ffffff]" -> ISO "T" form for np.datetime64
+    base = base.strip().replace(" ", "T")
+    base_ns = np.datetime64(base, "ns")
+    if np.issubdtype(values.dtype, np.floating):
+        nat = ~np.isfinite(values)
+        ns = np.round(np.where(nat, 0.0, values) * scale).astype(np.int64)
+        out = base_ns + ns.astype("timedelta64[ns]")
+        out[nat] = np.datetime64("NaT")
+        return out
+    ns = values.astype(np.int64) * scale
+    return base_ns + ns.astype("timedelta64[ns]")
+
+
 def _atomic_write_json(path: Path, obj) -> None:
     tmp = path.with_name(path.name + ".tmp")
     with open(tmp, "w") as f:
@@ -141,8 +211,19 @@ class ZArray:
         # (a stripped guard would decode garbage, not raise)
         if meta.get("order", "C") != "C":
             raise ValueError("only C order supported")
-        if meta.get("filters"):
-            raise ValueError("filters not supported")
+        filters = meta.get("filters") or []
+        # real xarray/zarr writes string coordinates (e.g. raw_file) as
+        # object arrays behind the numcodecs vlen-utf8 filter — accept it
+        # read-only so production CRIMAC survey stores open unmodified
+        self._vlen_utf8 = (len(filters) == 1
+                           and filters[0].get("id") == "vlen-utf8")
+        if filters and not self._vlen_utf8:
+            raise ValueError(f"unsupported filters: {filters}")
+        if self._vlen_utf8 and self.dtype != np.dtype(object):
+            raise ValueError(
+                f"vlen-utf8 filter requires object dtype, got {self.dtype}")
+        if self.dtype == np.dtype(object) and not self._vlen_utf8:
+            raise ValueError("object dtype requires the vlen-utf8 filter")
 
     # ------------------------------------------------------------------ io
     @classmethod
@@ -213,9 +294,13 @@ class ZArray:
         fname = self.path / self._chunk_key(cidx)
         if not fname.is_file():
             fill = self.fill_value if self.fill_value is not None else 0
+            if self._vlen_utf8:
+                fill = "" if fill in (None, 0) else fill
             return np.full(self.chunks, fill, dtype=self.dtype)
         with open(fname, "rb") as f:
             raw = _Codec.decode(f.read(), self.compressor)
+        if self._vlen_utf8:
+            return _decode_vlen_utf8(raw, self.chunks)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
 
     def _read_chunks_batch(self, chunk_idxs) -> np.ndarray:
@@ -226,6 +311,11 @@ class ZArray:
         n = len(chunk_idxs)
         out = np.empty((n,) + self.chunks, dtype=self.dtype)
         fill = self.fill_value if self.fill_value is not None else 0
+        if self._vlen_utf8:
+            # object chunks can't go through the native byte-buffer path
+            for i, cidx in enumerate(chunk_idxs):
+                out[i] = self._read_chunk(cidx)
+            return out
         is_blosc = (self.compressor or {}).get("id") == "blosc"
         frames, rows = [], []
         for i, cidx in enumerate(chunk_idxs):
@@ -245,6 +335,12 @@ class ZArray:
         return out
 
     def _write_chunk(self, cidx, chunk: np.ndarray) -> None:
+        if self._vlen_utf8:
+            # vlen-utf8 support is read-only (we write |S fixed-width):
+            # object.tobytes() would serialize POINTERS, corrupting the
+            # store silently
+            raise NotImplementedError(
+                "writing vlen-utf8 arrays is not supported")
         if chunk.shape != self.chunks:
             raise ValueError(f"chunk shape {chunk.shape} != {self.chunks}")
         buf = _Codec.encode(np.ascontiguousarray(chunk, dtype=self.dtype)
@@ -371,7 +467,8 @@ class ZArray:
                              "(a view of dst)")
 
         native_ok = ((self.compressor or {}).get("id") == "blosc"
-                     and dst.dtype == self.dtype and ndim <= 4)
+                     and dst.dtype == self.dtype and ndim <= 4
+                     and self.dtype != np.dtype(object))
         if native_ok:
             # dst strides in CHUNK axis order: chunk axis d lives at
             # dview axis axes.index(d)

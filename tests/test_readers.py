@@ -442,3 +442,82 @@ def test_gridded_sampler_covers_full_column_without_seabed(tmp_path):
     g = Gridded([r], window_size=[32, 32], patch_overlap=4)
     ys = g.coords_list[:, 1]
     assert ys.max() > 80, "grid collapsed on seabed-free survey"
+
+
+def test_reader_opens_real_xarray_conventions(tmp_path):
+    """Production CRIMAC stores are written by REAL xarray: time
+    coordinates CF-encoded (int64 + units attr, not raw <M8[ns]) and
+    string coordinates behind the vlen-utf8 filter (object dtype, not
+    |S64).  A store rewritten to those conventions must read identically
+    to our native layout."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from crimac_unet_tpu.data.zarrlite import (ZGroup, _atomic_write_json,
+                                               _Codec,
+                                               default_blosc_compressor)
+
+    sv = make_zarr_survey(tmp_path / "native", year=2017, n_echograms=2,
+                          H=80, W=150, seed=3)
+    xr_root = tmp_path / "xarray_conv"
+    shutil.copytree(Path(sv).parent, xr_root)
+    xr_sv = xr_root / Path(sv).name
+
+    native = DataReaderZarr(sv)
+
+    # --- rewrite ping_time as CF int64 "seconds since <first ping>" ----
+    pt = ZGroup.open(xr_sv)["ping_time"][:]
+    base = pt[0].astype("datetime64[s]")
+    # fixture ping times are microsecond-quantized (the reference's
+    # timedelta law), so a microseconds-since encode is lossless
+    secs = ((pt - base.astype("datetime64[ns]"))
+            // np.timedelta64(1, "us")).astype(np.int64)
+    pt_dir = xr_sv / "ping_time"
+    shutil.rmtree(pt_dir)
+    pt_dir.mkdir()
+    comp = default_blosc_compressor()
+    _atomic_write_json(pt_dir / ".zarray", {
+        "zarr_format": 2, "shape": [len(secs)], "chunks": [len(secs)],
+        "dtype": "<i8", "compressor": comp, "fill_value": None,
+        "order": "C", "filters": None})
+    _atomic_write_json(pt_dir / ".zattrs", {
+        "_ARRAY_DIMENSIONS": ["ping_time"],
+        "units": "microseconds since " + str(base).replace("T", " "),
+        "calendar": "proleptic_gregorian"})
+    with open(pt_dir / "0", "wb") as f:
+        f.write(_Codec.encode(secs.tobytes(), comp, typesize=8))
+
+    # --- rewrite raw_file as a vlen-utf8 object array -------------------
+    rf = ZGroup.open(xr_sv)["raw_file"][:]
+    strings = [s.decode() if isinstance(s, bytes) else str(s) for s in rf]
+    rf_dir = xr_sv / "raw_file"
+    shutil.rmtree(rf_dir)
+    rf_dir.mkdir()
+    _atomic_write_json(rf_dir / ".zarray", {
+        "zarr_format": 2, "shape": [len(strings)],
+        "chunks": [len(strings)], "dtype": "|O", "compressor": comp,
+        "fill_value": 0, "order": "C",
+        "filters": [{"id": "vlen-utf8"}]})
+    _atomic_write_json(rf_dir / ".zattrs",
+                       {"_ARRAY_DIMENSIONS": ["ping_time"]})
+    frame = len(strings).to_bytes(4, "little")
+    for s in strings:
+        b = s.encode("utf-8")
+        frame += len(b).to_bytes(4, "little") + b
+    with open(rf_dir / "0", "wb") as f:
+        f.write(_Codec.encode(frame, comp, typesize=1))
+
+    xr_reader = DataReaderZarr(str(xr_sv))
+    np.testing.assert_array_equal(xr_reader.time_vector,
+                                  native.time_vector)
+    assert xr_reader.year == native.year
+    assert xr_reader.time_vector.dtype == np.dtype("<M8[ns]")
+    got_rf = [s.decode() if isinstance(s, bytes) else str(s)
+              for s in xr_reader.raw_file]
+    assert got_rf == strings
+    assert xr_reader.get_ping_index(native.time_vector[37]) == 37
+    # unique raw-file list (reader init derives it from raw_file)
+    assert sorted({str(s) for s in xr_reader.raw_file_included}) == \
+        sorted({s.decode() if isinstance(s, bytes) else str(s)
+                for s in native.raw_file_included})

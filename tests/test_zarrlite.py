@@ -249,3 +249,98 @@ class TestReadInto:
         a.read_into((slice(0, 4), slice(5, 5), slice(0, 30)),
                     dst, np.s_[:, 0:0, :])
         np.testing.assert_array_equal(dst, np.full_like(dst, 5.0))
+
+
+# --------------------------------------------------------- xarray interop
+# Real xarray's to_zarr never writes raw <M8[ns] or |S fixed-width: time
+# coordinates are CF-encoded (int64/float64 + units attr) and string
+# coordinates go through the numcodecs vlen-utf8 filter as object arrays.
+# Production CRIMAC survey stores carry both conventions.
+
+def _write_vlen_utf8_array(path, strings, chunks, compressor):
+    """Hand-craft a zarr v2 vlen-utf8 object array exactly as
+    numcodecs.VLenUTF8 + zarr would lay it out on disk."""
+    import os
+    from pathlib import Path
+
+    from crimac_unet_tpu.data.zarrlite import _Codec, _atomic_write_json
+    os.makedirs(path)
+    n = len(strings)
+    _atomic_write_json(Path(path) / ".zarray", {
+        "zarr_format": 2, "shape": [n], "chunks": [chunks],
+        "dtype": "|O", "compressor": compressor,
+        "fill_value": 0, "order": "C",
+        "filters": [{"id": "vlen-utf8"}]})
+    _atomic_write_json(Path(path) / ".zattrs",
+                       {"_ARRAY_DIMENSIONS": ["ping_time"]})
+    for ci in range((n + chunks - 1) // chunks):
+        items = strings[ci * chunks:(ci + 1) * chunks]
+        items = list(items) + [""] * (chunks - len(items))  # pad chunk
+        frame = len(items).to_bytes(4, "little")
+        for s in items:
+            b = s.encode("utf-8")
+            frame += len(b).to_bytes(4, "little") + b
+        with open(Path(path) / str(ci), "wb") as f:
+            f.write(_Codec.encode(frame, compressor, typesize=1))
+
+
+def test_vlen_utf8_read(tmp_path):
+    from crimac_unet_tpu.data.zarrlite import default_blosc_compressor
+    strings = [f"2019847-D2019051{i}-T{i:06d}.raw" for i in range(7)]
+    path = tmp_path / "raw_file"
+    _write_vlen_utf8_array(str(path), strings, chunks=3,
+                           compressor=default_blosc_compressor())
+    a = ZArray.open(path)
+    got = a[:]
+    assert got.dtype == object
+    assert list(got) == strings
+    # partial + multi-chunk reads
+    assert list(a[2:6]) == strings[2:6]
+    # writes are rejected loudly (object.tobytes would store pointers)
+    with pytest.raises(NotImplementedError):
+        a[0:3] = np.array(["x", "y", "z"], dtype=object)
+    with pytest.raises(NotImplementedError):
+        a.append(np.array(["w"], dtype=object), axis=0)
+
+
+def test_vlen_utf8_rejects_other_filters(tmp_path):
+    from crimac_unet_tpu.data.zarrlite import _atomic_write_json
+    path = tmp_path / "bad"
+    path.mkdir()
+    _atomic_write_json(path / ".zarray", {
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f4",
+        "compressor": None, "fill_value": 0, "order": "C",
+        "filters": [{"id": "delta"}]})
+    with pytest.raises(ValueError, match="unsupported filters"):
+        ZArray.open(path)
+
+
+def test_decode_cf_time():
+    from crimac_unet_tpu.data.zarrlite import decode_cf_time
+
+    # int64 seconds since a spaced timestamp (xarray's usual format)
+    vals = np.array([0, 1, 90, 86400], np.int64)
+    got = decode_cf_time(vals, {"units": "seconds since 2017-04-27 06:26:00",
+                                "calendar": "proleptic_gregorian"})
+    want = (np.datetime64("2017-04-27T06:26:00", "ns")
+            + vals * np.timedelta64(1_000_000_000, "ns"))
+    np.testing.assert_array_equal(got, want)
+
+    # float64 days with NaN -> NaT
+    vals = np.array([0.5, np.nan], np.float64)
+    got = decode_cf_time(vals, {"units": "days since 1970-01-01"})
+    assert got[0] == np.datetime64("1970-01-01T12:00:00", "ns")
+    assert np.isnat(got[1])
+
+    # raw datetime64 and unitless arrays pass through
+    dt = np.array(["2017-04-27T06:26:00"], "datetime64[ns]")
+    np.testing.assert_array_equal(decode_cf_time(dt, {}), dt)
+    plain = np.arange(4.0)
+    np.testing.assert_array_equal(decode_cf_time(plain, {}), plain)
+
+    with pytest.raises(ValueError, match="CF time unit"):
+        decode_cf_time(np.array([1]), {"units": "fortnights since 1970-01-01"})
+    with pytest.raises(ValueError, match="calendar"):
+        decode_cf_time(np.array([1]),
+                       {"units": "seconds since 1970-01-01",
+                        "calendar": "360_day"})

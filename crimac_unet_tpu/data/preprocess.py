@@ -227,6 +227,10 @@ def echograms_to_zarr_survey(echograms, out_dir, survey_name,
         grp.create_array("range", (max_range,), (max_range,), np.float64,
                          fill_value=None, compressor=None,
                          dims=["range"])[:] = range_vector
+    # production stores written by xarray carry consolidated metadata;
+    # match it so real-zarr consumers can open_consolidated our triplets
+    for grp in (sv_group, lab_group, bot_group):
+        grp.consolidate()
 
     import pandas as pd
     # explicit columns: a survey with ZERO school objects must still write

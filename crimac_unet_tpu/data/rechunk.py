@@ -58,4 +58,7 @@ def rechunk_store(src_path, dst_path, chunk_spec=None):
         arr = src[name]
         rechunk_array(arr, os.path.join(str(dst_path), name),
                       _target_chunks(arr, chunk_spec))
+    # the reference consolidates its rechunk outputs
+    # (rechunk_zarr.py:51, utils/rechunk_zarr.py:48)
+    dst.consolidate()
     return dst

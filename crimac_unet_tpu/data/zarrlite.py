@@ -186,6 +186,58 @@ def decode_cf_time(values: np.ndarray, attrs: dict) -> np.ndarray:
     return base_ns + ns.astype("timedelta64[ns]")
 
 
+def _invalidate_consolidated(start: Path) -> None:
+    """Unlink ``.zmetadata`` on ``start`` and every enclosing zarr group:
+    after an array's .zarray changes, a consolidated snapshot anywhere up
+    the group chain no longer matches the authoritative per-array files."""
+    p = Path(start)
+    while (p / ".zgroup").is_file():
+        zm = p / ".zmetadata"
+        if zm.is_file():
+            try:
+                zm.unlink()
+            except FileNotFoundError:  # concurrent writer already dropped it
+                pass
+        if p.parent == p:
+            break
+        p = p.parent
+
+
+def consolidate_metadata(root) -> dict:
+    """Write zarr v2 *consolidated metadata* for the group tree at
+    ``root`` — the ``.zmetadata`` document ``zarr.convenience.
+    consolidate_metadata`` produces (the reference consolidates its
+    rechunk outputs, rechunk_zarr.py:51, and production CRIMAC stores
+    written by xarray ``to_zarr`` carry it): every ``.zgroup`` /
+    ``.zattrs`` / ``.zarray`` under the root gathered into one JSON doc
+
+        {"zarr_consolidated_format": 1,
+         "metadata": {"<relkey>/.zarray": {...}, ...}}
+
+    so readers using ``zarr.open_consolidated`` (xarray's default) open
+    our output stores without per-key directory listings. Atomic write;
+    returns the document. Per-array files stay authoritative for
+    zarrlite itself — any later shape change drops the snapshot (see
+    ``_invalidate_consolidated``) until the writer re-consolidates."""
+    root = Path(root)
+    if not (root / ".zgroup").is_file():
+        raise FileNotFoundError(f"not a zarr group: {root}")
+    meta = {}
+    for name in (".zgroup", ".zattrs"):
+        if (root / name).is_file():
+            with open(root / name) as f:
+                meta[name] = json.load(f)
+    for p in sorted(root.rglob("*")):
+        if p.name not in (".zgroup", ".zattrs", ".zarray") or p == root / p.name:
+            continue
+        rel = p.relative_to(root).as_posix()
+        with open(p) as f:
+            meta[rel] = json.load(f)
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    _atomic_write_json(root / ".zmetadata", doc)
+    return doc
+
+
 def _atomic_write_json(path: Path, obj) -> None:
     tmp = path.with_name(path.name + ".tmp")
     with open(tmp, "w") as f:
@@ -277,6 +329,11 @@ class ZArray:
         # never be observable
         _atomic_write_json(self.path / ".zarray", self.meta)
         _atomic_write_json(self.path / ".zattrs", self.attrs)
+        # a metadata change (create/append/resize) makes any consolidated
+        # metadata on an enclosing group stale — real-zarr readers that
+        # open_consolidated would see the OLD shape. Drop it; writers
+        # re-consolidate when their write session completes.
+        _invalidate_consolidated(self.path.parent)
 
     @property
     def dims(self):
@@ -627,3 +684,9 @@ class ZGroup:
 
     def save_attrs(self) -> None:
         _atomic_write_json(self.path / ".zattrs", self.attrs)
+        _invalidate_consolidated(self.path)
+
+    def consolidate(self) -> dict:
+        """Snapshot the group's metadata into ``.zmetadata`` (zarr v2
+        consolidated format); call once a write session is complete."""
+        return consolidate_metadata(self.path)

@@ -955,6 +955,12 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             pending_write.result()
     finally:
         writer.shutdown(wait=True)
+    # complete write session -> snapshot consolidated metadata, as the
+    # reference ecosystem's xarray-written stores carry (real-zarr
+    # consumers open_consolidated); any append during the run dropped a
+    # pre-existing snapshot, so a crash never leaves a stale one
+    if group is not None:
+        group.consolidate()
     return target_dname
 
 

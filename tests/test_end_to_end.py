@@ -107,6 +107,12 @@ def test_save_predict_zarr_and_resume(trained, zarr_root, tmp_path):
     assert full.max() <= 1.0 and full.min() >= 0.0
     assert (full > 0).any()
     assert g["ping_time"].shape == (reader.shape[0],)
+    # a completed write session leaves CURRENT consolidated metadata
+    import json as _json
+    with open(os.path.join(target, ".zmetadata")) as f:
+        doc = _json.load(f)
+    assert doc["metadata"]["annotation/.zarray"]["shape"] == \
+        [2, reader.shape[0], reader.shape[1]]
 
     # resume: rebuild first chunk only, then resume to complete; must match
     target2 = str(tmp_path / "resume_pred.zarr")
@@ -213,9 +219,11 @@ def test_crash_between_appends_resumes_byte_identical(trained, zarr_root,
                                      preload_n_pings=60)
     monkeypatch.setattr(zl.ZArray, "append", orig_append)
 
-    # the crashed store is internally consistent up to the commit point
+    # the crashed store is internally consistent up to the commit point,
+    # and carries NO consolidated snapshot (it would be stale)
     crashed = ZGroup.open(target)
     assert crashed["annotation"].shape[1] > crashed["ping_time"].shape[0]
+    assert not os.path.isfile(os.path.join(target, ".zmetadata"))
 
     save_survey_predictions_zarr(runner, reader, target,
                                  preload_n_pings=60, resume_writing=True)
@@ -223,6 +231,8 @@ def test_crash_between_appends_resumes_byte_identical(trained, zarr_root,
     np.testing.assert_array_equal(got["annotation"][:], ref["annotation"][:])
     np.testing.assert_array_equal(got["ping_time"][:], ref["ping_time"][:])
     assert got["annotation"].shape == ref["annotation"].shape
+    # the completed resume re-consolidated
+    assert os.path.isfile(os.path.join(target, ".zmetadata"))
 
 
 def test_multidevice_eval_histogram_parity(trained, zarr_root):

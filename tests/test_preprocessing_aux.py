@@ -98,6 +98,14 @@ def test_rechunk_store(tmp_path, ech):
     assert b["sv"].chunks == (1, 37, 80)
     np.testing.assert_array_equal(a["sv"][:, :, :], b["sv"][:, :, :])
     np.testing.assert_array_equal(a["ping_time"][:], b["ping_time"][:])
+    # both the converter and the rechunker (reference rechunk_zarr.py:51)
+    # leave consolidated metadata on their outputs
+    import json
+    for store in (src, dst):
+        doc = json.loads((store / ".zmetadata").read_text())
+        assert doc["zarr_consolidated_format"] == 1
+        assert doc["metadata"]["sv/.zarray"] == json.loads(
+            (store / "sv" / ".zarray").read_text())
 
 
 # ----------------------------------------------------------------- korona

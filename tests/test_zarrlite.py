@@ -344,3 +344,53 @@ def test_decode_cf_time():
         decode_cf_time(np.array([1]),
                        {"units": "seconds since 1970-01-01",
                         "calendar": "360_day"})
+
+
+# ------------------------------------------------------ consolidated metadata
+# The reference consolidates its rechunk outputs (rechunk_zarr.py:51) and
+# production stores written by xarray to_zarr carry .zmetadata; zarrlite
+# writes the same document and keeps it from going stale across appends.
+
+def test_consolidate_metadata_document(tmp_path):
+    from crimac_unet_tpu.data.zarrlite import consolidate_metadata
+    g = ZGroup.create(tmp_path / "g.zarr", attrs={"description": "t"})
+    a = g.create_array("sv", (4, 6), (2, 6), np.float32, fill_value=np.nan,
+                       dims=["ping_time", "range"])
+    a[:, :] = np.arange(24, dtype=np.float32).reshape(4, 6)
+    doc = g.consolidate()
+    assert (tmp_path / "g.zarr" / ".zmetadata").is_file()
+    on_disk = json.loads((tmp_path / "g.zarr" / ".zmetadata").read_text())
+    assert on_disk == doc
+    assert doc["zarr_consolidated_format"] == 1
+    md = doc["metadata"]
+    # every per-key metadata file is present and byte-faithful
+    assert md[".zgroup"] == {"zarr_format": 2}
+    assert md[".zattrs"] == {"description": "t"}
+    assert md["sv/.zarray"] == json.loads(
+        (tmp_path / "g.zarr" / "sv" / ".zarray").read_text())
+    assert md["sv/.zattrs"] == {"_ARRAY_DIMENSIONS": ["ping_time", "range"]}
+    # not a group -> loud error
+    with pytest.raises(FileNotFoundError):
+        consolidate_metadata(tmp_path / "nope")
+
+
+def test_consolidated_metadata_never_stale(tmp_path):
+    g = ZGroup.create(tmp_path / "g.zarr")
+    a = g.create_array("x", (0, 5), (4, 5), np.float32, fill_value=0,
+                       dims=["ping_time", "range"])
+    g.consolidate()
+    zm = tmp_path / "g.zarr" / ".zmetadata"
+    assert zm.is_file()
+    # any shape-changing write drops the snapshot (real-zarr readers must
+    # never see a stale shape through open_consolidated)
+    a.append(np.ones((3, 5), np.float32), axis=0)
+    assert not zm.is_file()
+    doc = g.consolidate()
+    assert doc["metadata"]["x/.zarray"]["shape"] == [3, 5]
+    a.resize([1, 5])
+    assert not zm.is_file()
+    # group attr writes invalidate too
+    g.consolidate()
+    g.attrs["note"] = "updated"
+    g.save_attrs()
+    assert not zm.is_file()

@@ -56,6 +56,12 @@ def rechunk_store(src_path, dst_path, chunk_spec=None):
     dst = ZGroup.create(dst_path, attrs=src.attrs)
     for name in src.array_names():
         arr = src[name]
+        if arr.dtype == np.dtype(object):
+            # vlen-utf8 string coordinates (real-xarray stores): zarrlite
+            # reads but does not re-encode them — copy the array verbatim
+            # (source chunking kept; rechunking a 1-D coordinate is moot)
+            shutil.copytree(arr.path, os.path.join(str(dst_path), name))
+            continue
         rechunk_array(arr, os.path.join(str(dst_path), name),
                       _target_chunks(arr, chunk_spec))
     # the reference consolidates its rechunk outputs

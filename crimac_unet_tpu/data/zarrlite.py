@@ -192,12 +192,7 @@ def _invalidate_consolidated(start: Path) -> None:
     the group chain no longer matches the authoritative per-array files."""
     p = Path(start)
     while (p / ".zgroup").is_file():
-        zm = p / ".zmetadata"
-        if zm.is_file():
-            try:
-                zm.unlink()
-            except FileNotFoundError:  # concurrent writer already dropped it
-                pass
+        (p / ".zmetadata").unlink(missing_ok=True)
         if p.parent == p:
             break
         p = p.parent
@@ -223,16 +218,20 @@ def consolidate_metadata(root) -> dict:
     if not (root / ".zgroup").is_file():
         raise FileNotFoundError(f"not a zarr group: {root}")
     meta = {}
-    for name in (".zgroup", ".zattrs"):
-        if (root / name).is_file():
-            with open(root / name) as f:
-                meta[name] = json.load(f)
-    for p in sorted(root.rglob("*")):
-        if p.name not in (".zgroup", ".zattrs", ".zarray") or p == root / p.name:
-            continue
-        rel = p.relative_to(root).as_posix()
-        with open(p) as f:
-            meta[rel] = json.load(f)
+    # probe the three fixed metadata names per DIRECTORY instead of
+    # listing the whole tree: a production store holds 10^5+ chunk files
+    # and rglob would materialize every one to find ~a dozen JSON files
+    import os as _os
+    for dirpath, dirnames, _filenames in _os.walk(root):
+        dirnames.sort()
+        d = Path(dirpath)
+        prefix = d.relative_to(root).as_posix()
+        for name in (".zgroup", ".zattrs", ".zarray"):
+            p = d / name
+            if p.is_file():
+                key = name if prefix == "." else f"{prefix}/{name}"
+                with open(p) as f:
+                    meta[key] = json.load(f)
     doc = {"zarr_consolidated_format": 1, "metadata": meta}
     _atomic_write_json(root / ".zmetadata", doc)
     return doc
@@ -327,13 +326,14 @@ class ZArray:
         # atomic replace: .zarray is the store's commit point (its shape is
         # the high-water mark resume_writing trusts) — a torn write must
         # never be observable
-        _atomic_write_json(self.path / ".zarray", self.meta)
-        _atomic_write_json(self.path / ".zattrs", self.attrs)
         # a metadata change (create/append/resize) makes any consolidated
         # metadata on an enclosing group stale — real-zarr readers that
-        # open_consolidated would see the OLD shape. Drop it; writers
-        # re-consolidate when their write session completes.
+        # open_consolidated would see the OLD shape. Drop it BEFORE the
+        # commit: a crash in between leaves a non-consolidated (but
+        # consistent) store, never a stale snapshot.
         _invalidate_consolidated(self.path.parent)
+        _atomic_write_json(self.path / ".zarray", self.meta)
+        _atomic_write_json(self.path / ".zattrs", self.attrs)
 
     @property
     def dims(self):
@@ -683,8 +683,9 @@ class ZGroup:
         return arr
 
     def save_attrs(self) -> None:
-        _atomic_write_json(self.path / ".zattrs", self.attrs)
+        # invalidate-before-commit, same reasoning as ZArray._write_meta
         _invalidate_consolidated(self.path)
+        _atomic_write_json(self.path / ".zattrs", self.attrs)
 
     def consolidate(self) -> dict:
         """Snapshot the group's metadata into ``.zmetadata`` (zarr v2

@@ -288,3 +288,29 @@ def test_convert_survey_tree_flat_layout(tmp_path):
     converted = convert_survey_tree(str(tmp_path))
     assert converted == ["2019843-D1-T1"]
     assert (tmp_path / "memmap" / "2019843-D1-T1" / "labels.dat").is_file()
+
+
+def test_rechunk_store_copies_vlen_arrays(tmp_path):
+    """Production real-xarray stores hold vlen-utf8 string coordinates;
+    rechunk must carry them over verbatim, not crash on object dtype."""
+    from test_zarrlite import _write_vlen_utf8_array
+
+    from crimac_unet_tpu.data.rechunk import rechunk_store
+    from crimac_unet_tpu.data.zarrlite import (ZGroup,
+                                               default_blosc_compressor)
+    src = tmp_path / "src.zarr"
+    g = ZGroup.create(src)
+    g.create_array("sv", (1, 10, 6), (1, 4, 6), np.float32,
+                   fill_value=np.nan,
+                   dims=["frequency", "ping_time", "range"])[:, :, :] = \
+        np.arange(60, dtype=np.float32).reshape(1, 10, 6)
+    names = [f"f{i}.raw" for i in range(10)]
+    _write_vlen_utf8_array(str(src / "raw_file"), names, chunks=4,
+                           compressor=default_blosc_compressor())
+    dst = tmp_path / "dst.zarr"
+    rechunk_store(src, dst, {"frequency": 1, "ping_time": 5, "range": 6})
+    out = ZGroup.open(dst)
+    assert out["sv"].chunks == (1, 5, 6)
+    np.testing.assert_array_equal(out["sv"][:], g["sv"][:])
+    assert list(out["raw_file"][:]) == names
+    assert out["raw_file"].chunks == (4,)  # copied verbatim

@@ -489,24 +489,14 @@ def test_reader_opens_real_xarray_conventions(tmp_path):
         f.write(_Codec.encode(secs.tobytes(), comp, typesize=8))
 
     # --- rewrite raw_file as a vlen-utf8 object array -------------------
+    # (one shared encoder for the on-disk vlen format: test_zarrlite's)
+    from test_zarrlite import _write_vlen_utf8_array
     rf = ZGroup.open(xr_sv)["raw_file"][:]
     strings = [s.decode() if isinstance(s, bytes) else str(s) for s in rf]
     rf_dir = xr_sv / "raw_file"
     shutil.rmtree(rf_dir)
-    rf_dir.mkdir()
-    _atomic_write_json(rf_dir / ".zarray", {
-        "zarr_format": 2, "shape": [len(strings)],
-        "chunks": [len(strings)], "dtype": "|O", "compressor": comp,
-        "fill_value": 0, "order": "C",
-        "filters": [{"id": "vlen-utf8"}]})
-    _atomic_write_json(rf_dir / ".zattrs",
-                       {"_ARRAY_DIMENSIONS": ["ping_time"]})
-    frame = len(strings).to_bytes(4, "little")
-    for s in strings:
-        b = s.encode("utf-8")
-        frame += len(b).to_bytes(4, "little") + b
-    with open(rf_dir / "0", "wb") as f:
-        f.write(_Codec.encode(frame, comp, typesize=1))
+    _write_vlen_utf8_array(str(rf_dir), strings, chunks=len(strings),
+                           compressor=comp)
 
     xr_reader = DataReaderZarr(str(xr_sv))
     np.testing.assert_array_equal(xr_reader.time_vector,

@@ -394,3 +394,29 @@ def test_consolidated_metadata_never_stale(tmp_path):
     g.attrs["note"] = "updated"
     g.save_attrs()
     assert not zm.is_file()
+
+
+def test_invalidate_precedes_metadata_commit(tmp_path, monkeypatch):
+    """A kill between the .zarray commit and the snapshot drop must not
+    leave a stale .zmetadata — so the drop must happen FIRST."""
+    from crimac_unet_tpu.data import zarrlite as zl
+    g = ZGroup.create(tmp_path / "g.zarr")
+    a = g.create_array("x", (0, 3), (4, 3), np.float32, fill_value=0,
+                       dims=["ping_time", "range"])
+    g.consolidate()
+    zm = tmp_path / "g.zarr" / ".zmetadata"
+    orig = zl._atomic_write_json
+
+    def boom(path, obj):
+        if path.name == ".zarray":
+            raise RuntimeError("crash before metadata commit")
+        return orig(path, obj)
+
+    monkeypatch.setattr(zl, "_atomic_write_json", boom)
+    with pytest.raises(RuntimeError):
+        a.append(np.ones((2, 3), np.float32), axis=0)
+    monkeypatch.setattr(zl, "_atomic_write_json", orig)
+    # the snapshot is gone even though the shape commit never happened:
+    # readers fall back to the (consistent) per-array metadata
+    assert not zm.is_file()
+    assert ZArray.open(tmp_path / "g.zarr" / "x").shape == (0, 3)

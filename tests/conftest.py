@@ -26,6 +26,15 @@ if not _ON_TPU:
     # The installed axon TPU plugin ignores the JAX_PLATFORMS env var;
     # the config API does take effect.
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU compiles go through the axon tunnel (minutes per program on a
+    # bad day) — reuse the persistent compilation cache bench.py uses so
+    # repeated hardware validation only pays the compile once
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache", "xla")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import sys
 from pathlib import Path

@@ -30,6 +30,20 @@ from .zarrlite import ZGroup, decode_cf_time
 _SEABED_READ_ELEMS = 16 * 2 ** 20
 
 
+def _open_group(path) -> ZGroup:
+    """Open a survey store, preferring the consolidated-metadata fast
+    path (one JSON read per store instead of 2-3 per array — what
+    consolidation is for on network storage). Safe to prefer: both our
+    writers and real xarray only leave ``.zmetadata`` behind when a
+    write session completed, so a present snapshot is current."""
+    try:
+        return ZGroup.open_consolidated(path)
+    except (FileNotFoundError, ValueError):
+        # no snapshot, or a malformed/foreign one — the per-array
+        # metadata files are authoritative either way
+        return ZGroup.open(path)
+
+
 class DataReaderZarr:
     data_format = "zarr"
 
@@ -45,7 +59,7 @@ class DataReaderZarr:
         if not os.path.isdir(self.sv_path):
             raise FileNotFoundError(f"No Sv data found at {self.sv_path}")
 
-        self.ds = ZGroup.open(self.sv_path)
+        self.ds = _open_group(self.sv_path)
         self.sv = self.ds["sv"]
         self.frequencies = self.ds["frequency"][:].astype(np.int64)
         self.range_vector = self.ds["range"][:]
@@ -68,14 +82,14 @@ class DataReaderZarr:
         self.annotation = None
         self.fish_categories = []
         if os.path.isdir(self.annotation_path):
-            self.annotation = ZGroup.open(self.annotation_path)
+            self.annotation = _open_group(self.annotation_path)
             self.labels = self.annotation["annotation"]
             self.categories = self.annotation["category"][:].astype(np.int64)
             self.fish_categories = [int(c) for c in self.categories if c != -1]
 
         self.seabed = None
         if os.path.isdir(self.seabed_path):
-            self.seabed = ZGroup.open(self.seabed_path)
+            self.seabed = _open_group(self.seabed_path)
 
         self.valid_pings = None
         self.objects_df = None

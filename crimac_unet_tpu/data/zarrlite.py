@@ -649,6 +649,35 @@ class ZGroup:
         return cls(path, attrs)
 
     @classmethod
+    def open_consolidated(cls, path) -> "ZGroup":
+        """Open through the ``.zmetadata`` snapshot — ONE metadata read
+        for the whole store instead of 2-3 JSON files per array, which is
+        the point of consolidation on high-latency storage
+        (``zarr.open_consolidated`` semantics). Trusts the snapshot: both
+        our writers and real xarray consolidate only when a write session
+        completes (and our appends drop the snapshot first), so a present
+        ``.zmetadata`` is always current; use plain ``open`` if a foreign
+        writer might leave stale snapshots behind."""
+        path = Path(path)
+        zm = path / ".zmetadata"
+        if not zm.is_file():
+            raise FileNotFoundError(f"no consolidated metadata: {zm}")
+        with open(zm) as f:
+            doc = json.load(f)
+        if doc.get("zarr_consolidated_format") != 1:
+            raise ValueError(f"unsupported consolidated format in {zm}")
+        md = doc.get("metadata", {})
+        if ".zgroup" not in md:
+            raise FileNotFoundError(f"not a zarr group: {path}")
+        group = cls(path, dict(md.get(".zattrs", {})))
+        for key, meta in md.items():
+            name, _, leaf = key.rpartition("/")
+            if leaf == ".zarray" and name and "/" not in name:
+                attrs = dict(md.get(f"{name}/.zattrs", {}))
+                group._arrays[name] = ZArray(path / name, dict(meta), attrs)
+        return group
+
+    @classmethod
     def create(cls, path, attrs=None, overwrite=False) -> "ZGroup":
         path = Path(path)
         if path.exists():

@@ -497,6 +497,11 @@ def test_reader_opens_real_xarray_conventions(tmp_path):
     shutil.rmtree(rf_dir)
     _write_vlen_utf8_array(str(rf_dir), strings, chunks=len(strings),
                            compressor=comp)
+    # re-consolidate after the out-of-band rewrite, as real xarray would
+    # at the end of to_zarr — the reader prefers the snapshot, so this
+    # also exercises the consolidated path over CF/vlen entries
+    from crimac_unet_tpu.data.zarrlite import consolidate_metadata
+    consolidate_metadata(xr_sv)
 
     xr_reader = DataReaderZarr(str(xr_sv))
     np.testing.assert_array_equal(xr_reader.time_vector,

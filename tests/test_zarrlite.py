@@ -420,3 +420,39 @@ def test_invalidate_precedes_metadata_commit(tmp_path, monkeypatch):
     # readers fall back to the (consistent) per-array metadata
     assert not zm.is_file()
     assert ZArray.open(tmp_path / "g.zarr" / "x").shape == (0, 3)
+
+
+def test_open_consolidated(tmp_path):
+    """The snapshot fast path must reproduce plain open exactly —
+    arrays, attrs, dims, data, vlen strings — from ONE metadata read."""
+    from crimac_unet_tpu.data.zarrlite import default_blosc_compressor
+    g = ZGroup.create(tmp_path / "g.zarr", attrs={"description": "t"})
+    sv = g.create_array("sv", (2, 5), (2, 5), np.float32, fill_value=np.nan,
+                        dims=["ping_time", "range"],
+                        compressor=default_blosc_compressor())
+    sv[:, :] = np.arange(10, dtype=np.float32).reshape(2, 5)
+    _write_vlen_utf8_array(str(tmp_path / "g.zarr" / "raw_file"),
+                           ["a.raw", "b.raw"], chunks=2,
+                           compressor=default_blosc_compressor())
+    g.consolidate()
+
+    gc = ZGroup.open_consolidated(tmp_path / "g.zarr")
+    assert gc.attrs == {"description": "t"}
+    np.testing.assert_array_equal(gc["sv"][:, :], sv[:, :])
+    assert gc["sv"].dims == ["ping_time", "range"]
+    assert list(gc["raw_file"][:]) == ["a.raw", "b.raw"]
+    # the snapshot was the only metadata read: delete the per-array
+    # files and the consolidated group still serves everything
+    (tmp_path / "g.zarr" / "sv" / ".zarray").unlink()
+    gc2 = ZGroup.open_consolidated(tmp_path / "g.zarr")
+    np.testing.assert_array_equal(gc2["sv"][:, :], sv[:, :])
+
+    # no snapshot -> FileNotFoundError (callers fall back to open())
+    g2 = ZGroup.create(tmp_path / "plain.zarr")
+    with pytest.raises(FileNotFoundError):
+        ZGroup.open_consolidated(tmp_path / "plain.zarr")
+    # malformed snapshot -> loud ValueError
+    (tmp_path / "plain.zarr" / ".zmetadata").write_text(
+        '{"zarr_consolidated_format": 2, "metadata": {}}')
+    with pytest.raises(ValueError, match="consolidated format"):
+        ZGroup.open_consolidated(tmp_path / "plain.zarr")

@@ -695,11 +695,17 @@ class ZGroup:
         return cls(path, attrs)
 
     def array_names(self):
-        return sorted(p.name for p in self.path.iterdir()
-                      if (p / ".zarray").is_file())
+        # union of on-disk arrays and snapshot-loaded ones, so a
+        # consolidated group answers coherently even when serving purely
+        # from its .zmetadata snapshot
+        names = {p.name for p in self.path.iterdir()
+                 if (p / ".zarray").is_file()}
+        names.update(self._arrays)
+        return sorted(names)
 
     def __contains__(self, name: str) -> bool:
-        return (self.path / name / ".zarray").is_file()
+        return (name in self._arrays
+                or (self.path / name / ".zarray").is_file())
 
     def __getitem__(self, name: str) -> ZArray:
         if name not in self._arrays:

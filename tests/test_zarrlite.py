@@ -456,3 +456,16 @@ def test_open_consolidated(tmp_path):
         '{"zarr_consolidated_format": 2, "metadata": {}}')
     with pytest.raises(ValueError, match="consolidated format"):
         ZGroup.open_consolidated(tmp_path / "plain.zarr")
+
+
+def test_consolidated_group_membership_coherent(tmp_path):
+    """array_names/__contains__ must answer from the snapshot too, not
+    just the directory listing."""
+    g = ZGroup.create(tmp_path / "g.zarr")
+    g.create_array("sv", (2, 2), (2, 2), np.float32, fill_value=0,
+                   dims=["ping_time", "range"])
+    g.consolidate()
+    gc = ZGroup.open_consolidated(tmp_path / "g.zarr")
+    (tmp_path / "g.zarr" / "sv" / ".zarray").unlink()
+    assert "sv" in gc
+    assert gc.array_names() == ["sv"]

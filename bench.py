@@ -478,11 +478,45 @@ def run_baseline(sv_path):
     return measured / dt
 
 
+def wait_for_backend(max_wait_s=None):
+    """Wait for the TPU backend to come up before touching jax in this
+    process. The axon tunnel flaps for minutes at a time (observed:
+    'Unable to initialize backend axon: UNAVAILABLE' killing an entire
+    bench run), and a failed init can poison the parent's jax backend
+    cache — so probe in a CLEAN subprocess with backoff. Returns True
+    once a probe sees devices; False after the budget (callers proceed
+    anyway and fail loudly)."""
+    import subprocess
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("BENCH_TUNNEL_WAIT", "900"))
+    t0, delay = time.time(), 20
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300)
+            if r.returncode == 0:
+                return True
+            msg = r.stderr.decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            msg = "probe hung 300s"
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            print(f"# TPU backend still unavailable after {waited:.0f}s "
+                  f"({msg})", file=sys.stderr)
+            return False
+        print(f"# TPU backend unavailable ({msg}); retrying in {delay}s",
+              file=sys.stderr)
+        time.sleep(delay)
+        delay = min(delay * 2, 120)
+
+
 def main():
     sv = ensure_fixture()
     baseline = run_baseline(sv)
     print(f"# baseline: {baseline:.1f} pings/s (torch CPU)",
           file=sys.stderr)
+    wait_for_backend()
     try:
         ours, extras = run_ours(sv)
     except Exception as exc:

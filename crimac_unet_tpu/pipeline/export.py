@@ -16,12 +16,19 @@ Input contract: raw (not dB) sv patches, NHWC float32,
 ``(batch, *patch_size, len(frequencies))``, frequency channels in
 ascending order (the reader contract).  Output: float32 softmax
 probabilities ``(batch, *patch_size, 3)`` — the same program as
-``GriddedRunner``'s patch forward (bit-equal on identical inputs,
-tests/test_export.py).  One pipeline difference: the production runner
+``make_serving_forward`` (bit-equal, tests/test_export.py) and
+``GriddedRunner``'s patch forward up to float reassociation in the
+runner's ``lax.map``/sharding wrapper (assert_allclose atol=2e-7 in the
+same tests).  Two pipeline differences: (1) the production runner
 quantizes raw sv slabs to bfloat16 at host->device transfer by default
-(``transfer_dtype``, <=0.02 dB perturbation); the artifact consumes the
-float32 you feed it — pre-cast through bfloat16 to replicate production
-output exactly.
+(``transfer_dtype``, <=0.02 dB perturbation) — the artifact consumes the
+float32 you feed it; pre-cast through bfloat16 to replicate production
+output exactly; (2) memm-format surveys additionally zero dB-space
+pixels outside the data extent between the dB transform and the net
+(``border_zero``, inference.py) — the artifact cannot reproduce that
+(the mask is patch-position knowledge it does not receive), so it
+matches the ZARR serving path; ``export_checkpoint`` warns on
+``data_mode: memm`` configs.
 """
 
 from __future__ import annotations
@@ -46,9 +53,16 @@ def make_serving_forward(model, variables, config):
     eval forward + softmax).  BN is folded unless the model already
     runs bare convs or ``fold_bn: false``.
     """
-    if config.get("meta_channels"):
+    # mirror the runner's gate (inference.py: get_in_channels(...) > 0):
+    # an all-false meta_channels dict is a plain no-meta model and must
+    # export; a late_meta_inject model needs the meta input even if the
+    # channel dict is empty
+    from ..data.meta_channels import get_in_channels, validate_meta_channels
+    validate_meta_channels(config.get("meta_channels"))
+    if (get_in_channels(config.get("meta_channels")) > 0
+            or config.get("late_meta_inject")):
         raise ValueError(
-            "export does not support meta_channels runs: the late-meta "
+            "export does not support metadata-input runs: the late-meta "
             "model takes a separate metadata input; export the base "
             "model or serve through GriddedRunner")
     from ..models.fold_bn import fold_for_serving
@@ -83,11 +97,7 @@ def export_predictor(model, variables, config, *, batch=None,
     else:
         b = int(batch)
     x_spec = jax.ShapeDtypeStruct((b, wh, ww, n_ch), jnp.float32)
-    jitted = jax.jit(lambda x: fn(folded, x))
-    kwargs = {}
-    if platforms is not None:
-        kwargs["platforms"] = tuple(platforms)
-    return jexport.export(jitted, **kwargs)(x_spec)
+    return _export(fn, folded, x_spec, platforms)
 
 
 def export_slab_predictor(model, variables, config, *, platforms=None):
@@ -113,11 +123,16 @@ def export_slab_predictor(model, variables, config, *, platforms=None):
     n_ch = len(config["frequencies"])
     b, h, w = jexport.symbolic_shape(f"b, {align}*h, {align}*w")
     x_spec = jax.ShapeDtypeStruct((b, h, w, n_ch), jnp.float32)
+    return _export(fn, folded, x_spec, platforms)
+
+
+def _export(fn, folded, x_spec, platforms):
+    """Shared lower/export tail for both artifact flavors."""
+    from jax import export as jexport
+
     jitted = jax.jit(lambda x: fn(folded, x))
-    kwargs = {}
-    if platforms is not None:
-        kwargs["platforms"] = tuple(platforms)
-    return jexport.export(jitted, **kwargs)(x_spec)
+    platforms = tuple(platforms) if platforms is not None else None
+    return jexport.export(jitted, platforms=platforms)(x_spec)
 
 
 def save_exported(exported, path) -> None:
@@ -147,12 +162,16 @@ def load_predictor(path):
     from jax import export as jexport
 
     with open(path, "rb") as f:
-        blob = f.read()
-    if not blob.startswith(_MAGIC):
-        raise ValueError(
-            f"{path} is not a crimac_unet_tpu export artifact "
-            f"(missing {_MAGIC!r} header)")
-    exported = jexport.deserialize(bytearray(blob[len(_MAGIC):]))
+        header = f.read(len(_MAGIC))
+        if header != _MAGIC:
+            raise ValueError(
+                f"{path} is not a crimac_unet_tpu export artifact "
+                f"(missing {_MAGIC!r} header)")
+        # read the payload straight into the one buffer deserialize
+        # needs — a 31M-param artifact is >120 MB; slicing a whole-file
+        # read would hold three copies at peak
+        payload = bytearray(f.read())
+    exported = jexport.deserialize(payload)
     return jax.jit(exported.call)
 
 
@@ -174,6 +193,15 @@ def export_checkpoint(checkpoint_path, config, out_path, *, batch=None,
     variables = {"params": payload["params"],
                  "batch_stats": payload.get("batch_stats", {})}
     model = build_unet(config)
+    if config.get("data_mode") == "memm":
+        import warnings
+        warnings.warn(
+            "exporting from a data_mode: memm config — the artifact "
+            "reproduces the ZARR serving path; the memm predict path "
+            "additionally zeroes dB-space pixels outside the data extent "
+            "(border_zero), which the artifact cannot replicate, so "
+            "probabilities near data boundaries will differ from the "
+            "live memm runner", stacklevel=2)
     if mode == "slab":
         if batch is not None:
             raise ValueError(
@@ -181,9 +209,12 @@ def export_checkpoint(checkpoint_path, config, out_path, *, batch=None,
                 "a fixed --batch cannot be honored — drop it")
         exported = export_slab_predictor(model, variables, config,
                                          platforms=platforms)
-    else:
+    elif mode == "patch":
         exported = export_predictor(model, variables, config,
                                     batch=batch, platforms=platforms)
+    else:
+        raise ValueError(f"unknown export mode {mode!r}: "
+                         "expected 'patch' or 'slab'")
     save_exported(exported, out_path)
     return exported
 

@@ -82,9 +82,59 @@ def test_fixed_batch_rejects_other_sizes(model_and_vars, tmp_path):
 
 def test_meta_channels_rejected(model_and_vars):
     model, variables = model_and_vars
-    with pytest.raises(ValueError, match="meta_channels"):
+    meta = {"portion_year": True, "portion_day": False, "time_diff": False,
+            "depth_rel": False, "depth_abs_surface": False,
+            "depth_abs_seabed": False}
+    with pytest.raises(ValueError, match="metadata-input"):
+        export_predictor(model, variables, dict(CFG, meta_channels=meta))
+    # a partial dict is a config error, caught by the shared validator
+    with pytest.raises(ValueError, match="meta_channels keys"):
         export_predictor(model, variables,
                          dict(CFG, meta_channels={"portion_year": True}))
+    # late-meta models need the extra input even with no channel dict
+    with pytest.raises(ValueError, match="metadata-input"):
+        export_predictor(model, variables,
+                         dict(CFG, late_meta_inject=True))
+
+
+def test_all_false_meta_dict_exports(model_and_vars, tmp_path):
+    """An explicitly disabled meta_channels dict is a plain no-meta model
+    (the runner gate is get_in_channels(...) > 0) and must export."""
+    model, variables = model_and_vars
+    cfg = dict(CFG, meta_channels={
+        "portion_year": False, "portion_day": False, "time_diff": False,
+        "depth_rel": False, "depth_abs_surface": False,
+        "depth_abs_seabed": False})
+    exported = export_predictor(model, variables, cfg, batch=1)
+    fn, folded = make_serving_forward(model, variables, CFG)
+    x = _raw_patches(1)
+    np.testing.assert_array_equal(
+        np.asarray(exported.call(x)),
+        np.asarray(jax.jit(lambda x: fn(folded, x))(x)))
+
+
+def test_unknown_mode_rejected(model_and_vars, tmp_path):
+    from crimac_unet_tpu.pipeline.engine import save_checkpoint
+    model, variables = model_and_vars
+    ckpt = tmp_path / "c.msgpack"
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+    with pytest.raises(ValueError, match="unknown export mode"):
+        export_checkpoint(ckpt, CFG, tmp_path / "o.stablehlo",
+                          mode="slabs")
+
+
+def test_memm_config_export_warns(model_and_vars, tmp_path):
+    """The artifact reproduces the zarr serving path; memm configs add
+    border_zero the artifact cannot replicate — warn at export time."""
+    from crimac_unet_tpu.pipeline.engine import save_checkpoint
+    model, variables = model_and_vars
+    ckpt = tmp_path / "c.msgpack"
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]})
+    with pytest.warns(UserWarning, match="border_zero"):
+        export_checkpoint(ckpt, dict(CFG, data_mode="memm"),
+                          tmp_path / "o.stablehlo")
 
 
 def test_missing_batch_stats_rejected(model_and_vars):

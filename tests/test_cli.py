@@ -97,3 +97,16 @@ def test_cli_train_evaluate_save_predict(workdir):
     assert g["annotation"].shape[0] == 2
     assert "labels" in g  # save_labels: True
     assert g["labels"].shape == g["annotation"].shape[1:]
+
+
+def test_selfcheck_cli(tmp_path):
+    """Deployment smoke tool: host-only mode must pass on this box and
+    report every required line."""
+    proc = _run("crimac_unet_tpu.selfcheck", ["--skip-device"],
+                cwd=tmp_path)
+    out = proc.stdout
+    assert "SELFCHECK PASSED" in out
+    for name in ("blosc backend", "zarr store", "zarr reopen",
+                 "end-to-end predict"):
+        assert name in out, out
+    assert "[FAIL]" not in out

@@ -43,6 +43,60 @@ def _as_values(x):
     return x.values if isinstance(x, DataArray) else np.asarray(x)
 
 
+def _null_mask(vals):
+    """xarray treats NaN (float) AND NaT (datetime/timedelta) as null;
+    returns None for dtypes with no null sentinel."""
+    if np.issubdtype(vals.dtype, np.floating):
+        return np.isnan(vals)
+    if (np.issubdtype(vals.dtype, np.datetime64)
+            or np.issubdtype(vals.dtype, np.timedelta64)):
+        return np.isnat(vals)
+    return None
+
+
+def _skipna_argreduce(vals, which):
+    """xarray's argmin/argmax default skipna=True: NaN/NaT positions must
+    not win.  Returns an argmin/argmax callable for this dtype."""
+    if np.issubdtype(vals.dtype, np.floating):
+        return np.nanargmin if which == "min" else np.nanargmax
+    if (np.issubdtype(vals.dtype, np.datetime64)
+            or np.issubdtype(vals.dtype, np.timedelta64)):
+        fill = (np.iinfo(np.int64).max if which == "min"
+                else np.iinfo(np.int64).min)
+        base = np.argmin if which == "min" else np.argmax
+
+        def fn(v, axis=None):
+            ints = np.where(np.isnat(v), fill, v.view("i8"))
+            return base(ints, axis=axis)
+
+        return fn
+    return np.argmin if which == "min" else np.argmax
+
+
+def _check_str_fit(stored_dtype, values, name):
+    """Appending wider strings into a fixed-width array silently
+    truncates in numpy; real xarray (vlen-utf8) never truncates — fail
+    loudly instead."""
+    stored = np.dtype(stored_dtype)
+    if stored.kind not in ("U", "S"):
+        return
+    vals = np.asarray(values)
+    width = stored.itemsize // (4 if stored.kind == "U" else 1)
+    if vals.dtype.kind == stored.kind:
+        need = vals.dtype.itemsize // (4 if vals.dtype.kind == "U" else 1)
+        if need <= width or vals.size == 0:
+            return
+        longest = max(len(v) for v in vals.ravel().tolist())
+    else:
+        longest = max((len(str(v)) for v in vals.ravel().tolist()),
+                      default=0)
+    if longest > width:
+        raise ValueError(
+            f"appending to {name!r} would truncate strings: store width "
+            f"{width}, incoming up to {longest} chars (real xarray "
+            f"writes vlen strings and never truncates)")
+
+
 class _DTAccessor:
     """The tiny slice of xarray's ``.dt`` accessor the reference uses
     (``int(ds.ping_time[0].dt.year)``, data_reader.py:538)."""
@@ -129,6 +183,20 @@ class DataArray:
         return DataArray(values, dims=dims, coords=coords, name=self.name)
 
     def _binop(self, other, op):
+        if isinstance(other, DataArray) and other.dims != self.dims:
+            # xarray aligns operands by DIM NAME, not position. Support
+            # the subset/reorder case; anything else fails loudly rather
+            # than silently broadcasting against the wrong axis.
+            if not set(other.dims) <= set(self.dims):
+                raise NotImplementedError(
+                    f"xrlite binop alignment: other dims {other.dims} "
+                    f"not a subset of {self.dims}")
+            order = [d for d in self.dims if d in other.dims]
+            aligned = np.transpose(other.values,
+                                   [other.dims.index(d) for d in order])
+            aligned = aligned[tuple(slice(None) if d in other.dims
+                                    else None for d in self.dims)]
+            return self._wrap(op(self.values, aligned))
         return self._wrap(op(self.values, _as_values(other)))
 
     def __add__(self, o):
@@ -223,11 +291,13 @@ class DataArray:
                 if hits.size == 0:
                     raise KeyError(f"value {w!r} not found in coord "
                                    f"{dim!r}")
-                idx.append(int(hits[0]))
+                idx.extend(int(h) for h in hits)
             axis = out.dims.index(dim)
-            if scalar:
+            if scalar and len(idx) == 1:
                 out = out[(slice(None),) * axis + (idx[0],)]
             else:
+                # non-unique index: xarray returns ALL matches (the dim
+                # is kept), it does not silently pick the first
                 out = out[(slice(None),) * axis + (np.asarray(idx),)]
         return out
 
@@ -243,15 +313,16 @@ class DataArray:
 
     def fillna(self, value):
         vals = self.values
-        if np.issubdtype(vals.dtype, np.floating):
-            vals = np.where(np.isnan(vals), value, vals)
+        null = _null_mask(vals)
+        if null is not None:
+            vals = np.where(null, value, vals)
         return self._wrap(vals)
 
     def isnull(self):
-        vals = self.values
-        if np.issubdtype(vals.dtype, np.floating):
-            return self._wrap(np.isnan(vals))
-        return self._wrap(np.zeros(vals.shape, bool))
+        null = _null_mask(self.values)
+        if null is None:
+            null = np.zeros(self.values.shape, bool)
+        return self._wrap(null)
 
     def where(self, cond, other=np.nan):
         """Keep self where ``cond``; fill with ``other`` elsewhere
@@ -262,9 +333,9 @@ class DataArray:
     def dropna(self, dim, how="any"):
         axis = self.dims.index(dim)
         vals = self.values
-        if not np.issubdtype(vals.dtype, np.floating):
+        nan = _null_mask(vals)
+        if nan is None:
             return self
-        nan = np.isnan(vals)
         other_axes = tuple(i for i in range(vals.ndim) if i != axis)
         bad = nan.any(axis=other_axes) if how == "any" else \
             nan.all(axis=other_axes)
@@ -272,14 +343,16 @@ class DataArray:
         return self[(slice(None),) * axis + (keep,)]
 
     def argmin(self, dim=None):
+        fn = _skipna_argreduce(self.values, "min")
         if dim is None:
-            return DataArray(np.argmin(self.values), dims=())
-        return self._reduce(dim, np.argmin)
+            return DataArray(fn(self.values), dims=())
+        return self._reduce(dim, fn)
 
     def argmax(self, dim=None):
+        fn = _skipna_argreduce(self.values, "max")
         if dim is None:
-            return DataArray(np.argmax(self.values), dims=())
-        return self._reduce(dim, np.argmax)
+            return DataArray(fn(self.values), dims=())
+        return self._reduce(dim, fn)
 
     def _reduce(self, dim, fn):
         axis = self.dims.index(dim)
@@ -399,11 +472,15 @@ class Dataset:
         return ds
 
     def chunk(self, spec=None, **kw):
-        spec = dict(spec or {})
-        spec.update(kw)
+        # xarray MERGES with existing chunking — dims not named keep
+        # their earlier spec (the reference chunks {freq:1,...} in the
+        # converter then {'range':..., 'ping_time':'auto'} at append)
+        merged = dict(self._chunk_spec or {})
+        merged.update(dict(spec or {}))
+        merged.update(kw)
         ds = Dataset(dict(self._vars), attrs=self.attrs)
         ds._coords.update(self._coords)
-        ds._chunk_spec = spec
+        ds._chunk_spec = merged
         return ds
 
     # -- zarr io ---------------------------------------------------------
@@ -417,6 +494,8 @@ class Dataset:
                 # stores this harness writes, cap at the reference's
                 # 1000-ping production chunking (save_predict.py:126)
                 c = min(s, 1000) if c == "auto" else s
+            elif int(c) < 0:
+                c = s  # -1 is the dask/xarray "whole dimension" idiom
             chunks.append(max(1, min(int(c), s)) if s else 1)
         return tuple(chunks)
 
@@ -425,9 +504,11 @@ class Dataset:
             group = zarrlite.ZGroup.open(str(store))
             for name, da in self._vars.items():
                 axis = da.dims.index(append_dim)
+                _check_str_fit(group[name].dtype, da.values, name)
                 group[name].append(da.values, axis=axis)
             for name, cda in self._coords.items():
                 if append_dim in cda.dims:
+                    _check_str_fit(group[name].dtype, cda.values, name)
                     group[name].append(cda.values,
                                        axis=cda.dims.index(append_dim))
             return
@@ -442,7 +523,7 @@ class Dataset:
                 encoding.get(name, {}).get("compressor"))
             arr = group.create_array(
                 name, da.values.shape, self._chunks_for(da),
-                da.values.dtype,
+                _widen_str(da.values.dtype),
                 fill_value=(np.nan if np.issubdtype(da.values.dtype,
                                                     np.floating) else 0),
                 dims=list(da.dims), compressor=comp)
@@ -450,9 +531,23 @@ class Dataset:
         for name, cda in self._coords.items():
             arr = group.create_array(
                 name, cda.values.shape, cda.values.shape,
-                cda.values.dtype, fill_value=None, dims=list(cda.dims),
-                compressor=None)
+                _widen_str(cda.values.dtype), fill_value=None,
+                dims=list(cda.dims), compressor=None)
             arr[(slice(None),) * cda.values.ndim] = cda.values
+
+
+def _widen_str(dtype):
+    """Fixed-width string arrays are sized to the FIRST write in raw
+    zarr, but real xarray writes vlen strings that fit anything — widen
+    to >=64 chars (the framework's |S64 reader convention) so a later
+    append with longer echogram names cannot truncate (appends also
+    guard via _check_str_fit)."""
+    dtype = np.dtype(dtype)
+    if dtype.kind in ("U", "S"):
+        unit = 4 if dtype.kind == "U" else 1
+        width = max(64, dtype.itemsize // unit)
+        return np.dtype(f"{dtype.kind}{width}")
+    return dtype
 
 
 def _translate_compressor(comp):

@@ -659,7 +659,10 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             # underflow to 0 inside the mask)
             nr = part.shape[1]
             keep = np.asarray(dev_keep)[:nr, :e0 - s0]
-            lab_full = np.zeros((n_range, e0 - s0), np.float16)
+            # float32, NOT f16: the export carries RAW category codes
+            # (4-digit LSSS codes like 6009 exceed f16's 2048 exact-int
+            # range and would silently round)
+            lab_full = np.zeros((n_range, e0 - s0), np.float32)
             lab_full[:nr] = np.where(
                 keep, np.nan_to_num(lab[:nr, :e0 - s0], nan=0.0), 0.0)
             lab = lab_full
@@ -719,14 +722,18 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             bs[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = 0.0
             border_slab = bs
 
-        # chunk-level mask inputs
+        # chunk-level mask inputs — only rows [0, nr) (the grid-covered
+        # range) ever reach the device or the save_labels export; reading
+        # the full range axis wasted ~(1 - nr/n_range) of the label I/O
+        # and Blosc decode on deep recordings with shallow seabeds
+        nr = min(R * sh, n_range)
         label_pad = np.full((n_range, C * sw), np.nan, np.float32)
         if is_zarr:
-            lab = reader.get_label_slice(s, w)  # (ping, range) w/ nan
-            label_pad[:, :w] = lab.T
+            lab = reader.get_label_slice(s, w, 0, nr)  # (ping, range<nr)
+            label_pad[:nr, :w] = lab.T
         else:
-            label_pad[:, :w] = np.asarray(
-                reader.label_memmap()[:, s:e]).astype(np.float32)
+            label_pad[:nr, :w] = np.asarray(
+                reader.label_memmap()[:nr, s:e]).astype(np.float32)
         # raw-ch0 finiteness over the chunk (nan => excluded from write via
         # remove_nan_inf label marking in the preload path,
         # remove_nan_inf.py:22-33) is read on device from channel 0 of
@@ -757,7 +764,6 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         import ml_dtypes
         xfer = np.dtype(runner.transfer_dtype) \
             if runner.transfer_dtype != "bfloat16" else ml_dtypes.bfloat16
-        nr = min(R * sh, n_range)
         dev = dict(
             data_slab=jax.device_put(data_slab.astype(xfer)),
             border_slab=jax.device_put(border_slab),
@@ -785,7 +791,11 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                 futs.append(executor.submit(prepare, *splits[n_submitted]))
                 n_submitted += 1
 
-            runner.patches_processed += int(dev["y0s"].shape[0])
+            if runner.infer_mode != "slab":
+                # MFU counter: slab mode forwards ONE whole-slab conv
+                # (~1.9x fewer FLOPs), not R*C patches — counting the
+                # grid here would overstate slab-mode utilization
+                runner.patches_processed += int(dev["y0s"].shape[0])
             runner.timer.start("device_chunk")
             if runner.infer_mode == "slab":
                 # use_meta + slab is rejected in GriddedRunner.__init__
@@ -854,11 +864,14 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             shutil.rmtree(target_dname)
         start_ping = 0
         group = None
+    elif not os.path.isdir(target_dname):
+        # resume over a survey whose previous run died mid-survey: later
+        # readers have no store yet — treat each as a fresh start (the
+        # memmap path and the reference's append writer both do; raising
+        # here made survey-level resume impossible after a crash)
+        start_ping = 0
+        group = None
     else:
-        if not os.path.isdir(target_dname):
-            raise FileNotFoundError(
-                f"Cannot resume: no existing prediction directory at "
-                f"{target_dname}")
         group = ZGroup.open(target_dname)
         # save_labels must match the existing store: creating "labels"
         # mid-stream would misalign its rows with ping_time by
@@ -925,7 +938,11 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
             group.create_array(
                 "labels", (0, n_range),
                 (_ping_chunk(preload_n_pings), n_range),
-                np.float16, fill_value=0, dims=["ping_time", "range"],
+                # f32: raw category codes (this export's values — the
+                # reference's own save_labels path is dead code, so the
+                # semantics are ours) include 4-digit LSSS codes that
+                # exceed f16's exact-integer range
+                np.float32, fill_value=0, dims=["ping_time", "range"],
                 compressor="blosc-zstd")
         group["annotation"].append(pred, axis=1)
         if save_labels and lab is not None:

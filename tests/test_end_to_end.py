@@ -352,3 +352,25 @@ def test_random_dataset_accepts_64bit_resume_seed():
     ds_none = RandomPatchDataset([object()], (8, 8), [38], seed=None)
     assert isinstance(a, (int, np.integer))
     assert ds_none.rng is not None
+
+
+def test_resume_missing_store_starts_fresh(trained, zarr_root, tmp_path):
+    """resume_writing=True over a reader whose store was never created
+    (a prior run died mid-survey before reaching it) must start fresh —
+    raising made survey-level resume impossible (review finding)."""
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    cfg2 = dict(cfg, data_mode="zarr", path_to_zarr_files=zarr_root)
+    runner = GriddedRunner(build_unet(cfg2), variables, cfg2)
+    reader = make_partition(cfg2).get_survey_readers(2017)[0]
+
+    fresh = str(tmp_path / "fresh_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, fresh, preload_n_pings=60)
+    resumed = str(tmp_path / "missing_pred.zarr")  # does not exist
+    save_survey_predictions_zarr(runner, reader, resumed,
+                                 preload_n_pings=60, resume_writing=True)
+    a, b = ZGroup.open(fresh), ZGroup.open(resumed)
+    np.testing.assert_array_equal(a["annotation"][:], b["annotation"][:])
+    np.testing.assert_array_equal(a["ping_time"][:], b["ping_time"][:])

@@ -516,3 +516,68 @@ def test_reader_opens_real_xarray_conventions(tmp_path):
     assert sorted({str(s) for s in xr_reader.raw_file_included}) == \
         sorted({s.decode() if isinstance(s, bytes) else str(s)
                 for s in native.raw_file_included})
+
+
+def test_labels_export_holds_large_category_codes(tmp_path):
+    """The labels export carries RAW category codes; real LSSS surveys
+    use 4-digit codes (e.g. 6009) that exceed float16's exact-integer
+    range — the store must hold them exactly (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (
+        GriddedRunner, save_survey_predictions_zarr)
+
+    sv = make_zarr_survey(tmp_path, year=2021, n_echograms=1, H=60,
+                          W=80, seed=8)
+    # rewrite the sandeel category code to a 4-digit LSSS code
+    lab_store = ZGroup.open(str(sv).replace("_sv.zarr", "_labels.zarr"))
+    cats = lab_store["category"][:]
+    cats[cats == 27] = 6009
+    lab_store["category"][:] = cats
+
+    r = DataReaderZarr(sv)
+    assert 6009 in r.fish_categories
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    runner = GriddedRunner(model, v, cfg)
+    out = str(tmp_path / "pred.zarr")
+    save_survey_predictions_zarr(runner, r, out, preload_n_pings=80,
+                                 save_labels=True)
+    labels = ZGroup.open(out)["labels"]
+    assert labels.dtype == np.float32
+    vals = labels[:]
+    assert (vals == 6009).any()          # exact, not 6008
+    assert not ((vals > 6000) & (vals != 6009)).any()
+
+
+def test_slab_mode_does_not_count_grid_patches(tmp_path):
+    """patches_processed feeds MFU accounting for the PATCH forward;
+    slab mode runs one whole-slab conv and must not inflate the counter
+    (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    sv = make_zarr_survey(tmp_path, year=2021, n_echograms=1, H=64,
+                          W=96, seed=3)
+    r = DataReaderZarr(sv)
+    base = {"patch_size": [32, 32], "patch_overlap": 4,
+            "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+            "depth": 2, "start_filts": 4}
+    model = build_unet(base)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+    patch_runner = GriddedRunner(model, v, dict(base, infer_mode="patch"))
+    list(predict_reader(patch_runner, r, 96))
+    assert patch_runner.patches_processed > 0
+    slab_runner = GriddedRunner(model, v, dict(base, infer_mode="slab"))
+    list(predict_reader(slab_runner, r, 96))
+    assert slab_runner.patches_processed == 0

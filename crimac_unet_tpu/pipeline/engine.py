@@ -60,18 +60,25 @@ def make_optimizer(config: dict) -> optax.GradientTransformation:
                      momentum=float(config["momentum"]))
 
 
-def init_train_state(model: UNet, config: dict, rng) -> TrainState:
+def init_train_state(model: UNet, config: dict, rng,
+                     variables=None) -> TrainState:
+    """Fresh TrainState at step 0. ``variables`` seeds params/batch_stats
+    from imported weights (e.g. a reference ``.pt`` via
+    ``load_model_params``) instead of random init — the optimizer state
+    (SGD momentum traces) starts at zeros either way."""
     from ..data.meta_channels import get_in_channels
-    wh, ww = config["patch_size"]
-    in_ch = len(config["frequencies"])
-    n_meta = get_in_channels(config.get("meta_channels"))
-    meta = None
-    if model.late_meta_inject:
-        meta = jnp.zeros((1, wh, ww, n_meta), jnp.float32)
-    else:
-        in_ch += n_meta  # early injection concatenates before the encoder
-    x = jnp.zeros((1, wh, ww, in_ch), jnp.float32)
-    variables = model.init(rng, x, meta=meta, train=False)
+    if variables is None:
+        wh, ww = config["patch_size"]
+        in_ch = len(config["frequencies"])
+        n_meta = get_in_channels(config.get("meta_channels"))
+        meta = None
+        if model.late_meta_inject:
+            meta = jnp.zeros((1, wh, ww, n_meta), jnp.float32)
+        else:
+            # early injection concatenates before the encoder
+            in_ch += n_meta
+        x = jnp.zeros((1, wh, ww, in_ch), jnp.float32)
+        variables = model.init(rng, x, meta=meta, train=False)
     tx = make_optimizer(config)
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"],
@@ -348,14 +355,19 @@ def save_checkpoint(path, state_or_vars, extras=None) -> None:
     d = os.path.dirname(path)
     if d:  # bare cwd-relative filenames: makedirs("") raises
         os.makedirs(d, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(payload)))
-    os.replace(tmp, path)
+    # sidecar FIRST: a crash between the two replaces must pair the OLD
+    # checkpoint with the NEW (>= actual) best_f1 high-water mark, which
+    # is conservative — the reverse order paired a new checkpoint with a
+    # stale LOW best_f1, letting a post-resume validation overwrite
+    # best.msgpack with a worse-than-best model
     if extras is not None:
         with open(path + ".json.tmp", "w") as f:
             json.dump(extras, f)
         os.replace(path + ".json.tmp", path + ".json")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(payload)))
+    os.replace(tmp, path)
 
 
 def load_checkpoint_extras(path) -> dict:

@@ -84,10 +84,11 @@ class SegPipeUNet:
         return self
 
     # ----------------------------------------------------------- lifecycle
-    def init_model(self, seed=None):
+    def init_model(self, seed=None, variables=None):
         rng = jax.random.PRNGKey(int(self.config.get("random_seed", 10))
                                  if seed is None else seed)
-        self.state = engine.init_train_state(self.model, self.config, rng)
+        self.state = engine.init_train_state(self.model, self.config, rng,
+                                             variables=variables)
         if len(self.mesh.devices.ravel()) > 1:
             self.state = replicate_tree(self.mesh, self.state)
         return self.state
@@ -145,10 +146,16 @@ class SegPipeUNet:
         """
         resuming = self.state is not None and int(self.state.step) > 0
         if self.state is None:
-            self.init_model()
+            # weights imported via load_model_params (e.g. a reference
+            # .pt) seed training from step 0 — the reference trains from
+            # its loaded module the same way; silently random-initializing
+            # discarded the import (review finding)
+            self.init_model(variables=getattr(self, "variables", None))
         if not resuming and self.checkpoint_dir is not None and \
-                (self.checkpoint_dir / "last.msgpack").exists():
-            # overwrite protection must survive python -O
+                any((self.checkpoint_dir / n).exists()
+                    for n in ("last.msgpack", "best.msgpack")):
+            # overwrite protection must survive python -O; best.msgpack
+            # alone exists after a crash before the first periodic save
             raise FileExistsError(
                 f"model already exists at {self.checkpoint_dir}")
         start = int(self.state.step)  # 0 unless resumed (resume_from)
@@ -193,6 +200,10 @@ class SegPipeUNet:
             i += 1  # global step index (continues across resumes)
             key, sub = jax.random.split(key)
             if "ech_idx" in batch:  # pooled: on-device crop gather
+                if self._train_step_pooled is None:
+                    raise ValueError(
+                        "pooled batch (has 'ech_idx') but attach_pool() "
+                        "was never called on this SegPipeUNet")
                 self.state, loss = self._train_step_pooled(
                     self.state, self.pool.data, self.pool.labels,
                     batch["ech_idx"], batch["starts"], sub)
@@ -240,22 +251,29 @@ class SegPipeUNet:
         hist64 = np.zeros((2, M.N_F16_BINS), np.int64)
         acc_px = 0
         losses = []
-        for batch in test_batches:
+        # same sharded device-prefetch as the training loop: without it a
+        # multi-device mesh ran validation single-placement with
+        # synchronous per-batch transfers (review finding)
+        sharding = (batch_sharding(self.mesh)
+                    if len(self.mesh.devices.ravel()) > 1 else None)
+        for batch in device_prefetch(test_batches, sharding, depth=2):
             if "ech_idx" in batch:  # pooled: on-device crop gather
+                if self._eval_step_pooled is None:
+                    raise ValueError(
+                        "pooled validation batch (has 'ech_idx') but "
+                        "attach_pool_val() was never called on this "
+                        "SegPipeUNet")
                 hist, loss = self._eval_step_pooled(
                     self.state.params, self.state.batch_stats, hist,
                     self.pool_val.data, self.pool_val.labels,
-                    jnp.asarray(batch["ech_idx"]),
-                    jnp.asarray(batch["starts"]),
-                    jnp.asarray(batch["seabed_row"]),
-                    overlap=0, with_loss=True)
+                    batch["ech_idx"], batch["starts"],
+                    batch["seabed_row"], overlap=0, with_loss=True)
             else:
                 args = [self.state.params, self.state.batch_stats, hist,
-                        jnp.asarray(batch["data"]),
-                        jnp.asarray(batch["labels"]),
-                        jnp.asarray(batch["seabed_row"])]
+                        batch["data"], batch["labels"],
+                        batch["seabed_row"]]
                 if "meta" in batch:
-                    args.append(jnp.asarray(batch["meta"]))
+                    args.append(batch["meta"])
                 hist, loss = self._eval_step(*args, overlap=0,
                                              with_loss=True)
             losses.append(loss)

@@ -374,3 +374,63 @@ def test_resume_missing_store_starts_fresh(trained, zarr_root, tmp_path):
     a, b = ZGroup.open(fresh), ZGroup.open(resumed)
     np.testing.assert_array_equal(a["annotation"][:], b["annotation"][:])
     np.testing.assert_array_equal(a["ping_time"][:], b["ping_time"][:])
+
+
+def test_train_model_seeds_from_imported_weights(trained, tmp_path):
+    """load_model_params -> train_model must train FROM the imported
+    weights (the reference trains from its loaded module); it used to
+    silently random-init and discard the import (review finding)."""
+    from crimac_unet_tpu.pipeline.segpipe import SegPipeUNet
+    cfg, ckpt_dir, _ = trained
+    sp = SegPipeUNet(dict(cfg), checkpoint_dir=tmp_path / "seeded")
+    sp.load_model_params(ckpt_dir / "best.msgpack")
+    imported = sp.variables["params"]
+    sp.train_model([], lambda: [])  # zero iterations: state == seed
+    got = sp.state.params
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(imported),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(sp.state.step) == 0  # fresh optimizer/step
+
+
+def test_overwrite_guard_covers_best_only_dirs(trained, tmp_path):
+    """A crashed first run can leave best.msgpack with no last.msgpack
+    (checkpoint_every=0); restarting in that dir must refuse, not
+    clobber the best checkpoint (review finding)."""
+    import shutil
+    from crimac_unet_tpu.pipeline.segpipe import SegPipeUNet
+    cfg, ckpt_dir, _ = trained
+    d = tmp_path / "crashed"
+    d.mkdir()
+    shutil.copy(ckpt_dir / "best.msgpack", d / "best.msgpack")
+    sp = SegPipeUNet(dict(cfg), checkpoint_dir=d)
+    with pytest.raises(FileExistsError):
+        sp.train_model([], lambda: [])
+
+
+def test_sidecar_written_before_checkpoint(trained, tmp_path, monkeypatch):
+    """A crash between the sidecar and main-file replaces must pair the
+    OLD checkpoint with the NEW (conservative) best_f1 — never a new
+    checkpoint with a stale low best_f1 (review finding)."""
+    import os as _os
+    from crimac_unet_tpu.pipeline import engine
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    tgt = tmp_path / "ck.msgpack"
+    engine.save_checkpoint(tgt, payload, extras={"best_f1": 0.1})
+
+    real_replace = _os.replace
+
+    def crash_on_main(src, dst):
+        if str(dst).endswith(".msgpack"):
+            raise OSError("injected crash before checkpoint replace")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(engine.os, "replace", crash_on_main)
+    with pytest.raises(OSError):
+        engine.save_checkpoint(tgt, payload, extras={"best_f1": 0.9})
+    monkeypatch.setattr(engine.os, "replace", real_replace)
+    # sidecar advanced (conservative), checkpoint intact
+    assert engine.load_checkpoint_extras(tgt)["best_f1"] == 0.9
+    assert load_checkpoint(tgt)["params"] is not None

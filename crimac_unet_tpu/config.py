@@ -104,17 +104,21 @@ def get_argparse_parser(mode: str = "train") -> argparse.ArgumentParser:
                             required=True)
         parser.add_argument("--save_model_params", action="store_true",
                             default=False)
+        # OUTPUT paths resolve non-strict: the entry points makedirs them
+        # (evaluate.py/save_predict.py); strict=True made a fresh output
+        # root die in argparse with a raw FileNotFoundError (inputs like
+        # --checkpoint_path stay strict — they must exist)
         if mode == "eval":
             parser.add_argument("--save_path_metrics", dest="save_path_metrics",
-                                type=lambda p: Path(p).resolve(strict=True),
+                                type=lambda p: Path(p).resolve(),
                                 required=True)
             parser.add_argument("--save_path_plot", dest="save_path_plot",
-                                type=lambda p: Path(p).resolve(strict=True),
+                                type=lambda p: Path(p).resolve(),
                                 required=True)
         else:
             parser.add_argument("--save_predictions_path",
                                 dest="save_predictions_path",
-                                type=lambda p: Path(p).resolve(strict=True),
+                                type=lambda p: Path(p).resolve(),
                                 required=True)
     return parser
 

@@ -54,13 +54,16 @@ def main():
     for k, v in paths.items():
         print(f"  {k}: {v}")
 
-    config = parse_config_options(load_yaml_config(paths["config"])
-                                  if paths["config"] else {}, None)
+    raw_yaml = load_yaml_config(paths["config"]) if paths["config"] else {}
+    config = parse_config_options(raw_yaml, None)
     fix_seeds(config["random_seed"])
 
     reader = DataReaderZarr(paths["sv"])
     # zarr production data stores Hz; configs use kHz (dockerscript.py:58-60)
-    if all(f > 10000 for f in reader.frequencies):
+    # — the len guard keeps a malformed empty frequency coordinate from
+    # vacuously triggering the conversion and masking the real error
+    if len(reader.frequencies) and all(f > 10000
+                                       for f in reader.frequencies):
         config["frequencies"] = [f * 1000 for f in config["frequencies"]]
 
     payload = load_checkpoint(paths["model"])
@@ -68,12 +71,19 @@ def main():
                  "batch_stats": payload["batch_stats"]}
     runner = GriddedRunner(build_unet(config), variables, config)
 
+    # container output contract: the reference dockerscript writes ONLY
+    # predictions.  save_labels defaults True in the shared config
+    # schema, so honor it here only when the mounted YAML sets the key
+    # EXPLICITLY — an implicit default must not grow the production
+    # store an extra array (and break resumes of label-less stores)
+    save_labels = ("save_labels" in raw_yaml
+                   and should_save_labels(config, reader))
     save_survey_predictions_zarr(
         runner, reader, paths["target"],
         preload_n_pings=config["preload_n_pings"],
         resume_writing=config["resume_writing"],
         model_name="docker", progress=True,
-        save_labels=should_save_labels(config, reader))
+        save_labels=save_labels)
     print(f"Executed time (hours): {(time.time() - start) / 3600:.2f}")
 
 

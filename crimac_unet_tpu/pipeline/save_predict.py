@@ -26,6 +26,12 @@ from .inference import (GriddedRunner, save_reader_predictions_memm,
 
 def run_save_predictions(config, runner, data_obj, predictions_dir,
                          progress=False):
+    if not config.get("save_prediction_surveys"):
+        # an empty survey list used to exit 0 with only a timer report —
+        # reading as a completed prediction run that wrote nothing
+        print("WARNING: save_prediction_surveys is empty — nothing to "
+              "predict; set it in the YAML (year numbers, e.g. [2017])")
+        return
     for survey in config["save_prediction_surveys"]:
         readers = data_obj.get_survey_readers(survey)
         print(f"Saving predictions for survey {survey}, "

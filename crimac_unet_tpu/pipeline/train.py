@@ -50,13 +50,17 @@ def make_datasets(config, data_obj):
     return train_factory, test_factory, readers_train, readers_test
 
 
-def maybe_build_pool(config, readers_train, budget_mb=None):
+def maybe_build_pool(config, readers_train, budget_mb=None, role="train"):
     """HBM-resident sample pool when enabled and within the HBM budget.
 
     ``use_device_pool``: ``"auto"`` (default) pools whenever the train
     readers fit ``device_pool_budget_mb`` (default 2048); ``True`` forces
     pooling (raises if impossible); ``False`` keeps host crops.  Metadata
-    runs always use host crops (meta channels are host-derived)."""
+    runs always use host crops (meta channels are host-derived).
+    ``role``: 'train' (forced mode raises when over budget) or
+    'validation' (always falls back to host crops — the forced train
+    pool is already satisfied, and the remaining-budget gate must not
+    kill a satisfiable run)."""
     from ..data import device_pool as dp
     mode = config.get("use_device_pool", "auto")
     if not mode or config.get("meta_channels"):
@@ -69,9 +73,11 @@ def maybe_build_pool(config, readers_train, budget_mb=None):
         budget_mb = config.get("device_pool_budget_mb", 2048)
     if not dp.fits_budget(readers_train, freqs, window, budget_mb):
         mb = dp.pool_bytes(readers_train, freqs, window) / 2 ** 20
-        if mode == "auto":
-            print(f"device pool would need {mb:.0f} MB > budget; "
-                  f"training from host crops")
+        if mode == "auto" or role != "train":
+            print(f"{role} device pool would need {mb:.0f} MB > "
+                  f"{budget_mb:.0f} MB available (device_pool_budget_mb="
+                  f"{config.get('device_pool_budget_mb', 2048)}); "
+                  f"{role} uses host crops")
             return None
         # forced mode: fail loudly with the numbers instead of letting
         # the upload die minutes later in an opaque XLA
@@ -115,7 +121,8 @@ def run_training(config, checkpoint_dir, experiment_name=None,
                                     sorted(config["frequencies"]),
                                     tuple(config["patch_size"])) / 2 ** 20)
     pool_val = maybe_build_pool(config, readers_test,
-                                budget_mb=max(budget, 0))
+                                budget_mb=max(budget, 0),
+                                role="validation")
     if pool_val is not None:
         base_test_factory = test_factory
 
@@ -193,6 +200,7 @@ def main(argv=None):
                         global_step=0)
         shutil.copy(args.yaml_path, log_dir)
     except Exception as exc:  # TB optional
+        logger = None  # a half-initialized writer must not half-log
         print(f"TensorBoard logging disabled: {exc}")
 
     print("Data mode:", config["data_mode"])

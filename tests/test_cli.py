@@ -110,3 +110,48 @@ def test_selfcheck_cli(tmp_path):
                  "end-to-end predict"):
         assert name in out, out
     assert "[FAIL]" not in out
+
+
+def test_output_paths_may_not_exist_yet(tmp_path):
+    """Output-path CLI args resolve non-strict; the entry points
+    makedirs them (a fresh output root used to die inside argparse with
+    a raw FileNotFoundError — review finding)."""
+    from crimac_unet_tpu.config import get_argparse_parser
+    p = get_argparse_parser("eval")
+    args = p.parse_args(["--yaml_path", __file__,
+                         "--checkpoint_path", __file__,
+                         "--save_path_metrics", str(tmp_path / "m" / "x"),
+                         "--save_path_plot", str(tmp_path / "p" / "y")])
+    assert str(args.save_path_metrics).endswith("x")
+    p2 = get_argparse_parser("save_predict")
+    args2 = p2.parse_args(["--yaml_path", __file__,
+                           "--checkpoint_path", __file__,
+                           "--save_predictions_path",
+                           str(tmp_path / "fresh_preds")])
+    assert str(args2.save_predictions_path).endswith("fresh_preds")
+
+
+def test_validation_pool_falls_back_even_when_forced(capsys):
+    """A forced train pool that fits must not be killed by a validation
+    pool that exceeds the REMAINING budget — role='validation' falls
+    back to host crops with an accurate message (review finding)."""
+    from crimac_unet_tpu.pipeline.train import maybe_build_pool
+
+    class FatReader:
+        data_format = "memmap"
+        shape = (4000, 200000)  # ~3 GB/freq at f32
+
+        def get_seabed(self, *a, **k):
+            raise AssertionError("pool should not be built")
+
+    cfg = {"use_device_pool": True, "device_pool_budget_mb": 100,
+           "patch_size": [256, 256], "frequencies": [18, 38, 120, 200]}
+    got = maybe_build_pool(cfg, [FatReader()], budget_mb=10,
+                           role="validation")
+    assert got is None
+    out = capsys.readouterr().out
+    assert "validation" in out and "host crops" in out
+    # the train role still raises loudly in forced mode
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="device_pool_budget_mb"):
+        maybe_build_pool(cfg, [FatReader()], budget_mb=10, role="train")

@@ -45,11 +45,9 @@ def seabed_patch_row(reader, center, window) -> np.ndarray:
     if hi <= lo:
         return out
     sb = np.asarray(reader.get_seabed(lo, hi - lo)).astype(np.int64)
-    valid = np.ones(hi - lo, dtype=bool)
     sy0 = max(y0, 0)
+    valid = np.asarray(reader.seabed_known(lo, hi - lo))
     if reader.data_format == "zarr":
-        if getattr(reader, "_seabed_has", None) is not None:
-            valid = reader._seabed_has[lo:hi]
         # zarr pads by shifting the *sliced* bottom mask down
         # (data_reader.py:841-846): threshold = max(seabed, patch_top)+pad
         thresh = np.maximum(sb, sy0) + SEABED_PAD

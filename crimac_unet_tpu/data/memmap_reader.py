@@ -218,6 +218,14 @@ class Echogram:
             return self._seabed
         return self._seabed[idx_ping:idx_ping + n_pings]
 
+    def seabed_known(self, idx_ping=0, n_pings=None) -> np.ndarray:
+        """Memmap counterpart of ``DataReaderZarr.seabed_known``: the
+        gradient estimator always produces a row per ping, so every ping
+        has a seabed estimate."""
+        total = self.shape[1]
+        n = (total - idx_ping) if n_pings is None else n_pings
+        return np.ones(max(n, 0), dtype=bool)
+
     def get_seabed_mask(self, idx_ping=0, n_pings=None, idx_range=None,
                         n_range=None, seabed_pad=0):
         """(n_range, n_pings) 0/1 mask, 1 below the (padded) seabed line

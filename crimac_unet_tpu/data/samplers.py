@@ -306,9 +306,8 @@ class Gridded:
             # surveys) count as full-water-column, like the pipeline grid
             # (review finding r3: the raw zero vector capped the grid at
             # ~50 rows)
-            has = getattr(reader, "_seabed_has", None)
-            if has is not None:
-                sb = np.where(has, sb, n_range)
+            has = np.asarray(reader.seabed_known(0, n_pings))
+            sb = np.where(has, sb, n_range)
             end_range = int(min(sb.max() + 50, n_range))
             ys = grid_centers(0, end_range, window_size[0], patch_overlap)
             xs = grid_centers(0, n_pings, window_size[1], patch_overlap)

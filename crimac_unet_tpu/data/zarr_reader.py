@@ -95,6 +95,8 @@ class DataReaderZarr:
         self.objects_df = None
         self._seabed_vec = None  # full-survey seabed cache (fast path)
         self._seabed_has = None
+        import threading
+        self._seabed_scan_lock = threading.Lock()
 
     # ------------------------------------------------------------- indices
     def get_ping_index(self, ping_time) -> int:
@@ -145,6 +147,8 @@ class DataReaderZarr:
             if np.isscalar(frequencies):
                 frequencies = [frequencies]
             freq_idx = [self._freq_index(f) for f in frequencies]
+        if not freq_idx:
+            raise ValueError("frequencies is empty — nothing to read")
         ping_sl = slice(idx_ping, None if n_pings is None
                         else idx_ping + n_pings)
         rng_sl = self._range_slice(idx_range, n_range)
@@ -171,6 +175,8 @@ class DataReaderZarr:
         if np.isscalar(frequencies):
             frequencies = [frequencies]
         freq_idx = [self._freq_index(f) for f in frequencies]
+        if not freq_idx:
+            raise ValueError("frequencies is empty — nothing to read")
         if freq_idx == list(range(freq_idx[0],
                                   freq_idx[0] + len(freq_idx))):
             ping_sl = slice(idx_ping, None if n_pings is None
@@ -245,6 +251,15 @@ class DataReaderZarr:
                 "seabed masks are unavailable for this survey")
         seabed_slice = np.nan_to_num(
             self.seabed["bottom_range"][ping_sl, rng_sl], nan=0.0)
+        if seabed_pad < 0:
+            # the reference's pad shift (data_reader.py:841-846, marked
+            # 'TODO write for negative and positive padding?') silently
+            # mangles negative pads — copying the TOP range rows into the
+            # window bottom; refuse loudly instead of reproducing garbage
+            raise ValueError(
+                f"seabed_pad must be >= 0 (got {seabed_pad}): negative "
+                "pads are unsupported by the reference mask-shift "
+                "formulation")
         if seabed_pad != 0:
             pad = np.zeros_like(seabed_slice)
             pad[:, seabed_pad:] = seabed_slice[:, :-seabed_pad]
@@ -260,35 +275,59 @@ class DataReaderZarr:
         the full bottom mask of a real survey (10^5-10^6 pings x ~4k range
         float32) is 1.6-16 GB and must never be materialized at once; only
         the (n_pings,) int vector is kept."""
-        if self._seabed_vec is None and self.seabed is None:
+        if self._seabed_vec is None:
+            # double-checked lock: prefetch threads hit a fresh reader
+            # concurrently — without it each duplicated the multi-GB
+            # scan, and the vec/has pair could be observed half-published
+            with self._seabed_scan_lock:
+                if self._seabed_vec is None:
+                    self._seabed_scan()
+        if n_pings is None:
+            return self._seabed_vec[idx_ping:]
+        return self._seabed_vec[idx_ping:idx_ping + n_pings]
+
+    def _seabed_scan(self) -> None:
+        """Fill the full-survey seabed caches (holding _seabed_scan_lock).
+        ``_seabed_has`` is assigned BEFORE ``_seabed_vec`` — consumers
+        gate on vec being present, so the pair is never seen half-set."""
+        if self.seabed is None:
             # degraded no-bottom-store mode: every ping reports "no
-            # seabed" (consumers map _seabed_has=False to BIG_ROW — no
+            # seabed" (consumers map seabed_known=False to BIG_ROW — no
             # seabed masking anywhere), instead of crashing every
             # pipeline entry on a survey missing its _bottom.zarr
             print(f"WARNING: {self.name}: no _bottom.zarr — treating "
                   "the survey as seabed-free")
-            self._seabed_vec = np.zeros(self.shape[0], dtype=int)
             self._seabed_has = np.zeros(self.shape[0], dtype=bool)
+            self._seabed_vec = np.zeros(self.shape[0], dtype=int)
+            return
+        total, width = self.shape
+        vec = np.empty(total, dtype=int)
+        has = np.empty(total, dtype=bool)
+        bot = self.seabed["bottom_range"]
+        # ~64 MB float32 per read, aligned to the store's ping chunking
+        step = max(1, _SEABED_READ_ELEMS // max(1, width))
+        store_chunk = bot.chunks[0] if getattr(bot, "chunks", None) \
+            else None
+        if store_chunk:
+            step = max(store_chunk, (step // store_chunk) * store_chunk)
+        for s in range(0, total, step):
+            m = np.nan_to_num(bot[s:s + step, :], nan=0.0)
+            vec[s:s + len(m)] = m.argmax(axis=1)
+            has[s:s + len(m)] = m.max(axis=1) > 0  # pings w/o seabed
+        self._seabed_has = has
+        self._seabed_vec = vec
+
+    def seabed_known(self, idx_ping=0, n_pings=None) -> np.ndarray:
+        """Public per-ping "has a seabed estimate" vector (same slicing
+        as ``get_seabed``): False marks pings whose bottom store carries
+        no positive sample (or the whole survey in degraded
+        no-bottom-store mode) — consumers treat those as full water
+        column instead of a spurious row-0 seabed."""
         if self._seabed_vec is None:
-            total, width = self.shape
-            vec = np.empty(total, dtype=int)
-            has = np.empty(total, dtype=bool)
-            bot = self.seabed["bottom_range"]
-            # ~64 MB float32 per read, aligned to the store's ping chunking
-            step = max(1, _SEABED_READ_ELEMS // max(1, width))
-            store_chunk = bot.chunks[0] if getattr(bot, "chunks", None) \
-                else None
-            if store_chunk:
-                step = max(store_chunk, (step // store_chunk) * store_chunk)
-            for s in range(0, total, step):
-                m = np.nan_to_num(bot[s:s + step, :], nan=0.0)
-                vec[s:s + len(m)] = m.argmax(axis=1)
-                has[s:s + len(m)] = m.max(axis=1) > 0  # pings w/o seabed
-            self._seabed_vec = vec
-            self._seabed_has = has
+            self.get_seabed(0, 1)  # triggers the locked full scan
         if n_pings is None:
-            return self._seabed_vec[idx_ping:]
-        return self._seabed_vec[idx_ping:idx_ping + n_pings]
+            return self._seabed_has[idx_ping:]
+        return self._seabed_has[idx_ping:idx_ping + n_pings]
 
     # -------------------------------------------------------------- objects
     def get_objects_file(self):
@@ -330,7 +369,16 @@ class DataReaderZarr:
             df["valid_object"] = np.asarray(
                 (df["startpingindex"] <= df["endpingindex"])
                 & (df["category"] != -1), dtype=bool)
-        df.to_csv(parsed)
+        # atomic cache publish, like seabed.npy / labels_heave.dat: a
+        # concurrent process reading a half-written CSV would silently
+        # change its sampling distribution (unique temp name — two
+        # writers sharing one .tmp would interleave)
+        import tempfile
+        fd, tmp = tempfile.mkstemp(dir=self.path,
+                                   suffix=".objects_parsed.tmp.csv")
+        os.close(fd)
+        df.to_csv(tmp)
+        os.replace(tmp, parsed)
         self.objects_df = df
         return df
 
@@ -407,10 +455,8 @@ class DataReaderZarr:
     def crop_data(self, center, window, frequencies):
         """(C, H=range, W=ping) float32 crop in patch orientation with
         boundary fill + nan scrub (reference batch/dataset.py:358-407)."""
-        # crop-origin convention shared with utils/grids.crop_bounds
-        y0 = int(center[0]) - (window[0] + 1) // 2 + 1
-        x0 = int(center[1]) - (window[1] + 1) // 2 + 1
-        y1, x1 = y0 + window[0], x0 + window[1]
+        from ..utils.grids import crop_bounds
+        (y0, x0), (y1, x1) = crop_bounds(center, window)
         n_pings, n_range = self.shape
         cy0, cy1 = max(y0, 0), min(y1, n_range)
         cx0, cx1 = max(x0, 0), min(x1, n_pings)
@@ -424,9 +470,8 @@ class DataReaderZarr:
         return out
 
     def crop_labels(self, center, window):
-        y0 = int(center[0]) - (window[0] + 1) // 2 + 1
-        x0 = int(center[1]) - (window[1] + 1) // 2 + 1
-        y1, x1 = y0 + window[0], x0 + window[1]
+        from ..utils.grids import crop_bounds
+        (y0, x0), (y1, x1) = crop_bounds(center, window)
         n_pings, n_range = self.shape
         cy0, cy1 = max(y0, 0), min(y1, n_range)
         cx0, cx1 = max(x0, 0), min(x1, n_pings)
@@ -466,8 +511,14 @@ def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
     readers = [r for r in readers
                if all(any((r.frequencies == f) | (r.frequencies == f * 1000))
                       for f in frequencies)]
+    # the reference requires both sandeel+other categories
+    # (data_reader.py:1144) — kept for annotated surveys; surveys with
+    # NO annotation store pass through so the degraded prediction-only
+    # mode (production mounts shipping just _sv.zarr, which the
+    # reference cannot even open) stays reachable via the partition path
     readers = [r for r in readers
-               if all(cat in r.fish_categories for cat in (27, 1))]
+               if r.annotation is None
+               or all(cat in r.fish_categories for cat in (27, 1))]
     # small-survey filter (parity with get_echograms' minimum_shape:
     # surveys smaller than the patch in either axis would train on
     # mostly boundary fill); previously accepted but never applied

@@ -618,9 +618,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     splits = get_data_split([[start_ping, n_pings]], chunk)
 
     seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
-    seabed_has = getattr(reader, "_seabed_has", None)
-    if seabed_has is None:
-        seabed_has = np.ones(n_pings, dtype=bool)
+    seabed_has = np.asarray(reader.seabed_known(0, n_pings))
 
     it = splits
     if progress:
@@ -1029,9 +1027,7 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         n_range, n_pings = reader.shape
 
     seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
-    seabed_has = getattr(reader, "_seabed_has", None)
-    if seabed_has is None:
-        seabed_has = np.ones(n_pings, dtype=bool)
+    seabed_has = np.asarray(reader.seabed_known(0, n_pings))
     sb_abs = np.where(seabed_has, seabed_full, BIG_ROW).astype(np.int64)
 
     # pings without a seabed estimate count as full-water-column for the

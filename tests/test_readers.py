@@ -581,3 +581,89 @@ def test_slab_mode_does_not_count_grid_patches(tmp_path):
     slab_runner = GriddedRunner(model, v, dict(base, infer_mode="slab"))
     list(predict_reader(slab_runner, r, 96))
     assert slab_runner.patches_processed == 0
+
+
+def test_seabed_known_public_api(zarr_sv_path, survey_dir, tmp_path):
+    """seabed_known is the public per-ping 'has a seabed estimate'
+    accessor on BOTH readers (consumers used to reach into the zarr
+    reader's private cache; the memmap reader had no equivalent)."""
+    r = DataReaderZarr(zarr_sv_path)
+    known = r.seabed_known(0, None)
+    assert known.dtype == bool and known.shape == (r.shape[0],)
+    assert known.any()
+    np.testing.assert_array_equal(r.seabed_known(5, 10), known[5:15])
+
+    e = get_echograms(years=[2017], path_to_echograms=str(survey_dir),
+                      minimum_shape=50)[0]
+    ek = e.seabed_known(0, None)
+    assert ek.all() and ek.shape == (e.shape[1],)
+
+    # degraded no-bottom-store survey: every ping reports unknown
+    import shutil
+    sv = make_zarr_survey(tmp_path, year=2019, n_echograms=1, H=50, W=60,
+                          seed=2)
+    shutil.rmtree(str(sv).replace("_sv.zarr", "_bottom.zarr"))
+    r2 = DataReaderZarr(sv)
+    assert not r2.seabed_known(0, None).any()
+
+
+def test_seabed_scan_runs_once_across_threads(tmp_path):
+    """Concurrent first-touch from prefetch threads must run the
+    multi-GB bottom scan exactly once (review finding)."""
+    import threading
+    sv = make_zarr_survey(tmp_path, year=2019, n_echograms=1, H=50, W=80,
+                          seed=4)
+    r = DataReaderZarr(sv)
+    calls = []
+    orig = DataReaderZarr._seabed_scan
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    DataReaderZarr._seabed_scan = counting
+    try:
+        threads = [threading.Thread(target=lambda: r.get_seabed(0, 10))
+                   for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        DataReaderZarr._seabed_scan = orig
+    assert len(calls) == 1
+    assert r.seabed_known(0, 10).shape == (10,)
+
+
+def test_negative_seabed_pad_rejected(zarr_sv_path):
+    """The reference's pad shift mangles negative pads (its own TODO);
+    we refuse loudly instead of reproducing garbage."""
+    r = DataReaderZarr(zarr_sv_path)
+    with pytest.raises(ValueError, match="seabed_pad"):
+        r.get_seabed_mask(0, 10, seabed_pad=-3)
+
+
+def test_empty_frequency_list_rejected(zarr_sv_path):
+    r = DataReaderZarr(zarr_sv_path)
+    with pytest.raises(ValueError, match="frequencies is empty"):
+        r.get_data_slice(0, 10, frequencies=[])
+    dst = np.zeros((5, 5, 0), np.float32)
+    with pytest.raises(ValueError, match="frequencies is empty"):
+        r.read_data_into(0, 5, 0, 5, [], dst, np.s_[:, :, :])
+
+
+def test_unannotated_survey_passes_partition_discovery(tmp_path):
+    """A production mount shipping only _sv.zarr must stay reachable via
+    get_zarr_readers for the degraded prediction-only mode (the (27,1)
+    category filter applies to annotated surveys — review finding)."""
+    import shutil
+    make_zarr_survey(tmp_path, year=2018, n_echograms=1, H=80, W=150,
+                     seed=6, layout="nested")
+    gridded = next((tmp_path / "2018").rglob("GRIDDED"))
+    for extra in list(gridded.glob("*_labels.zarr")) + \
+            list(gridded.glob("*_labels.parquet.csv")):
+        shutil.rmtree(extra) if extra.is_dir() else extra.unlink()
+    readers = get_zarr_readers(years=[2018], minimum_shape=64,
+                               path_to_zarr_files=str(tmp_path))
+    assert len(readers) == 1
+    assert readers[0].annotation is None

@@ -25,7 +25,10 @@ from .morphology import DISC_7X7, binary_closing
 BIG_ROW = 10 ** 8  # "no seabed in this column" sentinel for seabed vectors
 
 # None = auto (Pallas kernel on TPU, XLA convs elsewhere); set True/False to
-# force an implementation (tests pin the conv path for scipy oracles).
+# force an implementation. The scipy-oracle tests exercise whichever
+# backend the platform selects (conv on the CPU suite, Pallas under
+# CRIMAC_TEST_TPU=1) and tests/test_pallas_morphology.py pins the two
+# implementations against each other.
 # CAVEAT: the flag is read at TRACE time inside jitted consumers
 # (refine_label_boundary), so it must be set BEFORE the first call for a
 # given shape — toggling later is ignored for already-compiled shapes
@@ -105,6 +108,9 @@ def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
 
     relabel = (~closed) & (labels > 0) & crop_mask
     out = jnp.where(relabel, LABEL_REFINE_BOUNDARY_VAL, labels)
+    # deliberate no-op kept for parity: mirrors the reference's own dead
+    # re-assert (refine_label_boundary.py:103) — relabel requires
+    # labels > 0, so IGNORE pixels already carry their original value
     out = jnp.where(labels == LABEL_IGNORE_VAL, LABEL_IGNORE_VAL, out)
     return jnp.where(any_valid, out, labels)
 

@@ -91,6 +91,15 @@ def pr_curve_from_histogram(hist: np.ndarray) -> dict:
     pos_label=SANDEEL)`` followed by the reference's F1 computation
     (pipeline.py:284-295): thresholds ascending over distinct score values,
     appended (precision=1, recall=0) end point.
+
+    Version note: bit-identical to MODERN sklearn (>=1.x, the installed
+    and executed-parity environment). The reference's pinned
+    scikit-learn==0.24.1 additionally truncated the curve at the first
+    full-recall threshold (``last_ind = tps.searchsorted(tps[-1])``) and
+    returned NaN recall with zero positives — the truncated tail holds
+    recall==1 entries whose precision (and F1) are below the kept
+    boundary entry, so max-F1/best-threshold are unaffected; only the
+    CSV/plot tail length differs (documented in DIVERGENCES.md).
     """
     hist = np.asarray(hist)
     pos, neg = hist[0].astype(np.int64), hist[1].astype(np.int64)

@@ -166,11 +166,24 @@ class MetaPostProcessing(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(32, dtype=self.dtype, name="fc1")(x)
+        # torch Linear default init (kaiming_uniform(a=sqrt(5)) kernel +
+        # U(+-1/sqrt(fan_in)) bias) — the same policy the convs follow;
+        # flax's Dense defaults (lecun_normal, zero bias) would start the
+        # meta path differently from the reference
+        import functools
+
+        def dense(feat, name, fan_in):
+            return nn.Dense(
+                feat, dtype=self.dtype, name=name,
+                kernel_init=conv_kernel_init,
+                bias_init=functools.partial(_bias_init_like_torch,
+                                            fan_in=fan_in))
+
+        x = dense(32, "fc1", x.shape[-1])(x)
         x = nn.relu(x)
-        x = nn.Dense(32, dtype=self.dtype, name="fc2")(x)
+        x = dense(32, "fc2", 32)(x)
         x = nn.relu(x)
-        return nn.Dense(self.out_features, dtype=self.dtype, name="fc3")(x)
+        return dense(self.out_features, "fc3", 32)(x)
 
 
 class UNet(nn.Module):

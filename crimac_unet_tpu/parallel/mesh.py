@@ -72,21 +72,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def checked_put(batch, sharding):
+    """``device_put`` any batch pytree under a leading-axis sharding,
+    with a LOUD divisibility check first — XLA's own error names neither
+    the offending leaf nor the batch. One pytree device_put: jax batches
+    the transfers. Shared by ``shard_batch`` and the device prefetcher
+    (they used to carry two drifting copies of this check)."""
+    import jax.tree_util as jtu
+    mesh = getattr(sharding, "mesh", None)
+    n = (len(mesh.devices.ravel()) if mesh is not None
+         else sharding.num_devices)
+    for path, v in jtu.tree_leaves_with_path(batch):
+        if np.ndim(v) and np.shape(v)[0] % n != 0:
+            raise ValueError(
+                f"batch{jtu.keystr(path)} leading axis {np.shape(v)[0]} "
+                f"is not divisible by the {n}-device mesh")
+    return jax.device_put(batch, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict on the mesh, batch axis sharded.
 
-    Every array's leading axis must be a multiple of the mesh size
-    (checked loudly here — XLA's divisibility error names neither the
-    key nor the batch); callers size their batches to the mesh
-    (SegPipeUNet falls back to single-device otherwise)."""
-    n = len(mesh.devices.ravel())
-    for k, v in batch.items():
-        if np.ndim(v) and np.shape(v)[0] % n != 0:
-            raise ValueError(
-                f"batch['{k}'] leading axis {np.shape(v)[0]} is not "
-                f"divisible by the {n}-device mesh")
-    # one pytree device_put: jax batches the transfers
-    return jax.device_put(dict(batch), batch_sharding(mesh))
+    Every array's leading axis must be a multiple of the mesh size;
+    callers size their batches to the mesh (SegPipeUNet falls back to
+    single-device otherwise)."""
+    return checked_put(dict(batch), batch_sharding(mesh))
 
 
 def replicate_tree(mesh: Mesh, tree):

@@ -23,20 +23,10 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
 
     def put(batch):
         if sharding is not None:
-            # loud divisibility check (XLA's own error names neither the
-            # key nor the batch); mesh size = product of the sharding's
-            # mesh axes
-            n = getattr(sharding, "mesh", None)
-            n = (len(n.devices.ravel())
-                 if n is not None else sharding.num_devices)
-            for k, v in batch.items():
-                d = getattr(v, "ndim", 0)
-                if d and v.shape[0] % n != 0:
-                    raise ValueError(
-                        f"batch['{k}'] leading axis {v.shape[0]} is not "
-                        f"divisible by the {n}-device mesh")
-            # one pytree device_put: jax batches the transfers
-            return jax.device_put(batch, sharding)
+            # shared checked put (parallel/mesh.py) — works for any
+            # batch pytree, not just dicts
+            from .mesh import checked_put
+            return checked_put(batch, sharding)
         return jax.device_put(batch)
 
     it = iter(iterator)

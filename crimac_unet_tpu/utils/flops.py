@@ -89,14 +89,17 @@ def unet_train_step_flops(height: int, width: int, **kw) -> int:
 def compiled_flops(fn, *args, **kwargs) -> float | None:
     """XLA cost-analysis FLOPs of ``jit(fn)(*args)``; None when the backend
     doesn't expose cost analysis."""
+    # lower/compile errors in fn itself must surface — swallowing them
+    # made a broken benchmark indistinguishable from a backend without
+    # cost analysis
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
     try:
-        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost["flops"])
-    except Exception:
-        return None
+    except (KeyError, TypeError, IndexError, NotImplementedError):
+        return None  # backend exposes no cost analysis
 
 
 def mfu(total_flops: float, seconds: float, device=None) -> float | None:

@@ -34,6 +34,7 @@ class PhaseTimer:
         self.counts: dict[str, int] = {}
         self._starts: dict = {}
         self._lock = threading.Lock()
+        self._warned_cross_thread = False
 
     def _key(self, name: str):
         import threading
@@ -48,6 +49,15 @@ class PhaseTimer:
         with self._lock:
             t0 = self._starts.pop(self._key(name), None)
             if t0 is None:
+                # phases are attributed per-thread: stop() on another
+                # thread than start() is a usage bug — say so once
+                # instead of silently recording nothing forever
+                if not self._warned_cross_thread and any(
+                        k[0] == name for k in self._starts):
+                    self._warned_cross_thread = True
+                    print(f"PhaseTimer: stop({name!r}) on a different "
+                          "thread than its start(); phases must "
+                          "start/stop on the same thread")
                 return 0.0
             dt = now - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt

@@ -91,4 +91,6 @@ def random_point_containing(data_length, window_length, point, slack=20,
         # degenerate interval (reference returns the == case only,
         # utils/np.py:32-33; <= also covers windows smaller than 2*slack)
         return high
-    return int(rng.randint(low, high))
+    if hasattr(rng, "randint"):  # RandomState (the reference's RNG style)
+        return int(rng.randint(low, high))
+    return int(rng.integers(low, high))  # modern np.random.Generator

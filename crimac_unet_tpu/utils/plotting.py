@@ -67,20 +67,26 @@ def visualize_echogram(reader, frequencies=None, ping_idx=0, n_pings=None,
     n_pings = min(n_pings, W - ping_idx)
     n_range = min(n_range, H - range_idx)
 
-    # gather (freq, range, ping) data + (range, ping) labels
+    # gather (freq, range, ping) data; labels only when shown — the
+    # label read can trigger full-survey cache generation
+    # (labels_heave.dat) or warn on unannotated surveys, all for an
+    # array that show_labels=False never uses
+    labels = None
     if is_zarr:
         data = reader.get_data_slice(ping_idx, n_pings, range_idx, n_range,
                                      frequencies)
         data = data.swapaxes(1, 2)
-        labels = reader.get_label_slice(ping_idx, n_pings, range_idx,
-                                        n_range)
-        labels = np.nan_to_num(labels.T, nan=-1.0)
+        if show_labels:
+            labels = reader.get_label_slice(ping_idx, n_pings, range_idx,
+                                            n_range)
+            labels = np.nan_to_num(labels.T, nan=-1.0)
     else:
         data = np.stack([np.asarray(
             m[range_idx:range_idx + n_range, ping_idx:ping_idx + n_pings])
             for m in reader.data_memmaps(frequencies)])
-        labels = np.asarray(reader.label_memmap()[
-            range_idx:range_idx + n_range, ping_idx:ping_idx + n_pings])
+        if show_labels:
+            labels = np.asarray(reader.label_memmap()[
+                range_idx:range_idx + n_range, ping_idx:ping_idx + n_pings])
 
     n_panels = len(frequencies) + int(show_labels)
     preds = None

@@ -17,7 +17,11 @@ def device_trace(log_dir=None, enabled=None):
         log_dir = os.environ.get("CRIMAC_PROFILE_DIR")
     if enabled is None:
         enabled = log_dir is not None
-    if not enabled or log_dir is None:
+    if enabled and log_dir is None:
+        raise ValueError(
+            "device_trace(enabled=True) needs a destination: pass "
+            "log_dir or set CRIMAC_PROFILE_DIR")
+    if not enabled:
         yield None
         return
     os.makedirs(log_dir, exist_ok=True)

@@ -109,9 +109,14 @@ def _load_chunkio():
             return None
         so = _NATIVE_DIR / "build" / "libchunkio.so"
         try:
+            # a deployment may ship the prebuilt .so without sources —
+            # only rebuild when the source is PRESENT and newer (a
+            # missing chunkio.cc used to FileNotFoundError here and
+            # permanently disable an existing library)
             src = _NATIVE_DIR / "chunkio.cc"
             if (not so.is_file() or
-                    so.stat().st_mtime < src.stat().st_mtime):
+                    (src.is_file()
+                     and so.stat().st_mtime < src.stat().st_mtime)):
                 subprocess.run(["make", "-C", str(_NATIVE_DIR)],
                                check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(str(so))
@@ -274,6 +279,14 @@ def batch_decompress_into(frames: list, dsts: list) -> None:
         return
     for f, d in zip(frames, dsts):
         decompress_into(f, d)
+
+
+def scatter_available() -> bool:
+    """Whether the native decompress+scatter entry point exists — probe
+    BEFORE collecting chunk frames, or an unavailable backend costs a
+    full read of every chunk file that the fallback then re-reads."""
+    lib = _load_chunkio()
+    return lib is not None and hasattr(lib, "cio_batch_decompress_scatter")
 
 
 def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,

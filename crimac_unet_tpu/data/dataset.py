@@ -190,11 +190,17 @@ class BatchPrefetcher:
                 return
 
     def __iter__(self):
-        for _ in range(self.n_batches):
-            batch = self.queue.get()
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        # close() on every exit path — raising a worker's exception (or
+        # the consumer breaking out early) without closing left OTHER
+        # crashed workers retrying their delivery at 2 Hz forever
+        try:
+            for _ in range(self.n_batches):
+                batch = self.queue.get()
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            self.close()
 
     def close(self):
         self._closed.set()

@@ -35,19 +35,27 @@ import numpy as np
 from ..constants import DATA_BOUNDARY_VAL, LABEL_BOUNDARY_VAL
 
 
-def pool_bytes(readers, frequencies, window) -> int:
-    """HBM footprint of pooling these readers: padded float32 data canvas +
-    int32 labels canvas (both with a window-sized boundary margin)."""
+def canvas_dims(readers, window) -> tuple:
+    """(E, H, W, Hp, Wp): padded-canvas geometry shared by the budget
+    gate (``pool_bytes``) and BOTH pool constructors — three hand-copied
+    formulas would let the gate drift from the actual allocation and
+    reintroduce the mid-upload RESOURCE_EXHAUSTED it exists to prevent."""
     wh, ww = window
     if readers[0].data_format == "memmap":
         H = max(r.shape[0] for r in readers)
         W = max(r.shape[1] for r in readers)
-    else:
+    else:  # zarr shape = (ping, range)
         H = max(r.shape[1] for r in readers)
         W = max(r.shape[0] for r in readers)
-    E, C = len(readers), len(frequencies)
-    cells = E * (H + 2 * wh) * (W + 2 * ww)
-    return cells * C * 4 + cells * 4
+    return len(readers), H, W, H + 2 * wh, W + 2 * ww
+
+
+def pool_bytes(readers, frequencies, window) -> int:
+    """HBM footprint of pooling these readers: padded float32 data canvas +
+    int32 labels canvas (both with a window-sized boundary margin)."""
+    E, _, _, Hp, Wp = canvas_dims(readers, window)
+    cells = E * Hp * Wp
+    return cells * len(frequencies) * 4 + cells * 4
 
 
 def fits_budget(readers, frequencies, window, budget_mb=2048) -> bool:
@@ -63,18 +71,19 @@ class DeviceSamplePool:
                 "DeviceSamplePool holds memmap echograms; use "
                 "ZarrSamplePool for zarr surveys")
         self.window = tuple(window)
-        self.frequencies = sorted(frequencies)
+        # CALLER order, like the host crop path (RandomPatchDataset
+        # stacks channels as given) — an internal sort silently permuted
+        # channels whenever the caller's order differed
+        self.frequencies = list(frequencies)
         self.readers = list(readers)
         self.index = {id(r): i for i, r in enumerate(readers)}
         wh, ww = self.window
 
-        H = max(r.shape[0] for r in readers)
-        W = max(r.shape[1] for r in readers)
-        E, C = len(readers), len(self.frequencies)
+        E, H, W, Hp, Wp = canvas_dims(readers, window)
+        C = len(self.frequencies)
         # boundary margins so every in-range crop start is a valid slice
-        data = np.zeros((E, C, H + 2 * wh, W + 2 * ww), np.float32)
-        labels = np.full((E, H + 2 * wh, W + 2 * ww), LABEL_BOUNDARY_VAL,
-                         np.int32)
+        data = np.zeros((E, C, Hp, Wp), np.float32)
+        labels = np.full((E, Hp, Wp), LABEL_BOUNDARY_VAL, np.int32)
         for i, r in enumerate(readers):
             h, w = r.shape
             raw = np.stack([np.asarray(m) for m in
@@ -139,15 +148,14 @@ class ZarrSamplePool:
             raise ValueError("ZarrSamplePool holds zarr surveys; use "
                              "DeviceSamplePool for memmap echograms")
         self.window = tuple(window)
-        self.frequencies = sorted(frequencies)
+        # caller order, like the host crop path (see DeviceSamplePool)
+        self.frequencies = list(frequencies)
         self.readers = list(readers)
         self.index = {id(r): i for i, r in enumerate(readers)}
         wh, ww = self.window
 
-        H = max(r.shape[1] for r in readers)   # zarr shape = (ping, range)
-        W = max(r.shape[0] for r in readers)
-        E, C = len(readers), len(self.frequencies)
-        Hp, Wp = H + 2 * wh, W + 2 * ww
+        E, H, W, Hp, Wp = canvas_dims(readers, window)
+        C = len(self.frequencies)
 
         @partial(jax.jit, donate_argnums=(0,))
         def put_data(buf, chunk, e, x0):

@@ -363,8 +363,8 @@ class ZArray:
     def _read_chunks_batch(self, chunk_idxs) -> np.ndarray:
         """(n, *chunks) buffer for many chunks at once.  Blosc frames go
         through one native multi-threaded batch-decompress call (chunkio,
-        GIL-free); other codecs through a thread pool (zlib releases the
-        GIL too)."""
+        GIL-free); other codecs decode serially here (__getitem__'s zlib
+        thread pool is a separate path)."""
         n = len(chunk_idxs)
         out = np.empty((n,) + self.chunks, dtype=self.dtype)
         fill = self.fill_value if self.fill_value is not None else 0
@@ -449,6 +449,14 @@ class ZArray:
                 s = int(s)
                 if s < 0:
                     s += self.shape[i]
+                if not 0 <= s < self.shape[i]:
+                    # zarr/numpy raise here; silently mapping to a
+                    # missing chunk returned FILL on reads and created
+                    # phantom chunk files on writes that a later
+                    # append/resize would resurface as live data
+                    raise IndexError(
+                        f"index {s} out of bounds for axis {i} with "
+                        f"size {self.shape[i]}")
                 out.append(slice(s, s + 1))
         return tuple(out)
 
@@ -525,7 +533,8 @@ class ZArray:
 
         native_ok = ((self.compressor or {}).get("id") == "blosc"
                      and dst.dtype == self.dtype and ndim <= 4
-                     and self.dtype != np.dtype(object))
+                     and self.dtype != np.dtype(object)
+                     and blosc_codec.scatter_available())
         if native_ok:
             # dst strides in CHUNK axis order: chunk axis d lives at
             # dview axis axes.index(d)

@@ -297,3 +297,24 @@ def test_zarr_pool_heterogeneous_readers_one_compiled_shape(tmp_path, rng):
         np.testing.assert_array_equal(
             labels[k], r.crop_labels(list(center), window),
             err_msg=f"sample {k} labels")
+
+
+def test_pool_preserves_caller_frequency_order(tmp_path):
+    """Pooled batches must carry channels in CALLER order like the host
+    crop path — the internal sort silently permuted them (review
+    finding)."""
+    from crimac_unet_tpu.data.device_pool import DeviceSamplePool
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+
+    make_survey_dir(tmp_path, year=2017, n_echograms=1, H=48, W=80, seed=1)
+    ech = get_echograms(years=[2017], path_to_echograms=str(tmp_path),
+                        minimum_shape=40)[0]
+    order = [200, 18, 120, 38]
+    pool = DeviceSamplePool([ech], order, (32, 32))
+    assert pool.frequencies == order
+    # channel c of the pool equals the reader's data for order[c]
+    got = np.asarray(pool.data[0, :, 32:32 + 48, 32:32 + 80])
+    for c, f in enumerate(order):
+        want = np.nan_to_num(np.asarray(ech.data_memmaps(f)[0]), nan=0.0)
+        np.testing.assert_allclose(got[c], want, rtol=1e-6)

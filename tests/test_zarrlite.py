@@ -469,3 +469,23 @@ def test_consolidated_group_membership_coherent(tmp_path):
     (tmp_path / "g.zarr" / "sv" / ".zarray").unlink()
     assert "sv" in gc
     assert gc.array_names() == ["sv"]
+
+
+def test_out_of_bounds_integer_index_raises(tmp_path):
+    """zarr/numpy raise IndexError on OOB integer indices; silently
+    serving FILL (reads) or phantom chunk files (writes) hid caller
+    off-by-ones as wrong data (review finding)."""
+    a = ZArray.create(tmp_path / "a.zarr", (5,), (5,), np.float32,
+                      fill_value=7)
+    a[:] = np.arange(5, dtype=np.float32)
+    with pytest.raises(IndexError):
+        a[10]
+    with pytest.raises(IndexError):
+        a[-6]
+    with pytest.raises(IndexError):
+        a[10] = 3.0
+    # growth after the rejected write sees fill, not a phantom value
+    a.resize([12])
+    assert float(a[10]) == 7.0
+    # slices still clamp like numpy
+    assert a[10:99].shape == (2,)

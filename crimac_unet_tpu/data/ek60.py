@@ -103,8 +103,16 @@ def _iter_datagrams(buf: bytes):
     while pos + 4 <= n:
         (length,) = struct.unpack_from("<l", buf, pos)
         pos += 4
-        if length < 12 or pos + length + 4 > n:
+        if length < 12:
             raise ValueError(f"corrupt datagram framing at byte {pos - 4}")
+        if pos + length + 4 > n:
+            # truncated FINAL datagram (abrupt logger stop / power loss):
+            # keep the readable prefix like readEKRaw-style readers —
+            # raising here used to lose the whole file's valid pings
+            print(f"WARNING: truncated datagram at byte {pos - 4} "
+                  f"(file ends {n - pos - length - 4} bytes short); "
+                  "keeping the readable prefix")
+            return
         dtype = buf[pos:pos + 4].decode("ascii", "replace")
         yield dtype, buf[pos:pos + length]
         pos += length
@@ -126,7 +134,9 @@ def read_raw(path) -> RawFile:
     with open(path, "rb") as f:
         buf = f.read()
     out = RawFile()
+    n_datagrams = 0
     for dtype, payload in _iter_datagrams(buf):
+        n_datagrams += 1
         low, high = struct.unpack_from("<LL", payload, 4)
         t = _nt_to_unix(low, high)
         body = payload[12:]
@@ -162,6 +172,11 @@ def read_raw(path) -> RawFile:
                 sampleinterval=sint, soundvelocity=c_sound,
                 absorption=alpha, heave=heave, offset=offset,
                 power=power))
+    if n_datagrams == 0:
+        # nothing parsed at all: that is corruption, not a truncated
+        # tail — the prefix-tolerance above must not turn garbage into
+        # an empty-but-ok file
+        raise ValueError(f"no complete datagrams in {path}")
     return out
 
 
@@ -245,13 +260,26 @@ def _rasterize_schools(schools, t_idx, R, td):
     I = np.zeros((len(R), len(t_idx)))
     if not schools:
         return I
-    X, Y = np.meshgrid(np.arange(1, len(t_idx) + 1), R)
-    pts = np.column_stack([X.ravel(), Y.ravel()])
+    xs = np.arange(1, len(t_idx) + 1)
+    R = np.asarray(R)
     for school in schools:
         sid = max(school["species"], key=lambda s: s[1])[0]
-        verts = np.column_stack([school["x"], school["y"] - td])
-        inside = MplPath(verts).contains_points(pts)
-        I.ravel()[inside] = sid
+        vx = np.asarray(school["x"], dtype=np.float64)
+        vy = np.asarray(school["y"], dtype=np.float64) - td
+        # restrict the point-in-polygon test to the polygon's bbox: a
+        # full-image test per school made rasterization the dominant
+        # onboarding cost (O(H*W) points x n_schools)
+        ci = np.nonzero((xs >= vx.min()) & (xs <= vx.max()))[0]
+        ri = np.nonzero((R >= vy.min()) & (R <= vy.max()))[0]
+        if not len(ci) or not len(ri):
+            continue
+        Xs, Ys = np.meshgrid(xs[ci], R[ri])
+        pts = np.column_stack([Xs.ravel(), Ys.ravel()])
+        inside = MplPath(np.column_stack([vx, vy])).contains_points(pts)
+        sub = I[np.ix_(ri, ci)]
+        flat = sub.ravel()
+        flat[inside] = sid
+        I[np.ix_(ri, ci)] = flat.reshape(sub.shape)
     return I
 
 
@@ -389,11 +417,29 @@ def raw_to_matfile(raw_path, out_mat, **kw) -> str:
 
 def extract_transducer_depths(raw_path) -> dict:
     """Per-channel per-ping transducer depths (replacement for
-    generate_transducerdepthsfromraw.m, consumed by the Korona mask
-    pipeline)."""
+    generate_transducerdepthsfromraw.m). For the Korona mask pipeline,
+    write them through :func:`save_transducer_depths` — korona reads a
+    ``<name>.h5`` file, not this dict."""
     raw = read_raw(raw_path)
     return {ch: np.array([p.transducerdepth for p in pings])
             for ch, pings in raw.pings.items()}
+
+
+def save_transducer_depths(raw_path, h5_path, channel=None) -> str:
+    """Write the ``<name>.h5`` layout ``korona.get_transducer_depths``
+    reads (group ``transducer`` holding one (n_pings, 1) depth dataset)
+    — the missing bridge from raw onboarding to the Korona mask pipeline
+    (generate_transducerdepthsfromraw.m's on-disk contract)."""
+    import h5py
+    depths = extract_transducer_depths(raw_path)
+    if channel is None:
+        channel = sorted(depths)[0]
+    with h5py.File(h5_path, "w") as f:
+        grp = f.create_group("transducer")
+        grp.create_dataset(str(channel),
+                           data=np.asarray(depths[channel],
+                                           np.float64)[:, None])
+    return str(h5_path)
 
 
 # ========================================================= survey driver
@@ -426,9 +472,17 @@ def convert_survey_raw(data_dir, scratch_dir, resume=True, **par) -> dict:
             status = json.load(f)
 
     raw_dir = os.path.join(data_dir, "ACOUSTIC", "EK60", "EK60_RAWDATA")
-    snap_dir = os.path.join(data_dir, "ACOUSTIC", "LSSS", "WORK")
+    # IMR standard snap location is ACOUSTIC/LSSS/INTERPRETATION
+    # (cruise_catalog.STD_SNAP_DIR, generate_metadata.m:120-123); some
+    # cruises stage snaps under LSSS/WORK — search both, standard first
+    # (a WORK-only probe silently produced all-zero label images on
+    # standard trees, review finding)
+    snap_dirs = [os.path.join(data_dir, "ACOUSTIC", "LSSS",
+                              "INTERPRETATION"),
+                 os.path.join(data_dir, "ACOUSTIC", "LSSS", "WORK")]
     if not os.path.isdir(raw_dir):  # flat staged layout
-        raw_dir = snap_dir = str(data_dir)
+        raw_dir = str(data_dir)
+        snap_dirs = [str(data_dir)]
     results = {}
     for raw_path in sorted(glob(os.path.join(raw_dir, "*.raw"))):
         name = os.path.splitext(os.path.basename(raw_path))[0]
@@ -436,7 +490,10 @@ def convert_survey_raw(data_dir, scratch_dir, resume=True, **par) -> dict:
             results[name] = "skipped"
             continue
         bot = os.path.join(raw_dir, name + ".bot")
-        snap = os.path.join(snap_dir, name + ".snap")
+        snap = next((p for p in (os.path.join(d, name + ".snap")
+                                 for d in snap_dirs)
+                     if os.path.isfile(p)),
+                    os.path.join(snap_dirs[0], name + ".snap"))
         try:
             raw_to_matfile(raw_path, os.path.join(scratch_dir,
                                                   name + ".mat"),

@@ -83,6 +83,11 @@ def get_korona_labels(echogram, korona_list, transducer_depths=None
     labels = np.zeros(shape=shape_ech, dtype=np.int16)
     if transducer_depths is None:
         transducer_depths = get_transducer_depths(echogram)
+    # accept both the h5 layout ((n_pings, 1)) and the 1-D vectors
+    # ek60.extract_transducer_depths produces
+    transducer_depths = np.asarray(transducer_depths, dtype=np.float64)
+    if transducer_depths.ndim == 1:
+        transducer_depths = transducer_depths[:, None]
 
     for ping in pings:
         n_x = int(np.argmax(ping["time"] <= time_vector))

@@ -24,9 +24,19 @@ def _save_memmap(data, path, dtype, overwrite=False):
     path = (path + ".dat").replace(".dat.dat", ".dat")
     if os.path.isfile(path) and not overwrite:
         return
-    fp = np.memmap(path, dtype=dtype, mode="w+", shape=data.shape)
+    # atomic publish (same pattern as write_heave_reverted_labels): a
+    # kill between the full-size w+ create and the fill used to leave an
+    # all-zeros .dat that every later overwrite=False resume accepted as
+    # converted data forever
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".memmap.tmp")
+    os.close(fd)
+    fp = np.memmap(tmp, dtype=dtype, mode="w+", shape=data.shape)
     fp[:] = data.astype(dtype)
+    fp.flush()
     del fp
+    os.replace(tmp, path)
 
 
 def _save_pickle(data, name, out_folder):
@@ -69,9 +79,15 @@ def convert_mat_file(in_file, out_folder, overwrite=False) -> int:
     mat = spio.loadmat(in_file)
 
     # ravel, not squeeze: a single-frequency file's F is (1, 1) and
-    # squeeze() gives a 0-d array enumerate() cannot iterate
+    # squeeze() gives a 0-d array enumerate() cannot iterate.  MATLAB
+    # also drops trailing singleton dims, so that file's sv arrives 2-D
+    # — restore the channel axis before indexing
+    sv = np.asarray(mat["sv"])
+    if sv.ndim == 2:
+        sv = sv[:, :, None]
+    mat["sv"] = sv
     for i, f in enumerate(np.asarray(mat["F"]).ravel()):
-        _save_memmap(mat["sv"][:, :, i],
+        _save_memmap(sv[:, :, i],
                      os.path.join(out_folder, f"data_for_freq_{int(f)}"),
                      DATA_DTYPE, overwrite)
     _save_memmap(mat["I"], os.path.join(out_folder, "labels"), LABEL_DTYPE,

@@ -17,10 +17,38 @@ import numpy as np
 def _edges(centers: np.ndarray) -> np.ndarray:
     """Cell edges from cell centers (iris guess_bounds contract)."""
     centers = np.asarray(centers, dtype=np.float64)
+    if centers.size < 2:
+        # iris guess_bounds also refuses: a single center defines no
+        # cell width (the old mid[0] read crashed with IndexError)
+        raise ValueError(
+            "area regridding needs >= 2 cell centers per axis, got "
+            f"{centers.size}")
     mid = (centers[1:] + centers[:-1]) / 2
     first = centers[0] - (mid[0] - centers[0])
     last = centers[-1] + (centers[-1] - mid[-1])
     return np.concatenate([[first], mid, [last]])
+
+
+def _monotonic_keep(time_vector: np.ndarray) -> np.ndarray:
+    """Indices of the pings kept after iterating the reference's
+    negative-time-step drop (regridding.py:72-74) to a fixed point.
+
+    The reference drops only the single ping AFTER each negative diff;
+    a multi-ping backward clock jump leaves the axis still
+    non-monotonic, which silently forces the dense overlap fallback
+    (~20 GB at survey scale) and garbage weights.  One pass is identical
+    to the reference for the single-dip inputs it handled; iterating
+    converges (each round strictly shrinks) for the rest."""
+    t = np.asarray(time_vector, dtype=np.float64)
+    keep = np.arange(t.size)
+    while t.size > 1:
+        bad = np.argwhere(t[1:] - t[:-1] < 0)
+        if not len(bad):
+            break
+        sel = np.setdiff1d(np.arange(t.size), (bad + 1).ravel())
+        keep = keep[sel]
+        t = t[sel]
+    return keep
 
 
 def _overlap_matrix(src_centers, dst_centers):
@@ -117,14 +145,14 @@ def regrid_prediction(pred, echogram, pred_range_diff=None,
     (reference regridding.py:60-96)."""
     time_vector = np.asarray(echogram.time_vector, dtype=np.float64)
     range_vector = np.asarray(echogram.range_vector, dtype=np.float64)
-    # drop pings with negative time steps (regridding.py:72-74) — and
-    # the matching PREDICTION columns when pred shares the echogram's
-    # ping grid, or every column after a dropped ping shifts by one
-    # (review finding r3)
-    bad = np.argwhere(time_vector[1:] - time_vector[:-1] < 0)
-    keep = np.setdiff1d(np.arange(time_vector.size), (bad + 1).ravel())
+    # drop pings with negative time steps (regridding.py:72-74, iterated
+    # to monotonicity) — and the matching PREDICTION columns when pred
+    # shares the echogram's ping grid, or every column after a dropped
+    # ping shifts by one (review finding r3)
+    n0 = time_vector.size
+    keep = _monotonic_keep(time_vector)
     time_vector = time_vector[keep]
-    if pred_ping_rate is None and pred.shape[1] == keep.size + len(bad):
+    if pred_ping_rate is None and pred.shape[1] == n0:
         pred = pred[:, keep]
 
     pred_time = time_vector
@@ -148,15 +176,19 @@ def fix_pings_and_regrid(echogram, ping_rate=1.0, range_diff=None):
     """
     time_vector = np.asarray(echogram.time_vector, dtype=np.float64)
     range_vector = np.asarray(echogram.range_vector, dtype=np.float64)
-    bad = np.argwhere(time_vector[1:] - time_vector[:-1] < 0)
-    keep = np.setdiff1d(np.arange(time_vector.size),
-                        (bad + 1).ravel())
+    keep = _monotonic_keep(time_vector)
     time_vector = time_vector[keep]
 
     new_time = np.arange(time_vector[0], time_vector[-1],
                          ping_rate_to_time_difference(ping_rate))
     new_range = (np.arange(range_vector[0], range_vector[-1], range_diff)
                  if range_diff is not None else range_vector)
+    # degenerate targets (echogram shorter than one step): keep the
+    # original axis — _edges cannot define a single cell's width
+    if new_time.size < 2:
+        new_time = time_vector
+    if new_range.size < 2:
+        new_range = range_vector
 
     data = echogram.data_numpy()[:, keep, :]
     labels = echogram.label_numpy()[:, keep]

@@ -296,3 +296,59 @@ def test_duplicate_timestamps_do_not_collapse_time_grid(rng, times):
     # all pings survive (duplicates share one time slot at most)
     assert out["sv"].shape[1] >= len(t) - 1
     assert np.isfinite(out["sv"]).any()
+
+
+def test_truncated_final_datagram_keeps_prefix(tmp_path, rng, times):
+    """A .raw cut off mid-datagram (power loss) keeps the readable
+    prefix like readEKRaw-style readers, instead of losing the whole
+    file (review finding); an all-garbage file still raises."""
+    sv = _make_sv(rng)
+    path = ek60.write_raw_fixture(tmp_path / "t.raw", sv, [38, 120, 200],
+                                  times)
+    blob = open(path, "rb").read()
+    open(tmp_path / "cut.raw", "wb").write(blob[:-10])
+    raw = ek60.read_raw(tmp_path / "cut.raw")
+    n_full = sum(len(p) for p in ek60.read_raw(path).pings.values())
+    n_cut = sum(len(p) for p in raw.pings.values())
+    assert n_full - 1 <= n_cut < n_full
+    (tmp_path / "empty.raw").write_bytes(b"")
+    with pytest.raises(ValueError, match="no complete datagrams"):
+        ek60.read_raw(tmp_path / "empty.raw")
+
+
+def test_snap_found_in_standard_interpretation_dir(tmp_path, rng, times):
+    """The IMR standard snap location is ACOUSTIC/LSSS/INTERPRETATION
+    (cruise_catalog.STD_SNAP_DIR); the driver used to probe only
+    LSSS/WORK and silently produced all-zero labels (review finding)."""
+    import scipy.io as spio
+    raw_dir = tmp_path / "S" / "ACOUSTIC" / "EK60" / "EK60_RAWDATA"
+    snap_dir = tmp_path / "S" / "ACOUSTIC" / "LSSS" / "INTERPRETATION"
+    raw_dir.mkdir(parents=True)
+    snap_dir.mkdir(parents=True)
+    sv = _make_sv(rng)
+    ek60.write_raw_fixture(raw_dir / "a.raw", sv, [38, 120, 200], times)
+    ek60.write_snap_fixture(snap_dir / "a.snap", [{
+        "x": [3, 12, 12, 3], "y": [5.0, 5.0, 8.0, 8.0],
+        "species": [(27, 0.9)]}])
+    scratch = tmp_path / "scratch"
+    res = ek60.convert_survey_raw(str(tmp_path / "S"), str(scratch),
+                                  range_frequency=200)
+    assert res["a"] == "ok"
+    mat = spio.loadmat(scratch / "a.mat")
+    assert (mat["I"] > 0).any(), "snap in INTERPRETATION was not found"
+
+
+def test_transducer_depths_h5_bridge(tmp_path, rng, times):
+    """save_transducer_depths writes the h5 layout the Korona pipeline
+    reads; get_korona_labels accepts both that layout and the raw 1-D
+    vector (review finding: the advertised chain could not run)."""
+    sv = _make_sv(rng)
+    path = ek60.write_raw_fixture(tmp_path / "c.raw", sv, [38, 120, 200],
+                                  times, transducer_depth=7.5)
+    h5 = ek60.save_transducer_depths(path, tmp_path / "c.h5")
+    import h5py
+    with h5py.File(h5, "r") as f:
+        key = list(f["transducer"])[0]
+        depths = np.array(f["transducer"][key])
+    assert depths.ndim == 2 and depths.shape[1] == 1
+    np.testing.assert_allclose(depths[:, 0], 7.5)

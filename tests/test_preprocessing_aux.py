@@ -314,3 +314,52 @@ def test_rechunk_store_copies_vlen_arrays(tmp_path):
     np.testing.assert_array_equal(out["sv"][:], g["sv"][:])
     assert list(out["raw_file"][:]) == names
     assert out["raw_file"].chunks == (4,)  # copied verbatim
+
+
+def test_regrid_handles_multi_ping_backward_jump():
+    """A multi-ping backward clock jump must still yield a monotonic
+    axis (the reference's one-pass drop left it non-monotonic, silently
+    forcing the ~20 GB dense overlap fallback — review finding)."""
+    from crimac_unet_tpu.data.regrid import _monotonic_keep
+    t = np.array([0.0, 1.0, 2.0, 10.0, 3.0, 4.0, 11.0, 12.0])
+    keep = _monotonic_keep(t)
+    kept = t[keep]
+    assert np.all(np.diff(kept) >= 0)
+    # the single-dip case matches the reference's one-pass drop exactly
+    t2 = np.array([0.0, 1.0, 0.5, 2.0])
+    np.testing.assert_array_equal(_monotonic_keep(t2), [0, 1, 3])
+
+
+def test_regrid_degenerate_single_cell_targets(ech):
+    """An echogram shorter than one target step keeps the original axis
+    instead of crashing in _edges (review finding)."""
+    from crimac_unet_tpu.data.regrid import _edges, fix_pings_and_regrid
+    with pytest.raises(ValueError, match=">= 2 cell centers"):
+        _edges(np.array([5.0]))
+    # huge ping step -> new_time would be a single sample
+    data, labels, new_range, new_time = fix_pings_and_regrid(
+        ech, ping_rate=1e-9, range_diff=None)
+    assert len(new_time) >= 2
+    assert data.shape[1] == len(new_time)
+
+
+def test_convert_single_frequency_matlab_mat(tmp_path):
+    """MATLAB drops trailing singleton dims: a single-frequency .mat
+    arrives with 2-D sv and must convert (review finding)."""
+    import scipy.io as spio
+    from crimac_unet_tpu.data.mat_to_memmap import convert_mat_file
+    rng = np.random.RandomState(3)
+    H, W = 30, 40
+    mat = {"sv": rng.lognormal(np.log(1e-7), 1.0, (H, W)),
+           "I": np.zeros((H, W)),
+           "F": np.array([[38.0]]),
+           "range": np.arange(H, dtype=float) * 0.18,
+           "t": 736000.0 + np.arange(W) / 86400.0,
+           "depths": np.zeros((W, 1)), "heave": np.zeros((1, W))}
+    spio.savemat(tmp_path / "2014843-D20140427-T000001.mat", mat)
+    convert_mat_file(tmp_path / "2014843-D20140427-T000001.mat",
+                     tmp_path / "2014843-D20140427-T000001")
+    e = Echogram(tmp_path / "2014843-D20140427-T000001")
+    assert e.shape == (H, W)
+    np.testing.assert_allclose(np.asarray(e.data_memmaps(38)[0]),
+                               mat["sv"].astype(np.float32))

@@ -110,7 +110,7 @@ def _iter_datagrams(buf: bytes):
             # keep the readable prefix like readEKRaw-style readers —
             # raising here used to lose the whole file's valid pings
             print(f"WARNING: truncated datagram at byte {pos - 4} "
-                  f"(file ends {n - pos - length - 4} bytes short); "
+                  f"(file ends {pos + length + 4 - n} bytes short); "
                   "keeping the readable prefix")
             return
         dtype = buf[pos:pos + 4].decode("ascii", "replace")

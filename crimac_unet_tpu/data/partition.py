@@ -135,10 +135,11 @@ class DataZarr(_DataPartition):
         super().__init__(*args, **kwargs)
         self._zarr_root = path_to_zarr_files
 
-    def _readers(self, years):
+    def _readers(self, years, require_categories=True):
         return get_zarr_readers(years, frequencies=self.frequencies,
                                 minimum_shape=self.window_size[0],
-                                path_to_zarr_files=self._zarr_root)
+                                path_to_zarr_files=self._zarr_root,
+                                require_categories=require_categories)
 
     def partition_data_train(self):
         if self.partition_train not in _PARTITIONS:
@@ -176,7 +177,9 @@ class DataZarr(_DataPartition):
                 list(SAMPLER_PROBS))
 
     def get_survey_readers(self, survey):
-        return self._readers([survey])
+        # predict/eval discovery: unannotated surveys allowed (degraded
+        # prediction-only mode); training partitions stay strict
+        return self._readers([survey], require_categories=False)
 
 
 def make_partition(config: dict, **kwargs):

@@ -484,10 +484,19 @@ class DataReaderZarr:
 
 
 def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
-                     minimum_shape=256, path_to_zarr_files=None):
+                     minimum_shape=256, path_to_zarr_files=None,
+                     require_categories=True):
     """Discover surveys under the production layout
     ``<root>/<year>/*/ACOUSTIC/GRIDDED/*sv.zarr``
-    (reference data_reader.py:1123-1146)."""
+    (reference data_reader.py:1123-1146).
+
+    ``require_categories=False`` (the PREDICT discovery path) lets
+    surveys with no annotation store pass the sandeel+other category
+    filter — the degraded prediction-only mode for production mounts
+    shipping just ``_sv.zarr``. Training discovery keeps the reference's
+    strict filter: an unannotated survey in a training partition would
+    crash sampler construction (no objects CSV) or silently dilute the
+    batch distribution with all-background patches."""
     from .. import paths
     if path_to_zarr_files is None:
         path_to_zarr_files = paths.path_to_zarr_files()
@@ -512,12 +521,9 @@ def get_zarr_readers(years="all", frequencies=np.array([18, 38, 120, 200]),
                if all(any((r.frequencies == f) | (r.frequencies == f * 1000))
                       for f in frequencies)]
     # the reference requires both sandeel+other categories
-    # (data_reader.py:1144) — kept for annotated surveys; surveys with
-    # NO annotation store pass through so the degraded prediction-only
-    # mode (production mounts shipping just _sv.zarr, which the
-    # reference cannot even open) stays reachable via the partition path
+    # (data_reader.py:1144); see require_categories in the docstring
     readers = [r for r in readers
-               if r.annotation is None
+               if (not require_categories and r.annotation is None)
                or all(cat in r.fish_categories for cat in (27, 1))]
     # small-survey filter (parity with get_echograms' minimum_shape:
     # surveys smaller than the patch in either axis would train on

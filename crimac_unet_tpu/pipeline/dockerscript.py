@@ -54,7 +54,10 @@ def main():
     for k, v in paths.items():
         print(f"  {k}: {v}")
 
-    raw_yaml = load_yaml_config(paths["config"]) if paths["config"] else {}
+    # `or {}` twice: an UNSET config path and an EMPTY/comments-only
+    # YAML (safe_load returns None) are both legal all-defaults configs
+    raw_yaml = (load_yaml_config(paths["config"]) or {}) \
+        if paths["config"] else {}
     config = parse_config_options(raw_yaml, None)
     fix_seeds(config["random_seed"])
 

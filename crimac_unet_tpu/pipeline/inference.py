@@ -884,6 +884,15 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
                 f"Cannot resume {target_dname} with save_labels=False: the "
                 "existing store has a 'labels' array that would fall "
                 "behind ping_time; pass save_labels=True")
+        if save_labels and "labels" in group and \
+                group["labels"].dtype == np.float16:
+            # appends cast to the stored dtype: resuming a pre-f32 store
+            # would silently round 4-digit category codes again
+            raise ValueError(
+                f"Cannot resume {target_dname}: its 'labels' array is "
+                "float16 (written by an older version; codes above 2048 "
+                "round silently) — re-run without resume_writing to "
+                "rewrite the store at float32")
         # resume from the joint commit point: a crash between the
         # annotation append and the ping_time append leaves the arrays at
         # different lengths — truncate whichever ran ahead (zarrlite's

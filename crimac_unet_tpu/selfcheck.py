@@ -59,7 +59,9 @@ def _check_codec(rep: _Report) -> None:
 
     from .data import blosc_codec as bc
     backend = bc.backend()
-    rep.line("blosc backend", backend != "none", backend,
+    # 'pure' = no binary codec (compression unavailable, slow decode) —
+    # exactly the degraded state this warn line exists to surface
+    rep.line("blosc backend", bc.available(), backend,
              required=False)
     if not bc.available():
         return

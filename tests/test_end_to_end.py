@@ -434,3 +434,34 @@ def test_sidecar_written_before_checkpoint(trained, tmp_path, monkeypatch):
     # sidecar advanced (conservative), checkpoint intact
     assert engine.load_checkpoint_extras(tgt)["best_f1"] == 0.9
     assert load_checkpoint(tgt)["params"] is not None
+
+
+def test_resume_rejects_old_float16_labels_store(trained, zarr_root,
+                                                 tmp_path):
+    """Appends cast to the stored dtype: resuming a pre-f32 labels store
+    would silently round 4-digit codes again — refuse loudly (review
+    finding)."""
+    cfg, ckpt_dir, _ = trained
+    payload = load_checkpoint(ckpt_dir / "best.msgpack")
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    cfg2 = dict(cfg, data_mode="zarr", path_to_zarr_files=zarr_root)
+    runner = GriddedRunner(build_unet(cfg2), variables, cfg2)
+    reader = make_partition(cfg2).get_survey_readers(2017)[0]
+    target = str(tmp_path / "old_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, target,
+                                 preload_n_pings=60, save_labels=True)
+    # rewrite the labels array as the old float16 layout
+    g = ZGroup.open(target)
+    old = g["labels"][:]
+    import shutil
+    shutil.rmtree(os.path.join(target, "labels"))
+    g2 = ZGroup.open(target)
+    arr = g2.create_array("labels", (0, old.shape[1]),
+                          (60, old.shape[1]), np.float16, fill_value=0,
+                          dims=["ping_time", "range"])
+    arr.append(old.astype(np.float16), axis=0)
+    with pytest.raises(ValueError, match="float16"):
+        save_survey_predictions_zarr(runner, reader, target,
+                                     preload_n_pings=60,
+                                     resume_writing=True, save_labels=True)

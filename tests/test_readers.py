@@ -652,11 +652,17 @@ def test_empty_frequency_list_rejected(zarr_sv_path):
         r.read_data_into(0, 5, 0, 5, [], dst, np.s_[:, :, :])
 
 
-def test_unannotated_survey_passes_partition_discovery(tmp_path):
-    """A production mount shipping only _sv.zarr must stay reachable via
-    get_zarr_readers for the degraded prediction-only mode (the (27,1)
-    category filter applies to annotated surveys — review finding)."""
+def test_unannotated_survey_prediction_only_discovery(tmp_path):
+    """A production mount shipping only _sv.zarr is reachable through
+    the PREDICT discovery path (require_categories=False /
+    DataZarr.get_survey_readers) but stays excluded from TRAINING
+    partitions, where sampler construction needs the objects CSV
+    (review findings, both directions)."""
     import shutil
+
+    import pytest as _pytest
+
+    from crimac_unet_tpu.data.partition import DataZarr
     make_zarr_survey(tmp_path, year=2018, n_echograms=1, H=80, W=150,
                      seed=6, layout="nested")
     gridded = next((tmp_path / "2018").rglob("GRIDDED"))
@@ -664,6 +670,19 @@ def test_unannotated_survey_passes_partition_discovery(tmp_path):
             list(gridded.glob("*_labels.parquet.csv")):
         shutil.rmtree(extra) if extra.is_dir() else extra.unlink()
     readers = get_zarr_readers(years=[2018], minimum_shape=64,
-                               path_to_zarr_files=str(tmp_path))
+                               path_to_zarr_files=str(tmp_path),
+                               require_categories=False)
     assert len(readers) == 1
     assert readers[0].annotation is None
+    # training discovery keeps the reference's strict category filter
+    with _pytest.raises(ValueError, match="filters"):
+        get_zarr_readers(years=[2018], minimum_shape=64,
+                         path_to_zarr_files=str(tmp_path))
+    # the partition object routes predict/eval through the relaxed path
+    dz = DataZarr(frequencies=[18, 38, 120, 200], patch_size=[64, 64],
+                  partition_train="selected surveys", train_surveys=[],
+                  validation_surveys=[], partition_predict="selected surveys",
+                  evaluation_surveys=[2018],
+                  save_prediction_surveys=[2018], eval_mode="all",
+                  path_to_zarr_files=str(tmp_path))
+    assert len(dz.get_survey_readers(2018)) == 1

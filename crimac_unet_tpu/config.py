@@ -34,8 +34,10 @@ CONFIG_DEFAULTS = {
     "lr_step": 1000,
     "iterations": 15000,
     "partition_train": "selected surveys",
-    "train_surveys": [],
-    "validation_surveys": [],
+    # the baseline YAML's survey lists (config_baseline.yaml:26-27) —
+    # empty defaults made a YAML omitting these keys select ZERO readers
+    "train_surveys": [2011, 2013, 2014, 2015, 2016],
+    "validation_surveys": [2017],
     "save_model_params": True,
     "eval_mode": "all",
     "partition_predict": "all surveys",

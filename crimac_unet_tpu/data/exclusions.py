@@ -62,6 +62,6 @@ def load_exclusion_file(path_to_echograms) -> list:
     if not os.path.isfile(path):
         return list(depth_excluded_echograms)
     with open(path) as f:
-        names = [line.strip() for line in f if line.strip()
-                 and not line.startswith("#")]
+        names = [s for s in (line.strip() for line in f)
+                 if s and not s.startswith("#")]
     return list(depth_excluded_echograms) + names

@@ -103,10 +103,15 @@ def write_memmap_echogram(path, name, data, labels, heave,
     ``<survey>-D<yyyymmdd>-T<hhmmss>`` (e.g. ``2017843-D20170427-T062615``):
     the date+time tokens seed the ping time vector, and the year lives at
     chars 9:13 (reference data_reader.py:73)."""
-    if "-D" not in name or "-T" not in name:
+    if ("-D" not in name or "-T" not in name
+            or len(name) < 13 or not name[9:13].isdigit()):
+        # the positional contract matters: Echogram reads the year at
+        # chars 9:13, so a wrong-length survey prefix silently yields a
+        # garbage year that get_echograms' year filter then drops
         raise ValueError(
             f"echogram name {name!r} must follow the reference "
-            f"'<survey>-D<yyyymmdd>-T<hhmmss>' convention")
+            f"'<survey>-D<yyyymmdd>-T<hhmmss>' convention (7-char "
+            "survey code; the year lives at chars 9:13)")
     H, W, C = data.shape
     folder = os.path.join(str(path), name)
     os.makedirs(folder, exist_ok=True)

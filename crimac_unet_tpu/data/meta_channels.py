@@ -45,8 +45,12 @@ def get_in_channels(meta_channels) -> int:
 def validate_meta_channels(meta_channels) -> None:
     if not meta_channels:
         return
-    if not all(isinstance(v, bool) for v in meta_channels.values()):
-        raise ValueError("meta_channels values must be booleans")
+    # the reference accepts 0/1 ints in the YAML (it only multiplies /
+    # truth-tests them) — reject anything else, but don't break
+    # reference-era configs that worked upstream
+    if not all(isinstance(v, (bool, int)) and v in (0, 1)
+               for v in meta_channels.values()):
+        raise ValueError("meta_channels values must be booleans (0/1)")
     if set(meta_channels.keys()) != META_CHANNEL_KEYS:
         raise ValueError(
             f"meta_channels keys must be {sorted(META_CHANNEL_KEYS)}")
@@ -59,6 +63,13 @@ def crop_meta(echogram, center, window, meta_channels) -> np.ndarray:
         raise ValueError("metadata channels are memmap-only (reference "
                          "dataset.py:245-252)")
     wh, ww = window
+    # same water-column recenter as crop_data/crop_labels: the reference
+    # mutates the SHARED center_location in place before its meta block
+    # (dataset.py:260-261), so meta rows must describe the recentered
+    # crop, not the sampler's raw center
+    center = list(center)
+    if echogram.shape[0] <= wh:
+        center[0] = echogram.shape[0] // 2
     meta = []
 
     if meta_channels.get("portion_year"):

@@ -56,9 +56,14 @@ def fold_batchnorm(params: dict, batch_stats: dict, eps: float = 1e-5
 
 def fold_variables(variables: dict, eps: float = 1e-5) -> dict:
     """Convenience: {'params', 'batch_stats'} -> {'params'} folded."""
+    if not variables.get("batch_stats"):
+        # same guard as fold_for_serving: without it a stats-less tree
+        # crashed with a bare KeyError('bn') deep inside _fold_unit
+        raise ValueError(
+            "the checkpoint carries no batch_stats (BatchNorm running "
+            "statistics) — folding is impossible")
     return {"params": fold_batchnorm(variables["params"],
-                                     variables.get("batch_stats", {}),
-                                     eps)}
+                                     variables["batch_stats"], eps)}
 
 
 def fold_for_serving(model, variables: dict, config) -> tuple:

@@ -23,6 +23,13 @@ def set_paths(**kwargs) -> None:
     _overrides.update(kwargs)
 
 
+# parse cache keyed by (resolved file, mtime): path accessors are called
+# per reader construction, and a json parse per call is pure I/O churn;
+# the re-stat each call keeps edits (and CRIMAC_SETPYENV/cwd changes)
+# visible without a manual reset
+_cache: dict = {}
+
+
 def _load_setpyenv() -> dict:
     candidates = []
     if os.environ.get(_ENV_KEY):
@@ -31,8 +38,12 @@ def _load_setpyenv() -> dict:
     candidates.append(Path(__file__).resolve().parent.parent / "setpyenv.json")
     for cand in candidates:
         if cand.is_file():
-            with open(cand) as f:
-                return json.load(f)
+            key = (str(cand), cand.stat().st_mtime_ns)
+            if key not in _cache:
+                _cache.clear()  # one live entry; stale files don't pile up
+                with open(cand) as f:
+                    _cache[key] = json.load(f)
+            return _cache[key]
     return {}
 
 

@@ -139,3 +139,34 @@ def test_meta_training_smoke(ech, tmp_path):
                                jnp.asarray(batch["seabed_row"]),
                                jnp.asarray(batch["meta"]))
         assert np.asarray(hist).sum() > 0
+
+
+def test_crop_meta_recenters_like_crop_data(ech):
+    """When the window spans the whole water column, crop_data recenters
+    rows at H//2 — the reference mutates the SHARED center before its
+    meta block (dataset.py:260-261), so meta rows must follow (review
+    finding: depth meta described different pixels than the data)."""
+    e = ech
+    H = e.shape[0]
+    window = (H + 20, 32)  # taller than the echogram -> recenter fires
+    mc = {"portion_year": False, "portion_day": False, "time_diff": False,
+          "depth_rel": False, "depth_abs_surface": True,
+          "depth_abs_seabed": False}
+    off_center = [H - 1, 50]
+    got = crop_meta(e, off_center, window, mc)
+    want = crop_meta(e, [H // 2, 50], window, mc)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_meta_channels_accept_01_ints():
+    """Reference-era YAMLs use 0/1 — they worked upstream and must
+    validate here (review finding)."""
+    from crimac_unet_tpu.data.meta_channels import validate_meta_channels
+    validate_meta_channels({"portion_year": 1, "portion_day": 0,
+                            "time_diff": 0, "depth_rel": 0,
+                            "depth_abs_surface": 0, "depth_abs_seabed": 0})
+    with pytest.raises(ValueError, match="booleans"):
+        validate_meta_channels({"portion_year": 2, "portion_day": 0,
+                                "time_diff": 0, "depth_rel": 0,
+                                "depth_abs_surface": 0,
+                                "depth_abs_seabed": 0})

@@ -48,18 +48,23 @@ def ensure_fixture():
     cache = Path(__file__).resolve().parent / ".bench_cache"
     sv = cache / "S2017843_sv.zarr"
     ok = cache / "S2017843.ok"  # written only after a COMPLETE build:
-    # a bare sv.is_dir() check would accept an interrupted build forever
-    if sv.is_dir() and ok.is_file():
+    # a bare sv.is_dir() check would accept an interrupted build forever.
+    # The marker records the build PARAMETERS — a cached survey built
+    # with different N_RANGE/N_PINGS/seed would silently skew pings/sec
+    params = f"H={N_RANGE} W={N_PINGS} seed=3 schools=24"
+    if sv.is_dir() and ok.is_file() and ok.read_text() == params:
         return str(sv)
     cache.mkdir(exist_ok=True)
     import shutil
+    ok.unlink(missing_ok=True)  # BEFORE building: a killed rebuild must
+    # not leave the old marker validating a partial store
     for stale in cache.glob("S2017843_*"):
         shutil.rmtree(stale, ignore_errors=True)
     from crimac_unet_tpu.data.fixtures import make_zarr_survey
     t = time.time()
     path = make_zarr_survey(cache, year=2017, n_echograms=1, H=N_RANGE,
                             W=N_PINGS, seed=3, n_schools=24)
-    ok.touch()
+    ok.write_text(params)
     print(f"# fixture built in {time.time() - t:.1f}s", file=sys.stderr)
     return path
 
@@ -113,7 +118,7 @@ def run_ours(sv_path):
         # hedge the tunnel's 2-3x run-to-run transfer variance better
         n_passes = max(1, int(os.environ.get("BENCH_PASSES", "3")))
     except ValueError:
-        n_passes = 2
+        n_passes = 3  # same as the documented default
     for i in range(n_passes):
         runner.timer.reset()
         runner.patches_processed = 0
@@ -236,8 +241,14 @@ def _device_only_chunk_time(runner, reader, reps=3):
     # burst dispatch + single sync amortizes the ~30 ms per-dispatch
     # tunnel round-trip (utils/timing.py)
     from crimac_unet_tpu.utils.timing import burst_time
+    import jax.numpy as jnp
+    # forcing d2h sync: block_until_ready under-blocks through the axon
+    # tunnel (utils/timing.py docstring) and sub-ms programs read ~100x
+    # fast — this is the 'honest device MFU' denominator
     best = burst_time(
-        lambda: real_pp(runner.variables, *args, *statics), reps=reps)
+        lambda: real_pp(runner.variables, *args, *statics), reps=reps,
+        sync=lambda o: np.asarray(jnp.sum(o[0] if isinstance(o, tuple)
+                                          else o)))
     return best, int(args[1].shape[0])
 
 
@@ -396,13 +407,16 @@ def run_baseline(sv_path):
         t = time.time()
         # preload slabs (dataset.py:164-184)
         label_slab = reader.get_label_slice(s, e - s).T
-        d_x0 = max(0, s - o - 1)
-        d_x1 = min(N_PINGS, e + o + PATCH)
-        data_slab = reader.get_data_slice(d_x0, d_x1 - d_x0,
-                                          frequencies=FREQS).swapaxes(1, 2)
         end_range = int(min(seabed[s:e].max() + 50, N_RANGE))
         ys_c = np.arange(-(o + 1), end_range - (o + 1), sh) + PATCH // 2
         xs_c = np.arange(s - (o + 1), e - (o + 1), sh) + PATCH // 2
+        # the reference's exact preload extents (dataset.py:176-177):
+        # [first_center - ww//2, last_center + ww//2) — reading wider
+        # over-charged the baseline loader ~16% per chunk
+        d_x0 = max(0, int(xs_c[0]) - PATCH // 2)
+        d_x1 = min(N_PINGS, int(xs_c[-1]) + PATCH // 2)
+        data_slab = reader.get_data_slice(d_x0, d_x1 - d_x0,
+                                          frequencies=FREQS).swapaxes(1, 2)
 
         # crop via the library's reference-convention helper
         # (utils/grids.extract_crop_2d, oracle-tested) — a hand-rolled
@@ -490,13 +504,22 @@ def wait_for_backend(max_wait_s=None):
     if max_wait_s is None:
         max_wait_s = int(os.environ.get("BENCH_TUNNEL_WAIT", "900"))
     t0, delay = time.time(), 20
+    probe = ("import jax, sys; "
+             "ds = jax.devices(); "
+             "sys.exit(0 if any(d.platform != 'cpu' for d in ds) else 3)")
     while True:
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=300)
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=300)
             if r.returncode == 0:
                 return True
+            if r.returncode == 3:
+                # a WORKING cpu-only jax: no accelerator plugin at all
+                # (dev box) — waiting won't conjure one; the bench runs
+                # on CPU and extras' device_kind makes that visible
+                print("# no accelerator backend (cpu-only jax); "
+                      "not waiting", file=sys.stderr)
+                return False
             msg = r.stderr.decode(errors="replace").strip()[-200:]
         except subprocess.TimeoutExpired:
             msg = "probe hung 300s"

@@ -144,7 +144,8 @@ def main(cfg):
 
     import models.unet as ref_models
     from batch.dataset import DatasetGriddedReader
-    from batch.transforms import (define_data_transform_test,
+    from batch.transforms import (define_data_transform,
+                                  define_data_transform_test,
                                   define_label_transform_test)
     from constants import LABEL_SEABED_MASK_VAL
     from data.partition import DataMemm
@@ -159,6 +160,19 @@ def main(cfg):
     patch = list(cfg["patch_size"])
     overlap = int(cfg["patch_overlap"])
 
+    def seed_bn_stats(model, seed):
+        """Non-trivial BN running stats so the import/fold path is
+        exercised beyond the (0, 1) init — ONE recipe for every probe."""
+        torch.manual_seed(seed)
+        sd = model.state_dict()
+        for k, v in sd.items():
+            if k.endswith("running_mean"):
+                sd[k] = torch.randn_like(v) * 0.05
+            elif k.endswith("running_var"):
+                sd[k] = (1.0 + 0.1 * torch.randn_like(v)).abs() + 1e-3
+        model.load_state_dict(sd)
+        return model
+
     def make_model(d, s, ckpt, seed=0):
         model = ref_models.UNet_Baseline(
             n_classes=3, in_channels=4, late_meta_inject=False, depth=d,
@@ -166,16 +180,7 @@ def main(cfg):
         if os.path.isfile(ckpt):
             model.load_state_dict(torch.load(ckpt, map_location="cpu"))
         else:
-            torch.manual_seed(seed)
-            # non-trivial BN running stats so the import/fold path is
-            # exercised beyond the (0, 1) init
-            sd = model.state_dict()
-            for k, v in sd.items():
-                if k.endswith("running_mean"):
-                    sd[k] = torch.randn_like(v) * 0.05
-                elif k.endswith("running_var"):
-                    sd[k] = (1.0 + 0.1 * torch.randn_like(v)).abs() + 1e-3
-            model.load_state_dict(sd)
+            seed_bn_stats(model, seed)
             torch.save(model.state_dict(), ckpt)
         model.eval()
         return model
@@ -193,9 +198,11 @@ def main(cfg):
     # skip the UNet builds and the checkpoint write
     segpipe = None
     if cfg.get("eval_modes") or cfg.get("do_predict") or cfg.get("zarr"):
-        make_model(depth, sf, cfg["ckpt"], seed=7)
+        # one build: make_model creates+saves the seed-7 checkpoint when
+        # absent and loads it otherwise; load_model_params re-reads the
+        # file only for SegPipe's model_is_loaded/device bookkeeping
         segpipe = SegPipeUNet(checkpoint_dir=None, **common)
-        segpipe.model = make_model(depth, sf, cfg["ckpt"])
+        segpipe.model = make_model(depth, sf, cfg["ckpt"], seed=7)
         segpipe.load_model_params(checkpoint_path=cfg["ckpt"])
 
     if cfg.get("eval_modes") or cfg.get("do_predict"):
@@ -266,14 +273,7 @@ def main(cfg):
             n_classes=3, in_channels=4, meta_in_channels=meta_ch,
             late_meta_inject=True, depth=5, start_filts=64,
             up_mode="transpose", merge_mode="concat")
-        torch.manual_seed(17)
-        sd = model.state_dict()
-        for k, v in sd.items():
-            if k.endswith("running_mean"):
-                sd[k] = torch.randn_like(v) * 0.05
-            elif k.endswith("running_var"):
-                sd[k] = (1.0 + 0.1 * torch.randn_like(v)).abs() + 1e-3
-        model.load_state_dict(sd)
+        seed_bn_stats(model, 17)
         torch.save(model.state_dict(), mp["ckpt"])
         model.eval()
         rng = np.random.RandomState(19)
@@ -402,7 +402,9 @@ def main(cfg):
 
         if z.get("eval_all"):
             # validate_model_survey_zarr's computation (evaluate.py:39-79)
-            data_transform = define_data_transform_test(False)
+            # — which uses define_data_transform (NO set_data_border_value,
+            # evaluate.py:49), unlike the memm eval's _test variant
+            data_transform = define_data_transform(False)
             label_transform = define_label_transform_test(
                 frequencies=common["frequencies"], label_masks="all",
                 patch_overlap=overlap)
@@ -435,7 +437,7 @@ def main(cfg):
                 grid_start=None, grid_end=None, data_preload=False,
                 patch_overlap=overlap, augmentation_function=None,
                 label_transform_function=label_transform,
-                data_transform_function=define_data_transform_test(False),
+                data_transform_function=define_data_transform(False),
                 grid_mode="all")
             dataset[0]
             crash = {"crashed": False}

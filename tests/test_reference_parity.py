@@ -93,8 +93,8 @@ def refout(tmp_path_factory):
     }
     cfg_path = root / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
-    env = dict(os.environ)
-    # the reference runs torch-CPU; keep jax out of the subprocess
+    env = dict(os.environ)  # ref_driver never imports jax, so the
+    # parent's JAX env vars are inert there
     proc = subprocess.run(
         [sys.executable, str(REPO / "tests" / "ref_driver.py"),
          str(cfg_path)], env=env, capture_output=True, text=True,

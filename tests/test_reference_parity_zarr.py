@@ -144,6 +144,7 @@ def test_zarr_reader_parity(refzarr):
     assert tuple(meta["shape"]) == tuple(reader.shape)
     assert meta["fish_categories"] == \
         [int(c) for c in reader.fish_categories]
+    assert meta["frequencies"] == [int(f) for f in reader.frequencies]
 
     np.testing.assert_array_equal(np.load(out / "valid_pings.npy"),
                                   np.asarray(reader.get_valid_pings()))
@@ -247,10 +248,10 @@ def test_zarr_eval_all_parity(refzarr):
     denom = rec + prec
     f1 = np.divide(2 * rec * prec, denom, out=np.zeros_like(denom),
                    where=denom != 0)
-    assert abs(metrics.max_f1(got)[0] - f1.max()) < 5e-3
+    assert abs(metrics.max_f1(got)[0] - f1.max()) < 1e-3
     ap_got = -np.sum(np.diff(got["recall"]) * got["precision"][:-1])
     ap_ref = -np.sum(np.diff(rec) * prec[:-1])
-    assert abs(ap_got - ap_ref) < 5e-3
+    assert abs(ap_got - ap_ref) < 1e-3
 
 
 def test_zarr_region_trace_broken_in_reference(refzarr):

@@ -91,18 +91,8 @@ def refout(tmp_path_factory):
                          "ckpt": str(root / "export.pt"),
                          "batch": str(out / "export_batch.npy")},
     }
-    cfg_path = root / "cfg.json"
-    cfg_path.write_text(json.dumps(cfg))
-    env = dict(os.environ)  # ref_driver never imports jax, so the
-    # parent's JAX env vars are inert there
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tests" / "ref_driver.py"),
-         str(cfg_path)], env=env, capture_output=True, text=True,
-        timeout=900)
-    assert proc.returncode == 0, \
-        f"ref_driver failed:\nSTDOUT:{proc.stdout[-3000:]}\n" \
-        f"STDERR:{proc.stderr[-3000:]}"
-    assert "REF_DRIVER_OK" in proc.stdout
+    from parity_util import run_ref_driver
+    run_ref_driver(cfg, root)
     return {"root": root, "ech": ech, "out": out, "cfg": cfg}
 
 
@@ -200,16 +190,12 @@ def test_eval_parity_vs_reference_pipeline(refout, eval_mode):
     moved = np.abs(hist - ref_hist).sum() // 2
     assert moved / hist.sum() < 0.001, (moved, hist.sum())
 
+    from parity_util import pr_f1_ap
     got = metrics.pr_curve_from_histogram(hist)
-    prec, rec, _ = precision_recall_curve(ref_labels, ref_preds,
-                                          pos_label=SANDEEL)
-    denom = rec + prec
-    f1 = np.divide(2 * rec * prec, denom, out=np.zeros_like(denom),
-                   where=denom != 0)
-    assert abs(metrics.max_f1(got)[0] - f1.max()) < 1e-3
+    ref_f1, ref_ap = pr_f1_ap(ref_labels, ref_preds, SANDEEL)
+    assert abs(metrics.max_f1(got)[0] - ref_f1) < 1e-3
     ap_got = -np.sum(np.diff(got["recall"]) * got["precision"][:-1])
-    ap_ref = -np.sum(np.diff(rec) * prec[:-1])
-    assert abs(ap_got - ap_ref) < 2e-3
+    assert abs(ap_got - ref_ap) < 2e-3
 
 
 def test_late_meta_forward_parity_real_architecture(refout):

@@ -68,16 +68,8 @@ def refpre(tmp_path_factory):
                              for d in dirs)},
         "mat2zarr": {"out_dir": str(root / "ref_zarr_out"), "year": YEAR},
     }
-    cfg_path = root / "cfg.json"
-    cfg_path.write_text(json.dumps(cfg))
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tests" / "ref_driver.py"),
-         str(cfg_path)], env=dict(os.environ), capture_output=True,
-        text=True, timeout=900)
-    assert proc.returncode == 0, \
-        f"ref_driver failed:\nSTDOUT:{proc.stdout[-3000:]}\n" \
-        f"STDERR:{proc.stderr[-3000:]}"
-    assert "REF_DRIVER_OK" in proc.stdout
+    from parity_util import run_ref_driver
+    run_ref_driver(cfg, root)
     return {"root": root, "ech_ours": ech_ours, "ech_ref": ech_ref,
             "dirs": [os.path.basename(d) for d in dirs]}
 

@@ -109,16 +109,8 @@ def refzarr(tmp_path_factory):
                 "resumed_store": str(root / "ref_pred_resumed.zarr")},
         },
     }
-    cfg_path = root / "cfg.json"
-    cfg_path.write_text(json.dumps(cfg))
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tests" / "ref_driver.py"),
-         str(cfg_path)], env=dict(os.environ), capture_output=True,
-        text=True, timeout=900)
-    assert proc.returncode == 0, \
-        f"ref_driver failed:\nSTDOUT:{proc.stdout[-3000:]}\n" \
-        f"STDERR:{proc.stderr[-3000:]}"
-    assert "REF_DRIVER_OK" in proc.stdout
+    from parity_util import run_ref_driver
+    run_ref_driver(cfg, root)
     return {"root": root, "sv": sv, "out": out, "cfg": cfg}
 
 
@@ -242,16 +234,12 @@ def test_zarr_eval_all_parity(refzarr):
     assert hist.sum() == len(ref_labels)
     assert hist[0].sum() == int((ref_labels == SANDEEL).sum())
 
+    from parity_util import pr_f1_ap
     got = metrics.pr_curve_from_histogram(hist)
-    prec, rec, _ = precision_recall_curve(ref_labels, ref_preds,
-                                          pos_label=SANDEEL)
-    denom = rec + prec
-    f1 = np.divide(2 * rec * prec, denom, out=np.zeros_like(denom),
-                   where=denom != 0)
-    assert abs(metrics.max_f1(got)[0] - f1.max()) < 1e-3
+    ref_f1, ref_ap = pr_f1_ap(ref_labels, ref_preds, SANDEEL)
+    assert abs(metrics.max_f1(got)[0] - ref_f1) < 1e-3
     ap_got = -np.sum(np.diff(got["recall"]) * got["precision"][:-1])
-    ap_ref = -np.sum(np.diff(rec) * prec[:-1])
-    assert abs(ap_got - ap_ref) < 1e-3
+    assert abs(ap_got - ref_ap) < 1e-3
 
 
 def test_zarr_region_trace_broken_in_reference(refzarr):

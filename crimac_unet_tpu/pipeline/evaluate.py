@@ -34,10 +34,22 @@ def evaluate_survey(runner, readers, eval_mode, save_path_metrics=None,
     """One PR curve per survey over all its readers
     (reference evaluate.py:39-117 concatenates readers into one metric)."""
     hist = M.new_histogram()
+    readers = list(readers)
+    # static_grid: pad every reader's grid to the survey-max height so the
+    # whole survey shares ONE compiled eval program (memm surveys run one
+    # evaluate_reader per echogram, each with its own seabed-derived grid
+    # height — one XLA compile per echogram otherwise). Histogram-exact:
+    # pad-row patches are force-ignored (inference.evaluate_reader).
+    fixed_R = None
+    if getattr(runner, "static_grid", False) and readers:
+        from .inference import grid_height_for_reader
+        wh = runner.window[0]
+        fixed_R = max(grid_height_for_reader(r, wh, runner.overlap)
+                      for r in readers)
     for reader in readers:
         hist = evaluate_reader(runner, reader, hist,
                                eval_mode=_MODE_MAP[eval_mode],
-                               progress=progress)
+                               progress=progress, fixed_R=fixed_R)
     curve = M.pr_curve_from_histogram(np.asarray(hist))
     if save_path_metrics is not None:
         save_metrics_dict(curve, save_path_metrics)

@@ -103,6 +103,24 @@ class GriddedRunner:
         # forward; faster, no per-patch padding artifacts — see
         # _predict_slab and DIVERGENCES.md)
         self.infer_mode = str(config.get("infer_mode", "patch"))
+        # static_grid: compile ONE predict program for every chunk of a
+        # survey.  The reference grid (gridded.py:121-163) re-derives the
+        # grid height from each chunk's max seabed, so surveys with varying
+        # bathymetry trigger one XLA compile per distinct height — each a
+        # multi-minute round trip on remote-compile setups.  With
+        # static_grid the grid is padded to the survey-max height (and the
+        # tail chunk to full-chunk width) and a dynamic row cutoff in
+        # _mask_output discards the pad rows.  In patch mode outputs stay
+        # BIT-IDENTICAL to the per-chunk formulation (live patches read the
+        # same slab values; tests/test_inference_parity.py).  In slab mode
+        # the fully-convolutional forward's context at the per-chunk grid's
+        # bottom/right edge changes (zero rows w/ bias propagation vs conv
+        # zero-padding at the array edge), so kept pixels within ~RF of
+        # those edges move by f16-level amounts — masks stay identical and
+        # the interior is exact.  The trade is pad FLOPs for compiles;
+        # patches_processed counts the padded grid (the pad forwards are
+        # real device work).
+        self.static_grid = bool(config.get("static_grid", False))
         if self.infer_mode not in ("patch", "slab"):
             raise ValueError(f"infer_mode must be 'patch' or 'slab', "
                              f"got {self.infer_mode!r}")
@@ -365,7 +383,7 @@ class GriddedRunner:
     @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
                                        "zarr_pad", "chunk_w"))
     def _mask_output(self, stitched, label_slab, data_slab, seabed,
-                     n_range, n_pings, zarr_pad, chunk_w):
+                     row_cut, n_range, n_pings, zarr_pad, chunk_w):
         """Crop stitched grid output to chunk extent, apply write masks,
         emit float16 (the on-disk dtype).
 
@@ -404,6 +422,13 @@ class GriddedRunner:
             jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
         keep = (jnp.isfinite(label_slab) & sv_fin
                 & ~(below & (label_slab == 0)))
+        # row_cut (dynamic scalar): the per-chunk reference grid's bottom
+        # data row.  Under static_grid the stitched output carries pad rows
+        # below it (the survey-max grid); the reference per-chunk grid never
+        # writes them, so they are discarded here to keep outputs
+        # bit-identical.  Without static_grid, row_cut == n_range and this
+        # is the identity.
+        keep = keep & (rows < row_cut)
         img = jnp.where(keep[:, :, None], img, 0.0)
         # the bool mask is returned alongside so save_labels can apply
         # the EXACT exclusions — reconstructing it from `pred != 0` on
@@ -620,6 +645,19 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
     seabed_has = np.asarray(reader.seabed_known(0, n_pings))
 
+    # static_grid: one compiled shape for every chunk — grid height from
+    # the survey-max seabed, grid width from the widest chunk; prepare()
+    # keeps the per-chunk reference grid (R_ref/C_ref) for the slab fill
+    # extents and the dynamic row cutoff, so outputs are bit-identical
+    static = bool(getattr(runner, "static_grid", False))
+    R_fix = C_fix = 0
+    if static and len(splits):
+        sb_all = np.where(seabed_has, seabed_full, n_range)
+        s_first = int(splits[0][0])
+        er_all = int(min(max(sb_all[s_first:].max() + 50, 1), n_range))
+        R_fix = grid_dims(0, er_all, wh, o)
+        C_fix = max(grid_dims(int(a), int(b), ww, o) for a, b in splits)
+
     it = splits
     if progress:
         from tqdm import tqdm
@@ -680,8 +718,16 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         sb_chunk = seabed_full[s:e]
         sb_eff = np.where(seabed_has[s:e], sb_chunk, n_range)
         end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
-        R = grid_dims(0, end_range, wh, o)
-        C = grid_dims(s, e, ww, o)
+        # R_ref/C_ref: the reference's per-chunk grid.  Every data-bearing
+        # extent below (slab fill, label read, row cutoff) derives from
+        # them; under static_grid only the COMPILED shapes (R, C) grow to
+        # the survey-wide fixed grid, with the pad rows/columns reading
+        # zeros/NaN and discarded on device — outputs stay bit-identical.
+        R_ref = grid_dims(0, end_range, wh, o)
+        C_ref = grid_dims(s, e, ww, o)
+        row_cut = min(R_ref * sh, n_range)
+        R = max(R_fix, R_ref) if static else R_ref
+        C = max(C_fix, C_ref) if static else C_ref
 
         Hp = R * sh + 2 * o
         Wp = C * sw + 2 * o
@@ -690,19 +736,24 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # zarr; unclipped survey reads for memmap
         if is_zarr:
             first_center = s - o - 1 + ww // 2
-            last_center = s + (C - 1) * sw - o - 1 + ww // 2
+            last_center = s + (C_ref - 1) * sw - o - 1 + ww // 2
             slab_x0 = max(0, first_center - ww // 2)
             slab_x1 = min(n_pings, last_center + ww // 2)
         else:
             slab_x0 = max(0, s - o)
-            slab_x1 = min(n_pings, s + C * sw + o)
-        slab_y1 = min(n_range, R * sh + o)
+            slab_x1 = min(n_pings, s + C_ref * sw + o)
+        # fill to the REFERENCE grid's bottom data row even when the
+        # compiled grid is taller (static_grid): slab-mode convolutions
+        # read context below the kept rows, so filling deeper would
+        # perturb kept outputs near the cutoff
+        slab_y1 = min(n_range, R_ref * sh + o)
 
-        # patches only ever read data columns [s - o, s + C*sw + o); clip
-        # the preload extents to that window (the reference's wider slab
-        # columns are unreachable by any patch)
+        # patches only ever read data columns [s - o, s + C_ref*sw + o);
+        # clip the preload extents to that window (the reference's wider
+        # slab columns are unreachable by any live patch, and static-grid
+        # pad columns must read zeros, not data the reference never saw)
         slab_x0 = max(slab_x0, s - o)
-        slab_x1 = min(slab_x1, s + C * sw + o)
+        slab_x1 = min(slab_x1, s + C_ref * sw + o)
 
         # HWC layout: gathered patches come out NHWC with no device
         # relayout between the gather and the convs
@@ -726,12 +777,15 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # and Blosc decode on deep recordings with shallow seabeds
         nr = min(R * sh, n_range)
         label_pad = np.full((n_range, C * sw), np.nan, np.float32)
+        # labels are only consulted for rows the reference grid keeps
+        # ([0, row_cut)); static-grid pad rows stay NaN — never read from
+        # disk — and are discarded by the device row cutoff anyway
         if is_zarr:
-            lab = reader.get_label_slice(s, w, 0, nr)  # (ping, range<nr)
-            label_pad[:nr, :w] = lab.T
+            lab = reader.get_label_slice(s, w, 0, row_cut)
+            label_pad[:row_cut, :w] = lab.T
         else:
-            label_pad[:nr, :w] = np.asarray(
-                reader.label_memmap()[:nr, s:e]).astype(np.float32)
+            label_pad[:row_cut, :w] = np.asarray(
+                reader.label_memmap()[:row_cut, s:e]).astype(np.float32)
         # raw-ch0 finiteness over the chunk (nan => excluded from write via
         # remove_nan_inf label marking in the preload path,
         # remove_nan_inf.py:22-33) is read on device from channel 0 of
@@ -767,6 +821,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             border_slab=jax.device_put(border_slab),
             label_pad=jax.device_put(label_pad[:nr].astype(xfer)),
             sb_vec=jax.device_put(sb_vec),
+            row_cut=jax.device_put(np.int32(row_cut)),
             y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
             meta_slab=jax.device_put(meta_slab),
             consts=jax.device_put(consts))
@@ -806,9 +861,13 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                     dev["data_slab"], dev["y0s"], dev["x0s"],
                     dev["border_slab"], dev["meta_slab"], dev["consts"],
                     R, C, border_zero, runner.use_meta)
+            # under static_grid chunk_w is pinned to the grid width so the
+            # tail chunk shares the same compiled program; its pad columns
+            # carry NaN labels (keep=False) and are cropped on the host
             out, keep_dev = runner._mask_output(
                 stitched, dev["label_pad"], dev["data_slab"], dev["sb_vec"],
-                nr, C * sw, is_zarr, w)
+                dev["row_cut"], nr, C * sw, is_zarr,
+                C * sw if static else w)
             runner.timer.stop("device_chunk")
             # start the d2h copy as soon as compute finishes (overlaps the
             # next chunk's device work; _drain only synchronizes).  The
@@ -1007,8 +1066,28 @@ def save_reader_predictions_memm(runner, reader, target_dname,
 
 
 # ================================================================== EVAL
+def grid_height_for_reader(reader, wh: int, o: int) -> int:
+    """Reference grid height (patch-grid rows) for one reader — the same
+    extent law evaluate_reader/predict_reader use (gridded.py:121-163,
+    range capped at max seabed + 50; unknown seabed = full water column).
+    Callers evaluating several readers under ``static_grid`` take the max
+    over readers and pass it as ``fixed_R`` so every reader shares one
+    compiled eval program."""
+    is_zarr = reader.data_format == "zarr"
+    if is_zarr:
+        n_pings, n_range = reader.shape
+    else:
+        n_range, n_pings = reader.shape
+    sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
+    has = np.asarray(reader.seabed_known(0, n_pings))
+    sb_eff = np.where(has, sb, n_range)
+    end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
+    return grid_dims(0, end_range, wh, o)
+
+
 def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
-                    extend_size=20, chunk_cols=8, progress=False):
+                    extend_size=20, chunk_cols=8, progress=False,
+                    fixed_R=None):
     """Accumulate the PR histogram over a full reader's sliding-window grid
     (evaluate.py:39-117 + validate_model_testing pipeline.py:343-376).
 
@@ -1025,7 +1104,13 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     one group behind, preserving overlap — into a 64-bit accumulator, so
     production-scale surveys (1e9+ below-seabed negatives land in bin 0)
     cannot wrap the counters.  ``hist`` may be the int32 device array or
-    a previous int64 return value (survey loops chain readers)."""
+    a previous int64 return value (survey loops chain readers).
+
+    ``fixed_R`` (static_grid): evaluate on a grid padded to ``fixed_R``
+    rows instead of this reader's own height — multi-reader surveys then
+    share ONE compiled program.  Pad-row patches are force-ignored through
+    the same live-patch flag as the pad columns, so the histogram is
+    EXACTLY the per-reader one (asserted in tests/test_eval_parity.py)."""
     wh, ww = runner.window
     o = runner.overlap
     sh, sw = runner.stride
@@ -1043,7 +1128,8 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     # grid extent (review finding r3 — see predict_reader)
     sb_eff = np.where(seabed_has, seabed_full, n_range)
     end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
-    R = grid_dims(0, end_range, wh, o)
+    R_ref = grid_dims(0, end_range, wh, o)
+    R = max(R_ref, int(fixed_R)) if fixed_R else R_ref
     C_total = grid_dims(0, n_pings, ww, o)
 
     # pad to whole groups: one compiled shape for every group
@@ -1085,7 +1171,10 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL),
                              np.float32)
         keep_slab = np.zeros((1, 1), np.bool_)
-        slab_y1 = min(n_range, R * sh + o)
+        # fill (and read labels) only to the REFERENCE grid's bottom row:
+        # fixed_R pad rows are force-ignored, so their slab content is
+        # never consulted — no extra I/O for the static grid
+        slab_y1 = min(n_range, R_ref * sh + o)
         x_off = slab_x0 - want_x0
 
         if sw_w > 0:
@@ -1114,8 +1203,13 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         y0s, x0s = make_grid_starts(R, Cc, sh, sw, o, o, o)
         patch_y0_data = (np.repeat(np.arange(R) * sh, Cc) - o).astype(
             np.int32)
-        col_valid = np.tile((np.arange(j0, j1) < C_total), R).astype(
-            np.int32)
+        # live-patch flag: pad COLUMNS (beyond the survey) and pad ROWS
+        # (fixed_R > reference grid) are both force-ignored in
+        # _eval_patches AFTER the region/trace keep override — the
+        # reference grid has no such patches
+        col_ok = np.tile((np.arange(j0, j1) < C_total), R)
+        row_ok = np.repeat(np.arange(R) < R_ref, Cc)
+        col_valid = (col_ok & row_ok).astype(np.int32)
 
         meta_slab = np.zeros((0, 1, 1), np.float32)
         consts = np.zeros((len(y0s), 0), np.float32)

@@ -232,3 +232,45 @@ def test_keep_mask_matches_reference_crop_semantics_randomized():
                 np.testing.assert_array_equal(
                     ours, ref, err_msg=f"trial {trial} mode {mode} "
                     f"patch ({r},{c}) geom {(n_range, n_pings, wh, o)}")
+
+
+@pytest.mark.parametrize("eval_mode", ["all", "region", "fish"])
+def test_static_grid_multi_reader_eval_exact(tmp_path, eval_mode):
+    """static_grid pads every reader's eval grid to the survey-max height
+    (ONE compiled program for a multi-echogram survey); pad-row patches
+    are force-ignored, so the PR curve is EXACTLY the per-reader one."""
+    from test_inference_parity import _varying_seabed_survey
+
+    from crimac_unet_tpu.pipeline.evaluate import evaluate_survey
+
+    _, echs = _varying_seabed_survey(tmp_path)
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    v = model.init(jax.random.PRNGKey(11), jnp.zeros((1, WH, WW, 4)),
+                   train=False)
+    cfg = {"patch_size": [WH, WW], "patch_overlap": OVERLAP,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8}
+
+    def run(static):
+        runner = GriddedRunner(model, v, dict(cfg, static_grid=static))
+        shapes = []
+        real = runner._eval_patches
+
+        def spy(variables, hist, data_slab, *rest):
+            shapes.append(tuple(np.shape(data_slab)))
+            return real(variables, hist, data_slab, *rest)
+        runner._eval_patches = spy
+        curve = evaluate_survey(runner, echs, eval_mode)
+        return curve, shapes
+
+    dyn_curve, dyn_shapes = run(False)
+    sta_curve, sta_shapes = run(True)
+
+    # the two echograms' reference grids really differ in height; the
+    # static run used one shape — the taller of the two
+    assert len(set(dyn_shapes)) > 1, dyn_shapes
+    assert set(sta_shapes) == {max(dyn_shapes)}, sta_shapes
+
+    assert sorted(dyn_curve.keys()) == sorted(sta_curve.keys())
+    for k in dyn_curve:
+        np.testing.assert_array_equal(np.asarray(dyn_curve[k]),
+                                      np.asarray(sta_curve[k]))

@@ -386,3 +386,160 @@ def test_slab_infer_mode_memmap_border_zero(tmp_path):
         out[mode] = np.asarray(pred, np.float32)
     np.testing.assert_array_equal(out["patch"] == 0, out["slab"] == 0)
     assert (out["slab"] > 0).any()
+
+
+# ------------------------------------------------------------- static_grid
+def _varying_seabed_survey(tmp_path, H=120, W=145):
+    """Two echograms with very different (pinned) seabed depths, so the
+    per-chunk grid height R varies across the concatenated survey, plus a
+    survey length that leaves a narrower tail chunk (C varies too)."""
+    import os
+
+    from crimac_unet_tpu.data.fixtures import (make_synthetic_echogram,
+                                               write_memmap_echogram)
+    from crimac_unet_tpu.data.memmap_reader import Echogram
+    from crimac_unet_tpu.data.preprocess import echograms_to_zarr_survey
+
+    rng = np.random.RandomState(7)
+    dirs = []
+    for i, (frac, row) in enumerate(((0.3, 30), (0.85, 95))):
+        data, labels, heave, _ = make_synthetic_echogram(
+            H, W, rng, n_schools=3, seabed_frac=frac)
+        name = f"2019843-D2019042{7 + i}-T06261{i}"
+        d = write_memmap_echogram(tmp_path / "memm", name, data, labels,
+                                  heave)
+        # pin the seabed exactly (the estimator would land near the bright
+        # line anyway; the test needs deterministic per-chunk grid heights)
+        np.save(os.path.join(d, "seabed.npy"),
+                np.full(W, row, dtype=np.int64))
+        dirs.append(d)
+    echs = [Echogram(d) for d in dirs]
+    out = tmp_path / "zarr"
+    echograms_to_zarr_survey(echs, str(out), "S2019843")
+    return str(out / "S2019843_sv.zarr"), echs
+
+
+@pytest.mark.parametrize("mode", ["patch", "slab"])
+def test_static_grid_output_identical(tmp_path, mode):
+    """static_grid=True compiles ONE program shape for every chunk (the
+    survey-max grid height and full-chunk width) and must reproduce the
+    per-chunk reference formulation EXACTLY: the pad rows/columns read
+    zero/NaN fill, never real data, and the device row cutoff discards
+    them, so live pixels see the same math on the same values."""
+    from crimac_unet_tpu.models.unet import build_unet
+
+    sv, _ = _varying_seabed_survey(tmp_path)
+    reader = DataReaderZarr(sv)
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4, "infer_mode": mode}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    def run(static):
+        runner = GriddedRunner(model, v, dict(cfg, static_grid=static))
+        seen = []
+        if mode == "patch":
+            real = runner._predict_patches
+
+            def spy(variables, data_slab, y0s, x0s, border_slab, meta_slab,
+                    consts, R, C, border_zero, use_meta=False):
+                seen.append((R, C))
+                return real(variables, data_slab, y0s, x0s, border_slab,
+                            meta_slab, consts, R, C, border_zero, use_meta)
+            runner._predict_patches = spy
+        else:
+            real = runner._predict_slab
+
+            def spy(variables, data_slab, border_slab, R, C, border_zero):
+                seen.append((R, C))
+                return real(variables, data_slab, border_slab, R, C,
+                            border_zero)
+            runner._predict_slab = spy
+        # preload 97 over 290 pings -> linspace splits of 96/97/97 pings:
+        # the 96-wide chunk needs one patch column fewer (stride 24), so C
+        # churns across chunks alongside the seabed-driven R churn
+        chunks = list(predict_reader(runner, reader, 97, save_labels=True))
+        return chunks, seen
+
+    dyn, dyn_shapes = run(False)
+    sta, sta_shapes = run(True)
+
+    # the fixture really exercises shape churn: the reference grid changes
+    # height across chunks and width at the tail; static mode sees ONE shape
+    assert len({r for r, _ in dyn_shapes}) > 1, dyn_shapes
+    assert len({c for _, c in dyn_shapes}) > 1, dyn_shapes
+    assert len(set(sta_shapes)) == 1, sta_shapes
+    assert sta_shapes[0][0] == max(r for r, _ in dyn_shapes)
+    assert sta_shapes[0][1] == max(c for _, c in dyn_shapes)
+
+    assert len(dyn) == len(sta) == 3
+    for k, ((s_d, e_d, p_d, l_d), (s_s, e_s, p_s, l_s)) in enumerate(
+            zip(dyn, sta)):
+        assert (s_d, e_d) == (s_s, e_s)
+        np.testing.assert_array_equal(l_d, l_s)
+        p_d, p_s = np.asarray(p_d), np.asarray(p_s)
+        if mode == "patch" or dyn_shapes[k] == sta_shapes[0]:
+            # patch mode: live patches read the same slab values whatever
+            # the grid padding — BIT-identical.  (Slab chunks whose
+            # reference grid already matches the fixed grid share the
+            # same program, so they are bit-identical too.)
+            np.testing.assert_array_equal(p_d, p_s)
+            continue
+        # slab mode with a padded grid: the fully-convolutional forward's
+        # context at the per-chunk grid's bottom/right edge changes (zero
+        # ROWS with bias propagation vs zero-PADDING at the array edge),
+        # so kept pixels within ~RF of those edges move by f16-level
+        # amounts; masks stay identical and the interior is exact
+        np.testing.assert_array_equal(p_d == 0, p_s == 0)
+        np.testing.assert_allclose(p_d, p_s, atol=2e-3)
+        r_cut = dyn_shapes[k][0] * 24
+        w = e_d - s_d
+        interior = (slice(None), slice(0, max(r_cut - 40, 0)),
+                    slice(0, max(w - 40, 0)))
+        np.testing.assert_array_equal(p_d[interior], p_s[interior])
+    assert any((np.asarray(p) != 0).any() for _, _, p, _ in dyn)
+
+
+def test_static_grid_memmap_save_store(tmp_path):
+    """static_grid on the memmap format (border-zero branch) through the
+    full zarr writer: stores byte-compare equal."""
+    import os
+
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import \
+        save_survey_predictions_zarr
+
+    make_survey_dir(tmp_path / "m", year=2017, n_echograms=1, H=120, W=260,
+                    seed=23)
+    ech = get_echograms(years=[2017], path_to_echograms=str(tmp_path / "m"),
+                        minimum_shape=32)[0]
+    # seabed ramp: chunk 0 shallow, chunk 2 deep -> distinct grid heights
+    np.save(os.path.join(ech.path, "seabed.npy"),
+            np.linspace(25, 100, 260).astype(np.int64))
+    ech = get_echograms(years=[2017], path_to_echograms=str(tmp_path / "m"),
+                        minimum_shape=32)[0]
+
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    stores = {}
+    for static in (False, True):
+        runner = GriddedRunner(model, v, dict(cfg, static_grid=static))
+        out = tmp_path / f"pred_{static}"
+        save_survey_predictions_zarr(runner, ech, str(out),
+                                     preload_n_pings=100, save_labels=True)
+        stores[static] = out
+
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+    a = ZGroup.open(str(stores[False]))
+    b = ZGroup.open(str(stores[True]))
+    np.testing.assert_array_equal(a["annotation"][:], b["annotation"][:])
+    np.testing.assert_array_equal(a["labels"][:], b["labels"][:])

@@ -23,7 +23,7 @@ from ..data.partition import make_partition
 from ..models.unet import build_unet
 from ..ops import metrics as M
 from ..utils.general import fix_seeds
-from .inference import GriddedRunner, evaluate_reader
+from .inference import GriddedRunner, evaluate_reader, grid_height_for_reader
 from .segpipe import save_metrics_dict, save_pr_plot
 
 from ..constants import EVAL_MODE_MAP as _MODE_MAP  # 'fish' -> 'trace'
@@ -42,7 +42,8 @@ def evaluate_survey(runner, readers, eval_mode, save_path_metrics=None,
     # pad-row patches are force-ignored (inference.evaluate_reader).
     fixed_R = None
     if getattr(runner, "static_grid", False) and readers:
-        from .inference import grid_height_for_reader
+        # reads hit the reader-level seabed caches, so evaluate_reader's
+        # own get_seabed pass right after costs no second store decode
         wh = runner.window[0]
         fixed_R = max(grid_height_for_reader(r, wh, runner.overlap)
                       for r in readers)

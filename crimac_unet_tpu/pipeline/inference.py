@@ -391,9 +391,14 @@ class GriddedRunner:
         remove_nan_inf on the preload slab) is read from channel 0 of the
         ``data_slab`` already on device — survey ping ``s + j`` lives at
         slab column ``overlap + j`` — instead of shipping a second copy of
-        the raw sv over PCIe/tunnel.  ``chunk_w`` is the real chunk width;
-        grid columns beyond it (and rows below the slab) are never written
-        by the caller, matching the old fill=finite behavior.
+        the raw sv over PCIe/tunnel.  ``chunk_w`` bounds the columns whose
+        sv-finiteness is consulted: the real chunk width normally (grid
+        columns beyond it are never written by the caller, matching the
+        old fill=finite behavior), or the padded grid width under
+        static_grid, where it is pinned so the tail chunk shares the
+        compiled program — pad columns then read zero-filled (finite) slab
+        data but carry NaN labels, so ``keep`` stays False there and the
+        caller crops them on the host.
 
         The seabed exclusion is patch-band dependent: the reference zarr
         reader shifts the *sliced* bottom mask down by SEABED_PAD
@@ -622,13 +627,60 @@ def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
 
 
 # ============================================================== PREDICTION
+def _grid_extent_rows(n_range: int, seabed, known, wh: int, o: int) -> int:
+    """Reference grid height (patch-grid rows) for one seabed vector: range
+    capped at max seabed + 50, pings WITHOUT a seabed estimate counting as
+    full water column (gridded.py:121-163; review finding r3 — raw zeros
+    must not collapse the grid).  The single source of the extent law for
+    predict_reader, evaluate_reader and the static-grid helpers."""
+    sb_eff = np.where(known, seabed, n_range)
+    end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
+    return grid_dims(0, end_range, wh, o)
+
+
+def static_grid_shape_for_reader(reader, window, overlap: int,
+                                 preload_n_pings: int, start_ping: int = 0):
+    """(grid rows, grid cols) of one reader's static (survey-max) predict
+    grid: rows from the reader-max seabed, cols from its widest
+    preload split.  Survey-level callers predicting several readers under
+    ``static_grid`` take the elementwise max over readers and pass it as
+    ``fixed_R``/``fixed_C`` so the whole survey shares ONE compiled predict
+    program.  Seabed reads hit the reader-level caches (seabed.npy /
+    ``_seabed_vec``), so calling this ahead of predict_reader costs no
+    extra I/O."""
+    wh, ww = window
+    is_zarr = reader.data_format == "zarr"
+    if is_zarr:
+        n_pings, n_range = reader.shape
+    else:
+        n_range, n_pings = reader.shape
+    from ..utils.preload_split import get_data_split
+    chunk = preload_n_pings if preload_n_pings > 0 else 5000
+    splits = get_data_split([[start_ping, n_pings]], chunk)
+    if not len(splits):
+        return 0, 0
+    sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
+    has = np.asarray(reader.seabed_known(0, n_pings))
+    s_first = int(splits[0][0])
+    R = _grid_extent_rows(n_range, sb[s_first:], has[s_first:], wh, overlap)
+    C = max(grid_dims(int(a), int(b), ww, overlap) for a, b in splits)
+    return R, C
+
+
 def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
-                   start_ping=0, progress=False, save_labels=False):
+                   start_ping=0, progress=False, save_labels=False,
+                   fixed_R=None, fixed_C=None):
     """Yield (chunk_start, chunk_end, (2, n_range, w) float16 predictions,
     labels-or-None) for one reader, reproducing save_predict's chunked
     sliding window (save_predict.py:137-219).  ``save_labels`` additionally
     emits the masked raw label map per chunk (the reference's save_labels
-    config option, unwired in its snapshot — see DIVERGENCES.md)."""
+    config option, unwired in its snapshot — see DIVERGENCES.md).
+
+    ``fixed_R``/``fixed_C`` (static_grid, multi-reader surveys): compile
+    the grid at least this tall/wide so every reader of the survey shares
+    one program (see ``static_grid_shape_for_reader``); outputs stay
+    bit-identical — pad rows/columns are discarded on device/host exactly
+    like this reader's own static pad."""
     wh, ww = runner.window
     o = runner.overlap
     sh, sw = runner.stride
@@ -652,11 +704,10 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     static = bool(getattr(runner, "static_grid", False))
     R_fix = C_fix = 0
     if static and len(splits):
-        sb_all = np.where(seabed_has, seabed_full, n_range)
-        s_first = int(splits[0][0])
-        er_all = int(min(max(sb_all[s_first:].max() + 50, 1), n_range))
-        R_fix = grid_dims(0, er_all, wh, o)
-        C_fix = max(grid_dims(int(a), int(b), ww, o) for a, b in splits)
+        R_fix, C_fix = static_grid_shape_for_reader(
+            reader, runner.window, o, preload_n_pings, start_ping)
+        R_fix = max(R_fix, int(fixed_R or 0))
+        C_fix = max(C_fix, int(fixed_C or 0))
 
     it = splits
     if progress:
@@ -902,12 +953,14 @@ def _ping_chunk(preload_n_pings: int) -> int:
 def save_survey_predictions_zarr(runner, reader, target_dname,
                                  preload_n_pings=1000, resume_writing=False,
                                  model_name="model", progress=False,
-                                 save_labels=False):
+                                 save_labels=False, fixed_R=None,
+                                 fixed_C=None):
     """Write chunked predictions to a ``<name>_pred.zarr`` store with the
     reference's on-disk contract (save_predict.py:87-134): annotation array
     (category [27, 1], ping_time, range) float16, full-range chunks,
     append along ping_time, resume from the existing ping count.
-    ``save_labels`` adds a masked (ping_time, range) ``labels`` array."""
+    ``save_labels`` adds a masked (ping_time, range) ``labels`` array.
+    ``fixed_R``/``fixed_C``: survey-level static grid (see predict_reader)."""
     import os
     import shutil
 
@@ -1030,7 +1083,9 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
         for s, e, out, lab in predict_reader(runner, reader,
                                              preload_n_pings, start_ping,
                                              progress,
-                                             save_labels=save_labels):
+                                             save_labels=save_labels,
+                                             fixed_R=fixed_R,
+                                             fixed_C=fixed_C):
             if pending_write is not None:
                 pending_write.result()  # re-raises writer errors in order
             pending_write = writer.submit(write_chunk, s, e, out, lab)
@@ -1049,17 +1104,20 @@ def save_survey_predictions_zarr(runner, reader, target_dname,
 
 def save_reader_predictions_memm(runner, reader, target_dname,
                                  preload_n_pings=1000, resume_writing=False,
-                                 progress=False):
+                                 progress=False, fixed_R=None, fixed_C=None):
     """Memmap variant: accumulate into one (2, n_range, n_pings) array and
     save as .npy (save_predict.py:222-265; skips existing files when
-    resuming)."""
+    resuming).  ``fixed_R``/``fixed_C``: survey-level static grid (see
+    predict_reader) — memm surveys run one file per echogram, so without
+    them static_grid still compiled one program per echogram."""
     import os
     if resume_writing and os.path.isfile(target_dname):
         return target_dname
     n_range, n_pings = reader.shape
     out = np.zeros((2, n_range, n_pings), np.float16)
     for s, e, chunk, _ in predict_reader(runner, reader, preload_n_pings, 0,
-                                         progress):
+                                         progress, fixed_R=fixed_R,
+                                         fixed_C=fixed_C):
         out[:, :, s:e] = chunk
     np.save(target_dname, out)
     return target_dname
@@ -1080,9 +1138,7 @@ def grid_height_for_reader(reader, wh: int, o: int) -> int:
         n_range, n_pings = reader.shape
     sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
     has = np.asarray(reader.seabed_known(0, n_pings))
-    sb_eff = np.where(has, sb, n_range)
-    end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
-    return grid_dims(0, end_range, wh, o)
+    return _grid_extent_rows(n_range, sb, has, wh, o)
 
 
 def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
@@ -1124,11 +1180,7 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     seabed_has = np.asarray(reader.seabed_known(0, n_pings))
     sb_abs = np.where(seabed_has, seabed_full, BIG_ROW).astype(np.int64)
 
-    # pings without a seabed estimate count as full-water-column for the
-    # grid extent (review finding r3 — see predict_reader)
-    sb_eff = np.where(seabed_has, seabed_full, n_range)
-    end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
-    R_ref = grid_dims(0, end_range, wh, o)
+    R_ref = _grid_extent_rows(n_range, seabed_full, seabed_has, wh, o)
     R = max(R_ref, int(fixed_R)) if fixed_R else R_ref
     C_total = grid_dims(0, n_pings, ww, o)
 
@@ -1139,13 +1191,18 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
     keep_global = None
     keep_pad = (0, 0)
     if eval_mode in ("region", "trace"):
-        # padded frame covering every slab pixel, including out-of-survey
-        # grid margins (the reference masks those too — see
+        # padded frame covering every CONSULTED slab pixel, including
+        # out-of-survey grid margins (the reference masks those too — see
         # _build_keep_mask quirk notes).  Per-axis pads: rows only need
         # ~overlap while the column axis needs up to a whole pad column
         # group — a single symmetric pad would inflate the survey-size
-        # allocation ~2.6x at soak scale (review finding r3)
-        keep_pad = (max(o, R * sh + o - n_range, 0),
+        # allocation ~2.6x at soak scale (review finding r3).  The row pad
+        # follows the REFERENCE grid R_ref, not the fixed_R-padded R:
+        # pad-row patches are force-ignored, so their keep values are
+        # never read, and sizing the frame by a deeper sibling reader's
+        # grid would add tens of MB of dead host allocation per shallow
+        # reader at soak scale (review finding r3 continuation)
+        keep_pad = (max(o, R_ref * sh + o - n_range, 0),
                     max(o, C_pad * sw + o - n_pings, 0))
         keep_global = _build_keep_mask(reader, eval_mode, extend_size,
                                        n_range, n_pings, pad=keep_pad)
@@ -1189,12 +1246,16 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
             label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
 
         if use_keep:
-            # slab row i <-> survey row i - o, slab col j <-> want_x0 + j;
-            # the padded keep frame covers the full slab extent
+            # slab row i <-> survey row i - o, slab col j <-> want_x0 + j.
+            # The padded keep frame only spans the REFERENCE grid's rows
+            # (pad-row patches under fixed_R are force-ignored, so rows
+            # below Hp_ref are never consulted — zero-fill them instead of
+            # growing the survey-size frame)
             pr, pc = keep_pad
-            keep_slab = np.ascontiguousarray(
-                keep_global[pr - o:pr - o + Hp,
-                            pc + want_x0:pc + want_x0 + Wp])
+            Hp_ref = min(R_ref * sh + 2 * o, Hp)
+            keep_slab = np.zeros((Hp, Wp), np.bool_)
+            keep_slab[:Hp_ref] = keep_global[
+                pr - o:pr - o + Hp_ref, pc + want_x0:pc + want_x0 + Wp]
 
         sb_pad = np.full(Wp, BIG_ROW, np.int64)
         if sw_w > 0:

@@ -36,6 +36,20 @@ def run_save_predictions(config, runner, data_obj, predictions_dir,
         readers = data_obj.get_survey_readers(survey)
         print(f"Saving predictions for survey {survey}, "
               f"{len(readers)} data reader(s)")
+        # static_grid on multi-reader (memm) surveys: compile the grid at
+        # the survey-wide max height/width so every echogram shares ONE
+        # predict program (per-reader grids would still recompile once per
+        # distinct bathymetry/ping-count — the exact churn static_grid
+        # exists to remove).  Outputs stay bit-identical: the extra pad
+        # rows/columns are discarded like each reader's own static pad.
+        fixed_R = fixed_C = None
+        if getattr(runner, "static_grid", False) and len(readers) > 1:
+            from .inference import static_grid_shape_for_reader
+            dims = [static_grid_shape_for_reader(
+                        r, runner.window, runner.overlap,
+                        config["preload_n_pings"]) for r in readers]
+            fixed_R = max(d[0] for d in dims)
+            fixed_C = max(d[1] for d in dims)
         for reader in readers:
             if config["data_mode"] == "memm":
                 target = os.path.join(predictions_dir,
@@ -44,7 +58,7 @@ def run_save_predictions(config, runner, data_obj, predictions_dir,
                     runner, reader, target,
                     preload_n_pings=config["preload_n_pings"],
                     resume_writing=config["resume_writing"],
-                    progress=progress)
+                    progress=progress, fixed_R=fixed_R, fixed_C=fixed_C)
             else:
                 target = os.path.join(predictions_dir,
                                       reader.name + "_pred.zarr")
@@ -54,7 +68,8 @@ def run_save_predictions(config, runner, data_obj, predictions_dir,
                     resume_writing=config["resume_writing"],
                     model_name=runner_model_name(config),
                     progress=progress,
-                    save_labels=should_save_labels(config, reader))
+                    save_labels=should_save_labels(config, reader),
+                    fixed_R=fixed_R, fixed_C=fixed_C)
 
 
 def should_save_labels(config, reader) -> bool:

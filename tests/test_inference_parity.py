@@ -502,6 +502,67 @@ def test_static_grid_output_identical(tmp_path, mode):
     assert any((np.asarray(p) != 0).any() for _, _, p, _ in dyn)
 
 
+def test_static_grid_multi_reader_survey_one_program(tmp_path):
+    """Memm surveys predict one file per echogram; static_grid must share
+    ONE compiled grid shape across the WHOLE survey (run_save_predictions
+    passes the survey-max fixed_R/fixed_C), not one per echogram — and the
+    .npy outputs must be bit-identical to the per-chunk formulation."""
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.save_predict import run_save_predictions
+
+    _, echs = _varying_seabed_survey(tmp_path)
+
+    class FakeData:
+        def get_survey_readers(self, survey):
+            return echs
+
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4, "data_mode": "memm",
+           "save_prediction_surveys": [2019], "resume_writing": False,
+           "preload_n_pings": 97}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    def run(static):
+        runner = GriddedRunner(model, v, dict(cfg, static_grid=static))
+        seen = []
+        real = runner._predict_patches
+
+        def spy(variables, data_slab, y0s, x0s, border_slab, meta_slab,
+                consts, R, C, border_zero, use_meta=False):
+            seen.append((R, C))
+            return real(variables, data_slab, y0s, x0s, border_slab,
+                        meta_slab, consts, R, C, border_zero, use_meta)
+        runner._predict_patches = spy
+        out_dir = tmp_path / f"pred_{static}"
+        out_dir.mkdir()
+        run_save_predictions(cfg, runner, FakeData(), str(out_dir))
+        return out_dir, seen
+
+    dyn_dir, dyn_shapes = run(False)
+    sta_dir, sta_shapes = run(True)
+
+    # per-chunk grids really churn across the two echograms (different
+    # pinned seabeds); the static survey run used EXACTLY one shape —
+    # the elementwise max over readers and chunks
+    assert len(set(dyn_shapes)) > 1, dyn_shapes
+    assert set(sta_shapes) == {(max(r for r, _ in dyn_shapes),
+                               max(c for _, c in dyn_shapes))}, sta_shapes
+
+    outs = sorted(p.name for p in dyn_dir.iterdir())
+    assert outs == sorted(p.name for p in sta_dir.iterdir())
+    assert len(outs) == len(echs)
+    got_nonzero = False
+    for name in outs:
+        a = np.load(dyn_dir / name)
+        b = np.load(sta_dir / name)
+        np.testing.assert_array_equal(a, b)
+        got_nonzero |= bool((a != 0).any())
+    assert got_nonzero
+
+
 def test_static_grid_memmap_save_store(tmp_path):
     """static_grid on the memmap format (border-zero branch) through the
     full zarr writer: stores byte-compare equal."""

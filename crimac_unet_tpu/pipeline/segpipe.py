@@ -188,11 +188,17 @@ class SegPipeUNet:
         pending_losses: list = []
 
         def flush_losses(upto):
-            if logger is not None:
-                for j, l in enumerate(pending_losses):
+            if logger is not None and pending_losses:
+                # ONE stacked d2h transfer per flush: reading each scalar
+                # with float(l) costs a full device round-trip (~30 ms
+                # through the tunnel), which turned the batched flush back
+                # into a per-step sync — measured 28.5 ms/scalar vs
+                # 1.5 ms/step amortized for the stacked read
+                vals = np.asarray(jnp.stack(pending_losses))
+                for j, l in enumerate(vals):
                     logger.add_scalar(
                         "train/loss", float(l),
-                        global_step=upto - len(pending_losses) + j + 1)
+                        global_step=upto - len(vals) + j + 1)
             pending_losses.clear()
 
         i = start - 1
@@ -287,8 +293,12 @@ class SegPipeUNet:
         hist64 += np.asarray(hist).astype(np.int64)
         curve = M.pr_curve_from_histogram(hist64)
         f1, idx = M.max_f1(curve)
-        mean_loss = float(np.mean([float(l) for l in losses])) if losses \
-            else 0.0
+        # one stacked d2h transfer: per-scalar float(l) reads cost a device
+        # round-trip each (~30 ms tunneled), ~30 s of pure transfer per
+        # 1000-batch validation pass — and this runs even without a logger
+        mean_loss = float(np.mean(
+            np.asarray(jnp.stack(losses)).astype(np.float64))) \
+            if losses else 0.0
 
         step = iteration_no + 1
         if logger is not None:

@@ -650,19 +650,14 @@ def static_grid_shape_for_reader(reader, window, overlap: int,
     extra I/O."""
     wh, ww = window
     is_zarr = reader.data_format == "zarr"
-    if is_zarr:
-        n_pings, n_range = reader.shape
-    else:
-        n_range, n_pings = reader.shape
+    n_pings = reader.shape[0] if is_zarr else reader.shape[1]
     from ..utils.preload_split import get_data_split
     chunk = preload_n_pings if preload_n_pings > 0 else 5000
     splits = get_data_split([[start_ping, n_pings]], chunk)
     if not len(splits):
         return 0, 0
-    sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
-    has = np.asarray(reader.seabed_known(0, n_pings))
-    s_first = int(splits[0][0])
-    R = _grid_extent_rows(n_range, sb[s_first:], has[s_first:], wh, overlap)
+    R = grid_height_for_reader(reader, wh, overlap,
+                               start_ping=int(splits[0][0]))
     C = max(grid_dims(int(a), int(b), ww, overlap) for a, b in splits)
     return R, C
 
@@ -737,14 +732,18 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # cuts d2h bytes by the below-grid fraction (large for deep surveys)
         part = np.asarray(dev_out)[:, :, :e0 - s0]
         host = np.zeros((2, n_range, e0 - s0), np.float16)
-        host[:, :part.shape[1], :] = part
+        # static_grid multi-reader surveys: the device buffer may carry
+        # survey-max pad rows below this reader's range; they are
+        # identically zero (>= row_cut) and cropped here
+        nr_out = min(part.shape[1], n_range)
+        host[:, :nr_out, :] = part[:, :nr_out, :]
         runner.timer.stop("d2h")
         if lab is not None:
             # masked label export (save_labels): raw categorical labels
             # with the EXACT prediction exclusions — the device-computed
             # write mask, not `pred != 0` (f16 probabilities can
             # underflow to 0 inside the mask)
-            nr = part.shape[1]
+            nr = nr_out
             keep = np.asarray(dev_keep)[:nr, :e0 - s0]
             # float32, NOT f16: the export carries RAW category codes
             # (4-digit LSSS codes like 6009 exceed f16's 2048 exact-int
@@ -761,20 +760,14 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         s, e = int(s), int(e)
         w = e - s
         runner.timer.start("host_slab")
-        # grid extents (gridded.py:121-163): range capped at max seabed +
-        # 50.  Pings WITHOUT a seabed estimate (degraded no-bottom-store
-        # surveys, seabed-free chunks) must not collapse the grid — an
-        # unknown seabed means the grid covers the full water column
-        # (review finding r3: raw zeros capped the grid at ~50 rows)
         sb_chunk = seabed_full[s:e]
-        sb_eff = np.where(seabed_has[s:e], sb_chunk, n_range)
-        end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
-        # R_ref/C_ref: the reference's per-chunk grid.  Every data-bearing
+        # R_ref/C_ref: the reference's per-chunk grid (extent law shared
+        # with evaluate_reader via _grid_extent_rows).  Every data-bearing
         # extent below (slab fill, label read, row cutoff) derives from
         # them; under static_grid only the COMPILED shapes (R, C) grow to
         # the survey-wide fixed grid, with the pad rows/columns reading
         # zeros/NaN and discarded on device — outputs stay bit-identical.
-        R_ref = grid_dims(0, end_range, wh, o)
+        R_ref = _grid_extent_rows(n_range, sb_chunk, seabed_has[s:e], wh, o)
         C_ref = grid_dims(s, e, ww, o)
         row_cut = min(R_ref * sh, n_range)
         R = max(R_fix, R_ref) if static else R_ref
@@ -825,9 +818,15 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # chunk-level mask inputs — only rows [0, nr) (the grid-covered
         # range) ever reach the device or the save_labels export; reading
         # the full range axis wasted ~(1 - nr/n_range) of the label I/O
-        # and Blosc decode on deep recordings with shallow seabeds
-        nr = min(R * sh, n_range)
-        label_pad = np.full((n_range, C * sw), np.nan, np.float32)
+        # and Blosc decode on deep recordings with shallow seabeds.
+        # Under static_grid nr is pinned to the compiled grid height: a
+        # per-reader min(..., n_range) would re-specialize _mask_output on
+        # every distinct echogram height in a multi-reader survey — one
+        # remote compile per reader, the exact churn static_grid exists to
+        # remove.  Rows beyond n_range stay NaN-labelled (keep=False) and
+        # are >= row_cut anyway; _drain crops them before host assembly.
+        nr = R * sh if static else min(R * sh, n_range)
+        label_pad = np.full((nr, C * sw), np.nan, np.float32)
         # labels are only consulted for rows the reference grid keeps
         # ([0, row_cut)); static-grid pad rows stay NaN — never read from
         # disk — and are discarded by the device row cutoff anyway
@@ -870,7 +869,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         dev = dict(
             data_slab=jax.device_put(data_slab.astype(xfer)),
             border_slab=jax.device_put(border_slab),
-            label_pad=jax.device_put(label_pad[:nr].astype(xfer)),
+            label_pad=jax.device_put(label_pad.astype(xfer)),
             sb_vec=jax.device_put(sb_vec),
             row_cut=jax.device_put(np.int32(row_cut)),
             y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
@@ -1124,13 +1123,15 @@ def save_reader_predictions_memm(runner, reader, target_dname,
 
 
 # ================================================================== EVAL
-def grid_height_for_reader(reader, wh: int, o: int) -> int:
+def grid_height_for_reader(reader, wh: int, o: int,
+                           start_ping: int = 0) -> int:
     """Reference grid height (patch-grid rows) for one reader — the same
     extent law evaluate_reader/predict_reader use (gridded.py:121-163,
     range capped at max seabed + 50; unknown seabed = full water column).
     Callers evaluating several readers under ``static_grid`` take the max
     over readers and pass it as ``fixed_R`` so every reader shares one
-    compiled eval program."""
+    compiled eval program.  ``start_ping`` restricts the seabed scan to
+    the pings a prediction starting there can cover."""
     is_zarr = reader.data_format == "zarr"
     if is_zarr:
         n_pings, n_range = reader.shape
@@ -1138,7 +1139,8 @@ def grid_height_for_reader(reader, wh: int, o: int) -> int:
         n_range, n_pings = reader.shape
     sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
     has = np.asarray(reader.seabed_known(0, n_pings))
-    return _grid_extent_rows(n_range, sb, has, wh, o)
+    return _grid_extent_rows(n_range, sb[start_ping:], has[start_ping:],
+                             wh, o)
 
 
 def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",

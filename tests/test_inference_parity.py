@@ -389,10 +389,13 @@ def test_slab_infer_mode_memmap_border_zero(tmp_path):
 
 
 # ------------------------------------------------------------- static_grid
-def _varying_seabed_survey(tmp_path, H=120, W=145):
+def _varying_seabed_survey(tmp_path, H=120, W=145, heights=None):
     """Two echograms with very different (pinned) seabed depths, so the
     per-chunk grid height R varies across the concatenated survey, plus a
-    survey length that leaves a narrower tail chunk (C varies too)."""
+    survey length that leaves a narrower tail chunk (C varies too).
+    ``heights`` (optional pair) gives each echogram its own range extent —
+    real memm surveys mix recording depths, and static_grid must not
+    re-specialize any device program on the per-echogram n_range."""
     import os
 
     from crimac_unet_tpu.data.fixtures import (make_synthetic_echogram,
@@ -402,7 +405,10 @@ def _varying_seabed_survey(tmp_path, H=120, W=145):
 
     rng = np.random.RandomState(7)
     dirs = []
+    hs = heights or (H, H)
     for i, (frac, row) in enumerate(((0.3, 30), (0.85, 95))):
+        H = hs[i]
+        row = min(row, H - 20)
         data, labels, heave, _ = make_synthetic_echogram(
             H, W, rng, n_schools=3, seabed_frac=frac)
         name = f"2019843-D2019042{7 + i}-T06261{i}"
@@ -506,11 +512,15 @@ def test_static_grid_multi_reader_survey_one_program(tmp_path):
     """Memm surveys predict one file per echogram; static_grid must share
     ONE compiled grid shape across the WHOLE survey (run_save_predictions
     passes the survey-max fixed_R/fixed_C), not one per echogram — and the
-    .npy outputs must be bit-identical to the per-chunk formulation."""
+    .npy outputs must be bit-identical to the per-chunk formulation.
+    The echograms carry DIFFERENT range extents (n_range), so a
+    per-reader min(R*sh, n_range) anywhere in the static path would
+    re-specialize _mask_output per echogram height (review finding)."""
     from crimac_unet_tpu.models.unet import build_unet
     from crimac_unet_tpu.pipeline.save_predict import run_save_predictions
 
-    _, echs = _varying_seabed_survey(tmp_path)
+    _, echs = _varying_seabed_survey(tmp_path, heights=(120, 84))
+    assert len({e.shape[0] for e in echs}) == 2  # heights really differ
 
     class FakeData:
         def get_survey_readers(self, survey):
@@ -527,29 +537,44 @@ def test_static_grid_multi_reader_survey_one_program(tmp_path):
 
     def run(static):
         runner = GriddedRunner(model, v, dict(cfg, static_grid=static))
-        seen = []
+        seen, mask_sigs = [], []
         real = runner._predict_patches
+        real_mask = runner._mask_output
 
         def spy(variables, data_slab, y0s, x0s, border_slab, meta_slab,
                 consts, R, C, border_zero, use_meta=False):
             seen.append((R, C))
             return real(variables, data_slab, y0s, x0s, border_slab,
                         meta_slab, consts, R, C, border_zero, use_meta)
+
+        def spy_mask(stitched, label_slab, data_slab, sb_vec, row_cut,
+                     nr, n_pings, zarr_pad, chunk_w):
+            # the full static-arg + input-shape signature _mask_output
+            # compiles against — every distinct tuple is one XLA compile
+            mask_sigs.append((nr, n_pings, chunk_w, label_slab.shape,
+                              data_slab.shape))
+            return real_mask(stitched, label_slab, data_slab, sb_vec,
+                             row_cut, nr, n_pings, zarr_pad, chunk_w)
         runner._predict_patches = spy
+        runner._mask_output = spy_mask
         out_dir = tmp_path / f"pred_{static}"
         out_dir.mkdir()
         run_save_predictions(cfg, runner, FakeData(), str(out_dir))
-        return out_dir, seen
+        return out_dir, seen, mask_sigs
 
-    dyn_dir, dyn_shapes = run(False)
-    sta_dir, sta_shapes = run(True)
+    dyn_dir, dyn_shapes, dyn_masks = run(False)
+    sta_dir, sta_shapes, sta_masks = run(True)
 
     # per-chunk grids really churn across the two echograms (different
-    # pinned seabeds); the static survey run used EXACTLY one shape —
-    # the elementwise max over readers and chunks
+    # pinned seabeds AND different range extents); the static survey run
+    # used EXACTLY one shape — the elementwise max over readers and chunks
     assert len(set(dyn_shapes)) > 1, dyn_shapes
     assert set(sta_shapes) == {(max(r for r, _ in dyn_shapes),
                                max(c for _, c in dyn_shapes))}, sta_shapes
+    # ... and EXACTLY one _mask_output specialization: nr pinned to the
+    # compiled grid height, not min'd with the per-echogram n_range
+    assert len(set(dyn_masks)) > 1, dyn_masks
+    assert len(set(sta_masks)) == 1, sta_masks
 
     outs = sorted(p.name for p in dyn_dir.iterdir())
     assert outs == sorted(p.name for p in sta_dir.iterdir())

@@ -18,7 +18,7 @@ Architecture (TPU-first, not a port):
     all-reduce inside jit (``crimac_unet_tpu.parallel``)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml [project] version
 
 import os as _os
 

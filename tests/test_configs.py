@@ -1,0 +1,70 @@
+"""The shipped YAML presets: loadable, reference-key-complete, honest.
+
+The baseline preset mirrors the reference YAML key-for-key
+(crimac_unet/configs/config_baseline.yaml:1-74); the serving preset must
+differ from it ONLY in the keys its header documents — anything else
+drifting silently would ship an undocumented behavior change."""
+
+from pathlib import Path
+
+import yaml
+
+from crimac_unet_tpu.config import CONFIG_DEFAULTS, load_yaml_config
+
+CONFIGS = Path(__file__).resolve().parent.parent / \
+    "crimac_unet_tpu" / "configs"
+
+# every key of the reference YAML (SURVEY.md §2 "Baseline config")
+REFERENCE_KEYS = {
+    "random_seed", "frequencies", "data_mode", "num_workers", "patch_size",
+    "meta_channels", "late_meta_inject", "loss_type", "batch_size", "lr",
+    "lr_reduction", "momentum", "test_iter", "log_step", "lr_step",
+    "iterations", "partition_train", "train_surveys", "validation_surveys",
+    "save_model_params", "eval_mode", "partition_predict",
+    "evaluation_surveys", "labels_available", "patch_overlap",
+    "preload_n_pings", "save_prediction_surveys", "resume_writing",
+    "save_labels",
+}
+
+
+def test_baseline_config_loads_and_covers_reference_keys():
+    cfg = load_yaml_config(CONFIGS / "config_baseline.yaml")
+    missing = REFERENCE_KEYS - set(cfg)
+    assert not missing, missing
+    # reference values preserved (spot contract, config_baseline.yaml:5-40)
+    assert cfg["frequencies"] == [18, 38, 120, 200]
+    assert cfg["patch_size"] == [256, 256]
+    assert cfg["patch_overlap"] == 20
+    assert cfg["preload_n_pings"] == 1000
+    assert (cfg["batch_size"], cfg["lr"], cfg["momentum"]) == (4, 0.005, 0.95)
+    # defaults stay in sync with the shipped baseline where both define a key
+    for k, v in CONFIG_DEFAULTS.items():
+        if k in cfg and k not in ("partition_predict",):
+            assert cfg[k] == v, (k, cfg[k], v)
+
+
+def test_serving_preset_differs_only_in_documented_keys():
+    base = load_yaml_config(CONFIGS / "config_baseline.yaml")
+    serving = load_yaml_config(CONFIGS / "config_serving.yaml")
+    assert REFERENCE_KEYS <= set(serving)
+    documented = {"infer_mode", "static_grid", "save_labels", "data_mode",
+                  "resume_writing"}
+    diff = {k for k in set(base) | set(serving)
+            if base.get(k) != serving.get(k)}
+    assert diff <= documented, diff - documented
+    assert serving["infer_mode"] == "slab"
+    assert serving["static_grid"] is True
+    assert serving["save_labels"] is False
+    # the tiling contract (and with it the measured |dF1| < 5e-6 bound
+    # geometry) is unchanged
+    assert serving["patch_size"] == base["patch_size"]
+    assert serving["patch_overlap"] == base["patch_overlap"]
+
+
+def test_yaml_roundtrip_keys_are_plain_scalars():
+    """Presets must survive yaml.safe_load/safe_dump untouched (the CLI
+    writes merged configs back out for experiment provenance)."""
+    for name in ("config_baseline.yaml", "config_serving.yaml"):
+        cfg = load_yaml_config(CONFIGS / name)
+        again = yaml.safe_load(yaml.safe_dump(cfg))
+        assert again == cfg, name

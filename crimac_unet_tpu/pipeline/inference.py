@@ -675,7 +675,12 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
     the grid at least this tall/wide so every reader of the survey shares
     one program (see ``static_grid_shape_for_reader``); outputs stay
     bit-identical — pad rows/columns are discarded on device/host exactly
-    like this reader's own static pad."""
+    like this reader's own static pad.  (Semantically bit-identical:
+    live patches see the same math on the same values, asserted bit-level
+    on CPU.  On TPU hardware a chunk whose compiled sub-batch shape
+    changes under padding tiles its convs differently, shifting
+    probabilities at f16-ulp level — measured max |dprob| 2.9e-3 with
+    write masks identical, scripts/static_grid_tpu.py.)"""
     wh, ww = runner.window
     o = runner.overlap
     sh, sw = runner.stride

@@ -40,8 +40,10 @@ def run_save_predictions(config, runner, data_obj, predictions_dir,
         # the survey-wide max height/width so every echogram shares ONE
         # predict program (per-reader grids would still recompile once per
         # distinct bathymetry/ping-count — the exact churn static_grid
-        # exists to remove).  Outputs stay bit-identical: the extra pad
-        # rows/columns are discarded like each reader's own static pad.
+        # exists to remove).  Outputs stay semantically bit-identical:
+        # the extra pad rows/columns are discarded like each reader's
+        # own static pad (on TPU, f16-ulp conv-tiling shifts where the
+        # compiled sub-batch shape changes — predict_reader docstring).
         fixed_R = fixed_C = None
         if getattr(runner, "static_grid", False) and len(readers) > 1:
             from .inference import static_grid_shape_for_reader

@@ -37,7 +37,7 @@ OVERLAP = 20
 PRELOAD = 1000
 # (n_range, n_pings, seabed_frac): three echograms, mixed depths/extents.
 # fracs chosen so per-chunk R churns (0.3 -> shallow grid, 0.9 -> deep)
-ECHOS = [(1000, 2500, 0.35), (800, 2500, 0.9), (1000, 1300, 0.6)]
+ECHOS = [(1100, 2600, 0.35), (900, 2600, 0.9), (1100, 1500, 0.6)]
 
 
 def ensure_fixture():
@@ -114,19 +114,12 @@ def run_arm(static: bool):
     cold_wall = time.time() - t0
 
     pings = sum(W for _, W, _ in ECHOS)
-    digests = {}
-    import hashlib
-    for f in sorted(out.glob("*.npy")):
-        a = np.load(f)
-        digests[f.name] = [list(a.shape), str(a.dtype),
-                           hashlib.sha256(a.tobytes()).hexdigest()]
     return dict(static=static, cold_wall_s=round(cold_wall, 2),
                 pings_per_sec_cold=round(pings / cold_wall, 1),
                 n_chunks=len(pp_sigs),
                 distinct_predict_sigs=sorted(
                     {(r, c) for r, c, _ in pp_sigs}),
-                distinct_mask_sigs=sorted({s[:3] for s in mo_sigs}),
-                digests=digests)
+                distinct_mask_sigs=sorted({s[:3] for s in mo_sigs}))
 
 
 def main():
@@ -136,8 +129,14 @@ def main():
         return
 
     ensure_fixture()
-    results = []
-    for arm in (0, 1):
+    results = {}
+    # STATIC ARM FIRST: the axon server caches compiled programs across
+    # client processes (measured — a shape the dynamic arm had compiled
+    # came back in seconds for the static arm), so whichever arm runs
+    # second gets its shared shapes for free.  Static-first biases
+    # AGAINST static_grid: it pays its single compile truly cold, while
+    # the dynamic arm may reuse the static shape for its tallest chunks.
+    for arm in (1, 0):
         out = FIXTURE.parent / f"static_grid_out_{arm}"
         if out.exists():
             import shutil
@@ -155,16 +154,28 @@ def main():
             raise SystemExit(f"arm {arm} failed")
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("ARM_JSON ")][-1]
-        results.append(json.loads(line[len("ARM_JSON "):]))
+        results[arm] = json.loads(line[len("ARM_JSON "):])
 
-    dyn, sta = results
-    same = dyn["digests"] == sta["digests"]
+    dyn, sta = results[0], results[1]
+    # outputs: write masks must be identical; probabilities may move at
+    # f16-ulp level between arms ON TPU because a different compiled
+    # sub-batch shape tiles the convs differently (bit-identical on CPU,
+    # and on TPU whenever the chunk's compiled shape matches — see
+    # tests/test_inference_parity.py static_grid suite)
+    worst = 0.0
+    masks_equal = True
+    for f in sorted((FIXTURE.parent / "static_grid_out_0").glob("*.npy")):
+        a = np.load(f)
+        b = np.load(FIXTURE.parent / "static_grid_out_1" / f.name)
+        a, b = np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0)
+        masks_equal &= bool(((a != 0) == (b != 0)).all())
+        worst = max(worst, float(np.abs(
+            a.astype(np.float64) - b.astype(np.float64)).max()))
     print(json.dumps(dict(
-        dynamic=dict((k, v) for k, v in dyn.items() if k != "digests"),
-        static=dict((k, v) for k, v in sta.items() if k != "digests"),
-        outputs_identical_digests=same), indent=2))
-    if not same:
-        raise SystemExit("OUTPUT MISMATCH between arms")
+        dynamic=dyn, static=sta, write_masks_identical=masks_equal,
+        max_abs_prob_diff=worst), indent=2))
+    if not masks_equal or worst > 4e-3:
+        raise SystemExit("OUTPUT MISMATCH between arms beyond f16-ulp")
 
 
 if __name__ == "__main__":

@@ -84,6 +84,19 @@ def test_cli_train_evaluate_save_predict(workdir):
     pngs = list((wd / "plots").rglob("2017_pr.png"))
     assert csvs and pngs
 
+    # school-level detection eval reuses the eval flag set and the same
+    # trained checkpoint (pipeline/school_eval.py)
+    _run("crimac_unet_tpu.pipeline.school_eval",
+         ["--yaml_path", "config_test.yaml",
+          "--checkpoint_path", str(ckpt),
+          "--save_path_metrics", str(wd / "metrics"),
+          "--save_path_plot", str(wd / "plots")], cwd=wd)
+    school_csvs = list((wd / "metrics").rglob("2017_school_eval.csv"))
+    assert school_csvs
+    import pandas as pd
+    df = pd.read_csv(school_csvs[0], index_col=0)
+    assert "AP" in df.columns and len(df) >= 2
+
     (wd / "preds").mkdir(exist_ok=True)
     _run("crimac_unet_tpu.pipeline.save_predict",
          ["--yaml_path", "config_test.yaml",

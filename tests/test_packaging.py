@@ -53,7 +53,8 @@ def test_wheel_contents(wheel):
     entry = next(n for n in names if n.endswith("entry_points.txt"))
     eps = zipfile.ZipFile(wheel).read(entry).decode()
     for script in ("crimac-train", "crimac-evaluate", "crimac-save-predict",
-                   "crimac-selfcheck", "crimac-export"):
+                   "crimac-selfcheck", "crimac-export",
+                   "crimac-school-eval"):
         assert script in eps, (script, eps)
 
 

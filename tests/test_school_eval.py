@@ -1,0 +1,227 @@
+"""School-level detection evaluation (pipeline/school_eval.py).
+
+The reference's ``utils/coco_eval.py`` is dead code (imports a nonexistent
+module, referenced by nothing — SURVEY.md §2); these tests pin the working
+replacement: detection extraction, COCO greedy matching, 101-point AP
+(hand-computed literals), and the survey-level CSV entry point on fixture
+surveys.
+"""
+
+import numpy as np
+import pytest
+
+from crimac_unet_tpu.pipeline.school_eval import (
+    DEFAULT_IOU_THRESHOLDS, average_precision, bbox_iou, detect_schools,
+    match_detections, sandeel_gt_boxes, school_eval_survey, school_metrics)
+
+
+# --------------------------------------------------------------- geometry
+def test_bbox_iou_exact():
+    a = [0, 9, 0, 9]          # 10x10 = 100 px
+    assert bbox_iou(a, a) == 1.0
+    assert bbox_iou(a, [20, 29, 0, 9]) == 0.0
+    # touching at one row: rows 9..9 overlap -> 10 px inter, union 190
+    assert bbox_iou(a, [9, 18, 0, 9]) == pytest.approx(10 / 190)
+    # half overlap: [0..9]x[5..14] -> inter 50, union 150
+    assert bbox_iou(a, [0, 9, 5, 14]) == pytest.approx(50 / 150)
+
+
+def test_detect_schools_components_scores_min_area():
+    prob = np.zeros((20, 30), np.float32)
+    prob[2:5, 3:8] = 0.8          # blob A: 15 px, max 0.9 below
+    prob[3, 4] = 0.9
+    prob[10:12, 20:22] = 0.6      # blob B: 4 px
+    prob[17, 28] = 0.95           # single-pixel speckle
+    prob[0, 0] = np.nan           # NaN never fires
+    dets = detect_schools(prob, prob_threshold=0.5, min_area=2)
+    assert len(dets) == 2
+    dets = sorted(dets, key=lambda d: d["bounding_box"][0])
+    assert dets[0]["bounding_box"] == [2, 4, 3, 7]
+    assert dets[0]["score"] == pytest.approx(0.9)
+    assert dets[0]["n_pixels"] == 15
+    assert dets[1]["bounding_box"] == [10, 11, 20, 21]
+    assert dets[1]["score"] == pytest.approx(0.6)
+    # min_area=1 keeps the speckle; threshold above it drops blob B
+    assert len(detect_schools(prob, 0.5, min_area=1)) == 3
+    assert len(detect_schools(prob, 0.85, min_area=1)) == 2
+
+
+def test_detect_schools_4_connectivity_matches_gt_builder():
+    # diagonal-only pixels are SEPARATE components (ndimage.label default
+    # 4-connectivity — the convention objects_from_label_image builds the
+    # ground truth with, data/mat_to_memmap.py:53)
+    prob = np.zeros((4, 4), np.float32)
+    prob[0, 0] = prob[1, 1] = 0.9
+    assert len(detect_schools(prob, 0.5, min_area=1)) == 2
+
+
+# --------------------------------------------------------------- matching
+def test_match_detections_greedy_claims():
+    gts = [[0, 9, 0, 9], [0, 9, 20, 29]]
+    dets = [
+        {"bounding_box": [0, 9, 0, 9], "score": 0.9},    # exact on gt0
+        {"bounding_box": [0, 9, 1, 10], "score": 0.8},   # overlaps gt0 only
+        {"bounding_box": [0, 9, 20, 29], "score": 0.7},  # exact on gt1
+    ]
+    scores, tp = match_detections(dets, gts, 0.5)
+    assert scores.tolist() == [0.9, 0.8, 0.7]
+    # det0 claims gt0; det1's IoU with gt0 is high but gt0 is taken -> FP
+    assert tp.tolist() == [True, False, True]
+    # strict threshold: only exact matches survive
+    _, tp75 = match_detections(dets, gts, 0.99)
+    assert tp75.tolist() == [True, False, True]
+
+
+def test_match_detections_prefers_higher_iou():
+    gts = [[0, 9, 0, 9], [0, 9, 6, 15]]
+    # one detection overlapping both; must claim the higher-IoU gt1
+    dets = [{"bounding_box": [0, 9, 6, 15], "score": 0.5}]
+    _, tp = match_detections(dets, gts, 0.25)
+    assert tp.tolist() == [True]
+    # a second det then gets the remaining gt0
+    dets.append({"bounding_box": [0, 9, 0, 9], "score": 0.4})
+    _, tp = match_detections(dets, gts, 0.25)
+    assert tp.tolist() == [True, True]
+
+
+# --------------------------------------------------------------------- AP
+def test_average_precision_hand_computed():
+    # perfect ranking: AP = 1
+    assert average_precision([0.9, 0.8], [True, True], 2) == 1.0
+    # no detections, gt present: AP = 0
+    assert average_precision([], [], 2) == 0.0
+    # no ground truth: NaN (COCO skips the category)
+    assert np.isnan(average_precision([0.9], [True], 0))
+    # classic case: [TP, FP, TP] over 2 gts.
+    # recall  = [.5, .5, 1.0]; precision = [1, .5, 2/3]; envelope=[1,2/3,2/3]
+    # 101-pt: r<=0.5 (51 pts) -> 1.0; r>0.5 (50 pts) -> 2/3
+    expect = (51 * 1.0 + 50 * (2 / 3)) / 101
+    got = average_precision([0.9, 0.8, 0.7], [True, False, True], 2)
+    assert got == pytest.approx(expect)
+    # ranking must be enforced internally: shuffled input, same AP
+    got2 = average_precision([0.8, 0.7, 0.9], [False, True, True], 2)
+    assert got2 == pytest.approx(expect)
+
+
+def test_school_metrics_pools_across_readers():
+    # reader 1: one gt, matched at 0.9; reader 2: one gt, FP at 0.95 + TP
+    # at 0.5 -> global ranking [0.95 FP, 0.9 TP, 0.5 TP] over 2... 3 gts?
+    r1 = ([{"bounding_box": [0, 4, 0, 4], "score": 0.9}],
+          [[0, 4, 0, 4]])
+    r2 = ([{"bounding_box": [50, 54, 0, 4], "score": 0.95},
+           {"bounding_box": [0, 4, 0, 4], "score": 0.5}],
+          [[0, 4, 0, 4]])
+    m = school_metrics([r1, r2], iou_thresholds=(0.5,))
+    assert m["n_gt"] == 2 and m["n_detections"] == 3
+    # recall 2/2, precision 2/3 at the operating point
+    assert m["recall"][0] == pytest.approx(1.0)
+    assert m["precision"][0] == pytest.approx(2 / 3)
+    # ranking: [FP(.95), TP(.9), TP(.5)] -> recall [0,.5,1],
+    # precision [0,.5,2/3], envelope [2/3,2/3,2/3] -> AP = 2/3
+    assert m["ap"][0] == pytest.approx(2 / 3)
+    assert m["mean_ap"] == pytest.approx(2 / 3)
+
+
+def test_school_metrics_no_gt_is_nan():
+    m = school_metrics([([], [])])
+    assert m["n_gt"] == 0
+    assert all(np.isnan(a) for a in m["ap"])
+    assert np.isnan(m["mean_ap"])
+
+
+# ------------------------------------------------------- survey-level glue
+@pytest.fixture(scope="module")
+def memm_survey(tmp_path_factory):
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    path = tmp_path_factory.mktemp("memm")
+    make_survey_dir(path, year=2017, n_echograms=1, H=100, W=240, seed=3)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def zarr_survey(tmp_path_factory):
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    path = tmp_path_factory.mktemp("zarr")
+    return make_zarr_survey(path, year=2017, n_echograms=1, H=100, W=240,
+                            seed=3)
+
+
+def _mini_runner(depth=2, start_filts=4, patch=32, overlap=4):
+    import jax
+    import jax.numpy as jnp
+
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import GriddedRunner
+
+    config = {"patch_size": [patch, patch], "patch_overlap": overlap,
+              "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+              "depth": depth, "start_filts": start_filts}
+    model = build_unet(config)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, patch, patch, 4)), train=False)
+    return GriddedRunner(model, variables, config)
+
+
+def test_sandeel_gt_boxes_both_formats(memm_survey, zarr_survey):
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+
+    echs = get_echograms(path_to_echograms=memm_survey, minimum_shape=50)
+    boxes = sandeel_gt_boxes(echs[0])
+    assert all(len(b) == 4 for b in boxes)
+    assert all(b[0] <= b[1] and b[2] <= b[3] for b in boxes)
+    # fixture surveys carry sandeel schools
+    assert len(boxes) > 0
+
+    zr = DataReaderZarr(zarr_survey)
+    zboxes = sandeel_gt_boxes(zr)
+    assert len(zboxes) > 0
+    assert all(b[0] <= b[1] and b[2] <= b[3] for b in zboxes)
+
+
+def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+
+    runner = _mini_runner()
+    reader = DataReaderZarr(zarr_survey)
+    out_csv = tmp_path / "S_school_eval.csv"
+    metrics = school_eval_survey(runner, [reader], preload_n_pings=64,
+                                 prob_threshold=0.5, min_area=2,
+                                 save_path_metrics=str(out_csv))
+    assert metrics["n_gt"] == len(sandeel_gt_boxes(reader))
+    assert len(metrics["ap"]) == len(DEFAULT_IOU_THRESHOLDS)
+    # a random-init net makes no accuracy promise — only contract checks
+    for key in ("recall", "precision", "ap"):
+        assert len(metrics[key]) == len(DEFAULT_IOU_THRESHOLDS)
+
+    import pandas as pd
+    df = pd.read_csv(out_csv, index_col=0)
+    assert len(df) == len(DEFAULT_IOU_THRESHOLDS) + 1  # + mean-AP row
+    assert {"iou_threshold", "AP", "recall", "precision", "n_gt",
+            "n_detections"} <= set(df.columns)
+    assert (df["n_gt"] == metrics["n_gt"]).all()
+
+
+def test_school_eval_perfect_predictions_give_ap_1(monkeypatch,
+                                                   memm_survey):
+    """An oracle that predicts exactly the label map must score AP=1 at
+    every IoU threshold — pins the whole detection->matching->AP chain."""
+    from crimac_unet_tpu.constants import RAW_SANDEEL
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    import crimac_unet_tpu.pipeline.school_eval as SE
+
+    echs = get_echograms(path_to_echograms=memm_survey, minimum_shape=50)
+    reader = echs[0]
+
+    def fake_probs(runner, rd, preload_n_pings=1000, progress=False):
+        return (rd.label_numpy(heave=True) == RAW_SANDEEL).astype(
+            np.float32) * 0.9
+
+    monkeypatch.setattr(SE, "assemble_sandeel_probs", fake_probs)
+    metrics = SE.school_eval_survey(None, [reader], prob_threshold=0.5,
+                                    min_area=1)
+    assert metrics["n_gt"] > 0
+    assert metrics["n_detections"] == metrics["n_gt"]
+    for ap, rec in zip(metrics["ap"], metrics["recall"]):
+        assert ap == pytest.approx(1.0)
+        assert rec == pytest.approx(1.0)

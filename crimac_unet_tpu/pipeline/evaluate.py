@@ -12,18 +12,11 @@ under ``<save_path>/<experiment>/<checkpoint-run>/``.
 from __future__ import annotations
 
 import os
-import time
-from pathlib import Path
 
 import numpy as np
 
-from ..config import (get_argparse_parser, load_yaml_config,
-                      parse_config_options)
-from ..data.partition import make_partition
-from ..models.unet import build_unet
 from ..ops import metrics as M
-from ..utils.general import fix_seeds
-from .inference import GriddedRunner, evaluate_reader, grid_height_for_reader
+from .inference import evaluate_reader, grid_height_for_reader
 from .segpipe import save_metrics_dict, save_pr_plot
 
 from ..constants import EVAL_MODE_MAP as _MODE_MAP  # 'fish' -> 'trace'
@@ -62,49 +55,17 @@ def evaluate_survey(runner, readers, eval_mode, save_path_metrics=None,
 
 
 def main(argv=None):
-    args = get_argparse_parser("eval").parse_args(argv)
-    configuration = load_yaml_config(args.yaml_path)
-    config = parse_config_options(configuration, args)
-    experiment_name = Path(config["yaml_path"]).stem
+    from .cli_common import load_eval_context
 
-    fix_seeds(config["random_seed"])
-
-    from .engine import load_checkpoint
-    payload = load_checkpoint(config["checkpoint_path"])
-    variables = {"params": payload["params"],
-                 "batch_stats": payload["batch_stats"]}
-    model = build_unet(config)
-    runner = GriddedRunner(model, variables, config)
-
-    print(f'\nLoading {config["data_mode"]} data partition object...')
-    start = time.time()
-    data_obj = make_partition(config)
-    print("Executed time for loading data partition object (min):"
-          f" {np.round((time.time() - start) / 60, 2)}")
-
-    parts = os.path.normpath(str(config["checkpoint_path"])).split(
-        os.path.sep)
-    # a bare filename has no run directory; fall back to its stem (the
-    # parent of a root-level path is the empty string — also fall back)
-    run_id = parts[-2] if len(parts) >= 2 and parts[-2] else \
-        os.path.splitext(parts[-1])[0]
-    metrics_dir = os.path.join(str(config["save_path_metrics"]),
-                               experiment_name, run_id)
-    plot_dir = os.path.join(str(config["save_path_plot"]),
-                            experiment_name, run_id)
-    os.makedirs(metrics_dir, exist_ok=True)
-    os.makedirs(plot_dir, exist_ok=True)
-    print("Metrics directory:", metrics_dir)
-    print("Plot directory:", plot_dir, "\n")
-
-    for survey in data_obj.get_evaluation_surveys():
-        readers = data_obj.get_survey_readers(survey)
+    ctx = load_eval_context("eval", argv, want_plots=True)
+    for survey in ctx.data_obj.get_evaluation_surveys():
+        readers = ctx.data_obj.get_survey_readers(survey)
         print("Running evaluation for", survey)
         evaluate_survey(
-            runner, readers, config["eval_mode"],
-            save_path_metrics=os.path.join(metrics_dir,
+            ctx.runner, readers, ctx.config["eval_mode"],
+            save_path_metrics=os.path.join(ctx.metrics_dir,
                                            f"{survey}_test.csv"),
-            save_path_plot=os.path.join(plot_dir, f"{survey}_pr.png"),
+            save_path_plot=os.path.join(ctx.plot_dir, f"{survey}_pr.png"),
             progress=True)
 
 

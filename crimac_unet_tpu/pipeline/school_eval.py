@@ -4,20 +4,34 @@ The reference ships ``crimac_unet/utils/coco_eval.py`` — a vendored
 torchvision COCO detection evaluator — but it imports a nonexistent
 ``utils`` module and no entry point references it (SURVEY.md §2
 "Vestigial: COCO eval"); pixel PR/F1 is the only quality metric that
-actually runs there.  Surveys are *consumed* school-by-school, so this
-module implements what that dead file intended: detection-style scoring of
-whole sandeel schools, as a working entry point.
+actually runs there.  Surveys are *consumed* school-by-school, though, so
+this module implements what that dead file intended: detection-style
+scoring of whole sandeel schools, as a working entry point.
 
 Protocol (COCO-style, self-contained — no pycocotools):
 
-- **Detections**: connected components of the thresholded sandeel
-  probability map (``scipy.ndimage.label``, default 4-connectivity — the
-  same convention the ground-truth objects are built with,
-  data/mat_to_memmap.py:53 / reference generate_memmap_files.py:128-156),
-  each scored by its maximum probability.
+- **Detections**: 4-connected components of the thresholded sandeel
+  probability map (the same connectivity the ground-truth objects are
+  built with, data/mat_to_memmap.py:53 / reference
+  generate_memmap_files.py:128-156), each scored by its maximum
+  probability.  Components are built *streaming* over predict_reader's
+  chunks with a union-find across chunk borders — no dense full-survey
+  probability array is ever materialized (a production zarr survey is
+  ~4M pings × ~2600 range bins: tens of GB dense).
+- **Coordinate space**: detections live in the sv/prediction space, i.e.
+  the heave-reverted label space.  Memmap ground truth is therefore
+  rebuilt from the heave-reverted label map (``label_numpy(heave=True)``)
+  rather than taken from the pickled ``objects`` (which are components of
+  the ORIGINAL annotation image, data_reader.py:84-113 — vertically off
+  by ``round(heave/Δr)`` px wherever heave is non-zero).  Zarr labels and
+  the objects CSV already live in sv space.
+- **Annotation granularity**: ground-truth objects are per raw file, so
+  zarr survey detections are split at ``raw_file`` boundaries before
+  matching (a school touching both sides of a file boundary is annotated
+  as two objects).
 - **Matching**: per reader and IoU threshold, detections sorted by
   descending score greedily claim the highest-IoU unmatched ground-truth
-  box (the COCO matching rule).
+  box (the COCO matching rule), from one precomputed IoU matrix.
 - **AP**: detections pooled over all readers of a survey, ranked globally
   by score; 101-point interpolated average precision per IoU threshold
   (the COCO definition), plus recall/precision at the operating point.
@@ -25,6 +39,10 @@ Protocol (COCO-style, self-contained — no pycocotools):
 Boxes are inclusive ``[y0, y1, x0, x1]`` in (range, ping) index space —
 the convention of ``Echogram.object_bounding_boxes`` and
 ``DataReaderZarr.objects`` (reference data_reader.py:84-113,637-697).
+
+``min_area`` (default 1) filters *detections only* — ground truth keeps
+every annotated component, so raising it can cap recall below 1 for
+single-pixel schools; it exists to suppress speckle from noisy models.
 
 CLI::
 
@@ -37,10 +55,6 @@ threshold + a mean-AP summary row).
 
 from __future__ import annotations
 
-import os
-import time
-from pathlib import Path
-
 import numpy as np
 
 from ..constants import RAW_SANDEEL
@@ -52,81 +66,170 @@ from ..constants import RAW_SANDEEL
 DEFAULT_IOU_THRESHOLDS = (0.25, 0.5, 0.75)
 
 
-# --------------------------------------------------------------- geometry
-def bbox_iou(a, b) -> float:
-    """IoU of two inclusive [y0, y1, x0, x1] boxes."""
-    ay0, ay1, ax0, ax1 = a
-    by0, by1, bx0, bx1 = b
-    ih = min(ay1, by1) - max(ay0, by0) + 1
-    iw = min(ax1, bx1) - max(ax0, bx0) + 1
-    if ih <= 0 or iw <= 0:
-        return 0.0
-    inter = ih * iw
-    area_a = (ay1 - ay0 + 1) * (ax1 - ax0 + 1)
-    area_b = (by1 - by0 + 1) * (bx1 - bx0 + 1)
-    return inter / float(area_a + area_b - inter)
+# ------------------------------------------------------------- detection
+class StreamingDetector:
+    """4-connected components of ``prob >= threshold``, streamed in
+    ping-contiguous chunks with bounded memory.
+
+    Per chunk: one scipy ``ndimage.label`` + per-component reductions;
+    components touching the previous chunk's last ping column are merged
+    through a union-find.  ``reset_boundary()`` cuts connectivity (used at
+    raw-file boundaries).  State is O(n_range + n_components)."""
+
+    def __init__(self, prob_threshold: float = 0.5, min_area: int = 1):
+        self.thr = float(prob_threshold)
+        self.min_area = int(min_area)
+        self._parent = []        # union-find over global component ids
+        self._stats = []         # per id: [y0, y1, x0, x1, score, n_px]
+        self._prev_col = None    # global ids in the previous last column
+        self._next_x = None      # expected x0 of the next chunk
+
+    def _find(self, i: int) -> int:
+        parent = self._parent
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:       # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    def _union(self, a: int, b: int) -> None:
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self._parent[rb] = ra
+
+    def reset_boundary(self) -> None:
+        """Forget the carry column: the next chunk is NOT ping-adjacent
+        to the previous one (raw-file boundary / new reader)."""
+        self._prev_col = None
+        self._next_x = None
+
+    def add_chunk(self, probs: np.ndarray, x0: int) -> None:
+        """Add an (n_range, w) probability chunk whose first ping is
+        survey column ``x0``.  Chunks must arrive in ascending-x order;
+        a gap or overlap vs the previous chunk raises."""
+        from scipy import ndimage
+
+        probs = np.asarray(probs)
+        if probs.ndim != 2:
+            raise ValueError(f"chunk must be 2-D, got {probs.shape}")
+        if self._next_x is not None and x0 != self._next_x:
+            raise ValueError(
+                f"non-contiguous chunk: expected x0={self._next_x}, "
+                f"got {x0} (call reset_boundary() across gaps)")
+        probs32 = probs.astype(np.float32, copy=False)
+        mask = np.isfinite(probs32) & (probs32 >= self.thr)
+        labeled, n = ndimage.label(mask)
+        base = len(self._parent)
+        if n:
+            self._parent.extend(range(base, base + n))
+            slices = ndimage.find_objects(labeled)
+            counts = np.bincount(labeled.ravel(), minlength=n + 1)[1:]
+            maxs = ndimage.maximum(probs32, labeled,
+                                   np.arange(1, n + 1))
+            for i in range(n):
+                sl = slices[i]
+                self._stats.append([sl[0].start, sl[0].stop - 1,
+                                    x0 + sl[1].start,
+                                    x0 + sl[1].stop - 1,
+                                    float(maxs[i]), int(counts[i])])
+            if self._prev_col is not None:
+                first = labeled[:, 0]
+                join = np.nonzero((self._prev_col >= 0)
+                                  & (first > 0))[0]
+                for r in join:
+                    self._union(int(self._prev_col[r]),
+                                base + int(first[r]) - 1)
+        last = labeled[:, -1] if n else np.zeros(probs.shape[0],
+                                                 np.int32)
+        self._prev_col = np.where(last > 0, base + last - 1, -1)
+        self._next_x = x0 + probs.shape[1]
+
+    def finalize(self) -> list:
+        """Merged detections ``{bounding_box, score, n_pixels}`` (boxes
+        inclusive, survey coordinates), ``min_area`` applied to the
+        merged pixel counts."""
+        merged = {}
+        for i, (y0, y1, x0, x1, score, n_px) in enumerate(self._stats):
+            root = self._find(i)
+            if root in merged:
+                m = merged[root]
+                m[0] = min(m[0], y0)
+                m[1] = max(m[1], y1)
+                m[2] = min(m[2], x0)
+                m[3] = max(m[3], x1)
+                m[4] = max(m[4], score)
+                m[5] += n_px
+            else:
+                merged[root] = [y0, y1, x0, x1, score, n_px]
+        return [{"bounding_box": [int(y0), int(y1), int(x0), int(x1)],
+                 "score": float(score), "n_pixels": int(n_px)}
+                for y0, y1, x0, x1, score, n_px
+                in sorted(merged.values(),
+                          key=lambda m: (m[2], m[0]))
+                if n_px >= self.min_area]
 
 
 def detect_schools(prob_map: np.ndarray, prob_threshold: float = 0.5,
                    min_area: int = 1) -> list:
-    """Connected components of ``prob_map >= prob_threshold`` as detection
-    dicts ``{bounding_box, score, n_pixels}``.
+    """Connected components of a dense (n_range, n_pings) probability map
+    as detection dicts — the one-chunk case of :class:`StreamingDetector`
+    (NaNs never fire)."""
+    det = StreamingDetector(prob_threshold, min_area)
+    det.add_chunk(np.asarray(prob_map), 0)
+    return det.finalize()
 
-    ``prob_map`` is (n_range, n_pings); NaNs never fire.  ``min_area``
-    drops single-pixel speckle (in *pixels*, not bbox area).
-    """
-    from scipy import ndimage
 
-    prob_map = np.asarray(prob_map, dtype=np.float32)
-    mask = np.isfinite(prob_map) & (prob_map >= prob_threshold)
-    labeled, n = ndimage.label(mask)
-    detections = []
-    if n == 0:
-        return detections
-    slices = ndimage.find_objects(labeled)
-    for i in range(1, n + 1):
-        sl = slices[i - 1]
-        component = labeled[sl] == i
-        n_pixels = int(component.sum())
-        if n_pixels < min_area:
-            continue
-        ys, xs = np.nonzero(component)
-        detections.append({
-            "bounding_box": [int(ys.min()) + sl[0].start,
-                             int(ys.max()) + sl[0].start,
-                             int(xs.min()) + sl[1].start,
-                             int(xs.max()) + sl[1].start],
-            "score": float(prob_map[sl][component].max()),
-            "n_pixels": n_pixels,
-        })
-    return detections
+# --------------------------------------------------------------- geometry
+def bbox_iou(a, b) -> float:
+    """IoU of two inclusive [y0, y1, x0, x1] boxes."""
+    return float(bbox_iou_matrix(np.asarray([a]), np.asarray([b]))[0, 0])
+
+
+def bbox_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(len(a), len(b)) IoU matrix of inclusive [y0, y1, x0, x1] boxes —
+    one vectorized computation shared by every IoU threshold (a Python
+    per-pair loop at survey scale is D*G*|thresholds| calls)."""
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4)
+    ih = (np.minimum(a[:, None, 1], b[None, :, 1])
+          - np.maximum(a[:, None, 0], b[None, :, 0]) + 1).clip(min=0)
+    iw = (np.minimum(a[:, None, 3], b[None, :, 3])
+          - np.maximum(a[:, None, 2], b[None, :, 2]) + 1).clip(min=0)
+    inter = ih * iw
+    area_a = (a[:, 1] - a[:, 0] + 1) * (a[:, 3] - a[:, 2] + 1)
+    area_b = (b[:, 1] - b[:, 0] + 1) * (b[:, 3] - b[:, 2] + 1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(inter > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
 # --------------------------------------------------------------- matching
-def match_detections(detections: list, gt_boxes, iou_threshold: float):
+def match_detections(detections: list, gt_boxes, iou_threshold: float,
+                     iou_matrix: np.ndarray = None):
     """COCO greedy matching for one reader at one IoU threshold.
 
     Returns ``(scores, tp)`` — detection scores in descending order and a
     parallel bool array marking which matched a ground-truth box.  Each GT
     box is claimed at most once, by the highest-scoring detection whose
     IoU with it clears the threshold (ties on IoU go to the earlier GT,
-    like pycocotools).
-    """
+    like pycocotools).  ``iou_matrix`` (detections × gt, in *input*
+    order) is computed on demand when not supplied."""
     order = np.argsort([-d["score"] for d in detections], kind="stable")
     scores = np.array([detections[i]["score"] for i in order],
                       dtype=np.float64)
     tp = np.zeros(len(order), dtype=bool)
+    if len(gt_boxes) == 0 or len(order) == 0:
+        return scores, tp
+    if iou_matrix is None:
+        iou_matrix = bbox_iou_matrix(
+            np.asarray([d["bounding_box"] for d in detections]),
+            np.asarray(gt_boxes))
     claimed = np.zeros(len(gt_boxes), dtype=bool)
     for row, di in enumerate(order):
-        best_iou, best_gt = -1.0, -1
-        for gi, gt in enumerate(gt_boxes):
-            if claimed[gi]:
-                continue
-            iou = bbox_iou(detections[di]["bounding_box"], gt)
-            if iou >= iou_threshold and iou > best_iou:
-                best_iou, best_gt = iou, gi
-        if best_gt >= 0:
-            claimed[best_gt] = True
+        ious = np.where(claimed, -1.0, iou_matrix[di])
+        gi = int(np.argmax(ious))
+        if ious[gi] >= iou_threshold:
+            claimed[gi] = True
             tp[row] = True
     return scores, tp
 
@@ -165,16 +268,24 @@ def school_metrics(per_reader: list,
 
     Matching runs per reader (boxes from different echograms never
     overlap); ranking for AP is global across readers, exactly like COCO
-    pools per-image matches into one category curve.
-    """
+    pools per-image matches into one category curve."""
     out = {"iou_thresholds": list(iou_thresholds),
            "n_gt": int(sum(len(g) for _, g in per_reader)),
            "n_detections": int(sum(len(d) for d, _ in per_reader))}
+    matrices = []
+    for detections, gt_boxes in per_reader:
+        if len(detections) and len(gt_boxes):
+            matrices.append(bbox_iou_matrix(
+                np.asarray([d["bounding_box"] for d in detections]),
+                np.asarray(gt_boxes)))
+        else:
+            matrices.append(None)
     aps, recalls, precisions = [], [], []
     for thr in iou_thresholds:
         all_scores, all_tp = [], []
-        for detections, gt_boxes in per_reader:
-            scores, tp = match_detections(detections, gt_boxes, thr)
+        for (detections, gt_boxes), mat in zip(per_reader, matrices):
+            scores, tp = match_detections(detections, gt_boxes, thr,
+                                          iou_matrix=mat)
             all_scores.append(scores)
             all_tp.append(tp)
         scores = np.concatenate(all_scores) if all_scores else \
@@ -194,44 +305,81 @@ def school_metrics(per_reader: list,
 
 # ------------------------------------------------------------ survey glue
 def sandeel_gt_boxes(reader) -> list:
-    """Inclusive sandeel-school boxes for one reader, either format."""
+    """Inclusive sandeel-school boxes for one reader, in the *prediction*
+    (sv / heave-reverted) coordinate space.
+
+    Memmap: rebuilt from the heave-reverted label map rather than the
+    pickled ``objects`` — those are components of the ORIGINAL annotation
+    image and sit ``round(heave/Δr)`` px above/below the sv data wherever
+    heave is non-zero (reference data_reader.py:386-391 vs :84-113).
+    Zarr: the objects CSV already lives in sv space."""
     if getattr(reader, "data_format", "memm") == "zarr":
         return [o["bounding_box"] for o in reader.objects
                 if o["fish_type_index"] == RAW_SANDEEL]
-    return [list(o["bounding_box"]) for o in reader.objects
+    from ..data.mat_to_memmap import objects_from_label_image
+    objs = objects_from_label_image(reader.label_numpy(heave=True))
+    return [list(o["bounding_box"]) for o in objs
             if o["fish_type_index"] == RAW_SANDEEL]
 
 
-def assemble_sandeel_probs(runner, reader, preload_n_pings=1000,
-                           progress=False) -> np.ndarray:
-    """Full-survey (n_range, n_pings) sandeel probability map via the
-    chunked predict pipeline (channel 0 of predict_reader's output —
-    pixels outside the write mask are 0, like the reference's out array,
-    save_predict.py:41-65)."""
+def detect_reader_schools(runner, reader, preload_n_pings=1000,
+                          prob_threshold=0.5, min_area=1,
+                          fixed_R=None, fixed_C=None,
+                          progress=False) -> list:
+    """Stream one reader's sandeel probability chunks (channel 0 of
+    predict_reader's output — pixels outside the write mask are 0, like
+    the reference's out array, save_predict.py:41-65) through a
+    :class:`StreamingDetector`.
+
+    Zarr surveys concatenate raw files along the ping axis; connectivity
+    is cut at ``raw_file`` boundaries so detections match the per-file
+    granularity of the ground-truth objects."""
     from .inference import predict_reader
 
-    if reader.data_format == "zarr":
-        n_pings, n_range = reader.shape
-    else:
-        n_range, n_pings = reader.shape
-    out = np.zeros((n_range, n_pings), dtype=np.float32)
+    cuts = np.zeros(0, dtype=np.int64)
+    raw = getattr(reader, "raw_file", None)
+    if raw is not None and len(raw) > 1:
+        raw = np.asarray(raw)
+        cuts = np.nonzero(raw[1:] != raw[:-1])[0] + 1
+    det = StreamingDetector(prob_threshold, min_area)
     for start, end, pred, _ in predict_reader(runner, reader,
                                               preload_n_pings,
-                                              progress=progress):
-        out[:, start:end] = np.asarray(pred[0], dtype=np.float32)
-    return out
+                                              progress=progress,
+                                              fixed_R=fixed_R,
+                                              fixed_C=fixed_C):
+        chunk = np.asarray(pred[0])
+        s0 = start
+        for cut in cuts[(cuts > start) & (cuts < end)]:
+            det.add_chunk(chunk[:, s0 - start:cut - start], s0)
+            det.reset_boundary()
+            s0 = int(cut)
+        det.add_chunk(chunk[:, s0 - start:], s0)
+    return det.finalize()
 
 
 def school_eval_survey(runner, readers, preload_n_pings=1000,
-                       prob_threshold=0.5, min_area=2,
+                       prob_threshold=0.5, min_area=1,
                        iou_thresholds=DEFAULT_IOU_THRESHOLDS,
                        save_path_metrics=None, progress=False) -> dict:
     """Survey-level school detection metrics over all its readers."""
+    readers = list(readers)
+    # static_grid on multi-reader surveys: one compiled predict program
+    # for the whole survey (the save_predict.py:run_save_predictions
+    # pattern) instead of one per distinct echogram geometry
+    fixed_R = fixed_C = None
+    if getattr(runner, "static_grid", False) and len(readers) > 1:
+        from .inference import static_grid_shape_for_reader
+        dims = [static_grid_shape_for_reader(r, runner.window,
+                                             runner.overlap,
+                                             preload_n_pings)
+                for r in readers]
+        fixed_R = max(d[0] for d in dims)
+        fixed_C = max(d[1] for d in dims)
     per_reader = []
     for reader in readers:
-        probs = assemble_sandeel_probs(runner, reader, preload_n_pings,
-                                       progress=progress)
-        detections = detect_schools(probs, prob_threshold, min_area)
+        detections = detect_reader_schools(
+            runner, reader, preload_n_pings, prob_threshold, min_area,
+            fixed_R=fixed_R, fixed_C=fixed_C, progress=progress)
         per_reader.append((detections, sandeel_gt_boxes(reader)))
     metrics = school_metrics(per_reader, iou_thresholds)
     metrics["prob_threshold"] = prob_threshold
@@ -264,50 +412,20 @@ def save_school_metrics(metrics: dict, save_path) -> None:
 
 
 def main(argv=None):
-    from ..config import (get_argparse_parser, load_yaml_config,
-                          parse_config_options)
-    from ..data.partition import make_partition
-    from ..models.unet import build_unet
-    from ..utils.general import fix_seeds
-    from .engine import load_checkpoint
-    from .inference import GriddedRunner
+    from .cli_common import load_eval_context
 
-    args = get_argparse_parser("eval").parse_args(argv)
-    configuration = load_yaml_config(args.yaml_path)
-    config = parse_config_options(configuration, args)
-    experiment_name = Path(config["yaml_path"]).stem
-
-    fix_seeds(config["random_seed"])
-
-    payload = load_checkpoint(config["checkpoint_path"])
-    variables = {"params": payload["params"],
-                 "batch_stats": payload["batch_stats"]}
-    model = build_unet(config)
-    runner = GriddedRunner(model, variables, config)
-
-    print(f'\nLoading {config["data_mode"]} data partition object...')
-    start = time.time()
-    data_obj = make_partition(config)
-    print("Executed time for loading data partition object (min):"
-          f" {np.round((time.time() - start) / 60, 2)}")
-
-    parts = os.path.normpath(str(config["checkpoint_path"])).split(
-        os.path.sep)
-    run_id = parts[-2] if len(parts) >= 2 and parts[-2] else \
-        os.path.splitext(parts[-1])[0]
-    metrics_dir = os.path.join(str(config["save_path_metrics"]),
-                               experiment_name, run_id)
-    os.makedirs(metrics_dir, exist_ok=True)
-    print("Metrics directory:", metrics_dir)
+    ctx = load_eval_context("eval", argv)
+    config, runner, data_obj = ctx.config, ctx.runner, ctx.data_obj
 
     # knobs are YAML keys (school_prob_threshold / school_min_area /
     # school_iou_thresholds), not CLI flags: the eval flag set stays the
     # reference's (utils/general.py:38-117)
     prob_thr = float(config.get("school_prob_threshold", 0.5))
-    min_area = int(config.get("school_min_area", 2))
+    min_area = int(config.get("school_min_area", 1))
     iou_thrs = tuple(config.get("school_iou_thresholds",
                                 DEFAULT_IOU_THRESHOLDS))
 
+    import os
     for survey in data_obj.get_evaluation_surveys():
         readers = data_obj.get_survey_readers(survey)
         print("Running school detection evaluation for", survey)
@@ -317,7 +435,7 @@ def main(argv=None):
             prob_threshold=prob_thr, min_area=min_area,
             iou_thresholds=iou_thrs,
             save_path_metrics=os.path.join(
-                metrics_dir, f"{survey}_school_eval.csv"),
+                ctx.metrics_dir, f"{survey}_school_eval.csv"),
             progress=True)
         ap_str = ", ".join(f"AP@{t:g}={a:.3f}" for t, a in
                            zip(metrics["iou_thresholds"], metrics["ap"]))

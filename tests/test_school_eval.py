@@ -129,6 +129,29 @@ def test_school_metrics_no_gt_is_nan():
     assert np.isnan(m["mean_ap"])
 
 
+def test_detections_agree_with_gt_object_builder():
+    """Property: on any binary mask, detect_schools finds exactly the
+    components objects_from_label_image (the ground-truth builder,
+    data/mat_to_memmap.py) would record — same boxes, same pixel counts.
+    Detection and annotation share one component definition, so IoU=1
+    self-matching is guaranteed for perfect predictions."""
+    from crimac_unet_tpu.constants import RAW_SANDEEL
+    from crimac_unet_tpu.data.mat_to_memmap import objects_from_label_image
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        mask = rng.rand(40, 60) < rng.uniform(0.05, 0.45)
+        dets = detect_schools(mask.astype(np.float32) * 0.9,
+                              prob_threshold=0.5, min_area=1)
+        objs = objects_from_label_image(
+            np.where(mask, RAW_SANDEEL, 0).astype(np.int16))
+        got = sorted((tuple(d["bounding_box"]), d["n_pixels"])
+                     for d in dets)
+        want = sorted((tuple(o["bounding_box"]), o["n_pixels"])
+                      for o in objs)
+        assert got == want, f"trial {trial}"
+
+
 # ------------------------------------------------------- survey-level glue
 @pytest.fixture(scope="module")
 def memm_survey(tmp_path_factory):
@@ -202,26 +225,149 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
     assert (df["n_gt"] == metrics["n_gt"]).all()
 
 
-def test_school_eval_perfect_predictions_give_ap_1(monkeypatch,
-                                                   memm_survey):
-    """An oracle that predicts exactly the label map must score AP=1 at
-    every IoU threshold — pins the whole detection->matching->AP chain."""
+def test_school_eval_perfect_predictions_give_ap_1(memm_survey):
+    """An oracle that predicts exactly the (heave-reverted) label map must
+    score AP=1 at every IoU threshold — pins detection->matching->AP."""
     from crimac_unet_tpu.constants import RAW_SANDEEL
     from crimac_unet_tpu.data.memmap_reader import get_echograms
-    import crimac_unet_tpu.pipeline.school_eval as SE
 
     echs = get_echograms(path_to_echograms=memm_survey, minimum_shape=50)
     reader = echs[0]
-
-    def fake_probs(runner, rd, preload_n_pings=1000, progress=False):
-        return (rd.label_numpy(heave=True) == RAW_SANDEEL).astype(
-            np.float32) * 0.9
-
-    monkeypatch.setattr(SE, "assemble_sandeel_probs", fake_probs)
-    metrics = SE.school_eval_survey(None, [reader], prob_threshold=0.5,
-                                    min_area=1)
+    probs = (reader.label_numpy(heave=True) == RAW_SANDEEL).astype(
+        np.float32) * 0.9
+    per_reader = [(detect_schools(probs, 0.5, 1),
+                   sandeel_gt_boxes(reader))]
+    metrics = school_metrics(per_reader)
     assert metrics["n_gt"] > 0
     assert metrics["n_detections"] == metrics["n_gt"]
     for ap, rec in zip(metrics["ap"], metrics["recall"]):
         assert ap == pytest.approx(1.0)
         assert rec == pytest.approx(1.0)
+
+
+def test_gt_boxes_live_in_heave_reverted_space(tmp_path):
+    """With 1 m of heave (range step 0.18 m -> 6-px shift) the pickled
+    `objects` sit in the ORIGINAL annotation space while predictions live
+    in the sv / heave-reverted space; sandeel_gt_boxes must return the
+    latter, so a perfect sv-space oracle still scores AP=1 (review
+    finding: the pickled boxes scored AP=0 under real heave)."""
+    from crimac_unet_tpu.constants import RAW_SANDEEL
+    from crimac_unet_tpu.data.fixtures import (make_synthetic_echogram,
+                                               write_memmap_echogram)
+    from crimac_unet_tpu.data.memmap_reader import Echogram
+
+    rng = np.random.RandomState(11)
+    data, labels, _, _ = make_synthetic_echogram(90, 150, rng)
+    heave = np.full(150, 1.0)
+    name = "2017843-D20170427-T062615"
+    write_memmap_echogram(tmp_path, name, data, labels, heave)
+    reader = Echogram(str(tmp_path / name))
+
+    gt = sandeel_gt_boxes(reader)
+    pickled = [list(o["bounding_box"]) for o in reader.objects
+               if o["fish_type_index"] == RAW_SANDEEL]
+    assert gt and pickled
+    # the shift is real: recomputed boxes differ from the pickled ones
+    assert sorted(map(tuple, gt)) != sorted(map(tuple, pickled))
+    shifts = {g[0] - p[0] for g, p in zip(sorted(map(tuple, gt)),
+                                          sorted(map(tuple, pickled)))}
+    assert shifts == {-6} or shifts == {6}, shifts
+
+    probs = (reader.label_numpy(heave=True) == RAW_SANDEEL).astype(
+        np.float32) * 0.9
+    m = school_metrics([(detect_schools(probs, 0.5, 1), gt)])
+    for ap in m["ap"]:
+        assert ap == pytest.approx(1.0)
+    # and against the pickled (unshifted) boxes the strict-IoU AP indeed
+    # collapses — the scenario the fix exists for
+    m_wrong = school_metrics([(detect_schools(probs, 0.5, 1), pickled)],
+                             iou_thresholds=(0.75,))
+    assert m_wrong["ap"][0] < 1.0
+
+
+def test_streaming_detector_matches_dense():
+    """Property: chunk-streamed components == dense components for any
+    chunking, including components spanning several chunk borders."""
+    from crimac_unet_tpu.pipeline.school_eval import StreamingDetector
+
+    rng = np.random.RandomState(3)
+    for trial in range(15):
+        H, W = 30, rng.randint(40, 90)
+        probs = np.where(rng.rand(H, W) < 0.35,
+                         rng.uniform(0.5, 1.0, (H, W)), 0.0)
+        probs[rng.rand(H, W) < 0.02] = np.nan
+        dense = detect_schools(probs, 0.5, min_area=1)
+
+        det = StreamingDetector(0.5, min_area=1)
+        x = 0
+        while x < W:
+            w = min(int(rng.randint(1, 20)), W - x)
+            det.add_chunk(probs[:, x:x + w], x)
+            x += w
+        streamed = det.finalize()
+        key = lambda d: (tuple(d["bounding_box"]), d["n_pixels"],
+                         round(d["score"], 6))
+        assert sorted(map(key, streamed)) == sorted(map(key, dense)), \
+            f"trial {trial}"
+
+
+def test_streaming_detector_boundary_and_contiguity():
+    from crimac_unet_tpu.pipeline.school_eval import StreamingDetector
+
+    row = np.zeros((5, 4), np.float32)
+    row[2, :] = 0.9  # a horizontal line through every chunk
+    # merged across the border -> ONE detection
+    det = StreamingDetector(0.5)
+    det.add_chunk(row, 0)
+    det.add_chunk(row, 4)
+    out = det.finalize()
+    assert len(out) == 1 and out[0]["bounding_box"] == [2, 2, 0, 7]
+    assert out[0]["n_pixels"] == 8
+    # reset_boundary (raw-file cut) -> TWO detections
+    det = StreamingDetector(0.5)
+    det.add_chunk(row, 0)
+    det.reset_boundary()
+    det.add_chunk(row, 4)
+    assert len(det.finalize()) == 2
+    # non-contiguous chunks without a reset raise
+    det = StreamingDetector(0.5)
+    det.add_chunk(row, 0)
+    with pytest.raises(ValueError):
+        det.add_chunk(row, 5)
+
+
+def test_detect_reader_schools_cuts_at_raw_file_boundaries(monkeypatch):
+    """Zarr GT objects are per raw file; a detection spanning the file
+    boundary must be split before matching."""
+    import crimac_unet_tpu.pipeline.school_eval as SE
+
+    class StubReader:
+        raw_file = np.array(["a"] * 6 + ["b"] * 6)
+
+    probs = np.zeros((4, 12), np.float32)
+    probs[1, 2:10] = 0.8  # one component crossing the a|b boundary at 6
+
+    def fake_predict_reader(runner, reader, preload, progress=False,
+                            fixed_R=None, fixed_C=None):
+        # two chunks of 6 pings, boundary exactly at a chunk edge is the
+        # EASY case — use uneven chunks so the cut lands mid-chunk
+        yield 0, 5, np.stack([probs[:, :5], probs[:, :5]]), None
+        yield 5, 12, np.stack([probs[:, 5:], probs[:, 5:]]), None
+
+    monkeypatch.setattr(SE, "predict_reader", fake_predict_reader,
+                        raising=False)
+    # patch the symbol the function imports lazily
+    import crimac_unet_tpu.pipeline.inference as INF
+    monkeypatch.setattr(INF, "predict_reader", fake_predict_reader)
+    dets = SE.detect_reader_schools(None, StubReader())
+    boxes = sorted(d["bounding_box"] for d in dets)
+    assert boxes == [[1, 1, 2, 5], [1, 1, 6, 9]]
+
+
+def test_checkpoint_run_id_fallbacks():
+    from crimac_unet_tpu.pipeline.cli_common import checkpoint_run_id
+
+    assert checkpoint_run_id("saved/exp/20260101_1200/best.msgpack") \
+        == "20260101_1200"
+    assert checkpoint_run_id("best.msgpack") == "best"
+    assert checkpoint_run_id("/best.msgpack") == "best"

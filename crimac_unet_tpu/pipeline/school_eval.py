@@ -360,8 +360,14 @@ def detect_reader_schools(runner, reader, preload_n_pings=1000,
 def school_eval_survey(runner, readers, preload_n_pings=1000,
                        prob_threshold=0.5, min_area=1,
                        iou_thresholds=DEFAULT_IOU_THRESHOLDS,
-                       save_path_metrics=None, progress=False) -> dict:
-    """Survey-level school detection metrics over all its readers."""
+                       save_path_metrics=None, save_path_detections=None,
+                       progress=False) -> dict:
+    """Survey-level school detection metrics over all its readers.
+
+    ``save_path_detections`` additionally writes the detection inventory
+    itself (one row per detected school: reader, inclusive box, score,
+    pixel count) — the per-school product downstream consumers want from
+    a survey run, independent of the metric."""
     readers = list(readers)
     # static_grid on multi-reader surveys: one compiled predict program
     # for the whole survey (the save_predict.py:run_save_predictions
@@ -376,17 +382,43 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
         fixed_R = max(d[0] for d in dims)
         fixed_C = max(d[1] for d in dims)
     per_reader = []
+    reader_names = []
     for reader in readers:
         detections = detect_reader_schools(
             runner, reader, preload_n_pings, prob_threshold, min_area,
             fixed_R=fixed_R, fixed_C=fixed_C, progress=progress)
         per_reader.append((detections, sandeel_gt_boxes(reader)))
+        reader_names.append(getattr(reader, "name", ""))
     metrics = school_metrics(per_reader, iou_thresholds)
     metrics["prob_threshold"] = prob_threshold
     metrics["min_area"] = min_area
     if save_path_metrics is not None:
         save_school_metrics(metrics, save_path_metrics)
+    if save_path_detections is not None:
+        save_detections_csv(
+            [(n, d) for n, (d, _) in zip(reader_names, per_reader)],
+            save_path_detections)
     return metrics
+
+
+def save_detections_csv(named_detections: list, save_path) -> None:
+    """Detection inventory CSV: one row per detected school —
+    ``reader, upperdepthindex, lowerdepthindex, startpingindex,
+    endpingindex, score, n_pixels`` (the objects-CSV column naming for
+    the box fields, reference data_reader.py:637-697)."""
+    import pandas as pd
+
+    rows = [{"reader": name,
+             "upperdepthindex": d["bounding_box"][0],
+             "lowerdepthindex": d["bounding_box"][1],
+             "startpingindex": d["bounding_box"][2],
+             "endpingindex": d["bounding_box"][3],
+             "score": d["score"], "n_pixels": d["n_pixels"]}
+            for name, dets in named_detections for d in dets]
+    pd.DataFrame(rows, columns=["reader", "upperdepthindex",
+                                "lowerdepthindex", "startpingindex",
+                                "endpingindex", "score",
+                                "n_pixels"]).to_csv(save_path)
 
 
 def save_school_metrics(metrics: dict, save_path) -> None:
@@ -436,6 +468,8 @@ def main(argv=None):
             iou_thresholds=iou_thrs,
             save_path_metrics=os.path.join(
                 ctx.metrics_dir, f"{survey}_school_eval.csv"),
+            save_path_detections=os.path.join(
+                ctx.metrics_dir, f"{survey}_schools.csv"),
             progress=True)
         ap_str = ", ".join(f"AP@{t:g}={a:.3f}" for t, a in
                            zip(metrics["iou_thresholds"], metrics["ap"]))

@@ -208,9 +208,11 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
     runner = _mini_runner()
     reader = DataReaderZarr(zarr_survey)
     out_csv = tmp_path / "S_school_eval.csv"
+    det_csv = tmp_path / "S_schools.csv"
     metrics = school_eval_survey(runner, [reader], preload_n_pings=64,
                                  prob_threshold=0.5, min_area=2,
-                                 save_path_metrics=str(out_csv))
+                                 save_path_metrics=str(out_csv),
+                                 save_path_detections=str(det_csv))
     assert metrics["n_gt"] == len(sandeel_gt_boxes(reader))
     assert len(metrics["ap"]) == len(DEFAULT_IOU_THRESHOLDS)
     # a random-init net makes no accuracy promise — only contract checks
@@ -223,6 +225,16 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
     assert {"iou_threshold", "AP", "recall", "precision", "n_gt",
             "n_detections"} <= set(df.columns)
     assert (df["n_gt"] == metrics["n_gt"]).all()
+
+    # detection inventory CSV: one row per detection, objects-CSV naming
+    ddf = pd.read_csv(det_csv, index_col=0)
+    assert len(ddf) == metrics["n_detections"]
+    assert {"reader", "upperdepthindex", "lowerdepthindex",
+            "startpingindex", "endpingindex", "score",
+            "n_pixels"} <= set(ddf.columns)
+    if len(ddf):
+        assert (ddf["upperdepthindex"] <= ddf["lowerdepthindex"]).all()
+        assert (ddf["reader"] == reader.name).all()
 
 
 def test_school_eval_perfect_predictions_give_ap_1(memm_survey):

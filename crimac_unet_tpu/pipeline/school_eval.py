@@ -73,15 +73,21 @@ class StreamingDetector:
 
     Per chunk: one scipy ``ndimage.label`` + per-component reductions;
     components touching the previous chunk's last ping column are merged
-    through a union-find.  ``reset_boundary()`` cuts connectivity (used at
-    raw-file boundaries).  State is O(n_range + n_components)."""
+    through a union-find, and everything else is finalized immediately
+    (it can never merge again), so live state is O(n_range + components
+    per chunk) regardless of survey length — speckly probability maps
+    produce tens of thousands of components per chunk, and carrying them
+    all to the end measurably leaks ~6 MB/chunk
+    (scripts/school_eval_soak.py).  ``reset_boundary()`` cuts
+    connectivity (used at raw-file boundaries)."""
 
     def __init__(self, prob_threshold: float = 0.5, min_area: int = 1):
         self.thr = float(prob_threshold)
         self.min_area = int(min_area)
-        self._parent = []        # union-find over global component ids
+        self._parent = []        # union-find over LIVE component ids
         self._stats = []         # per id: [y0, y1, x0, x1, score, n_px]
-        self._prev_col = None    # global ids in the previous last column
+        self._final = []         # finished merged stats (min_area passed)
+        self._prev_col = None    # live ids in the previous last column
         self._next_x = None      # expected x0 of the next chunk
 
     def _find(self, i: int) -> int:
@@ -144,30 +150,72 @@ class StreamingDetector:
                                                  np.int32)
         self._prev_col = np.where(last > 0, base + last - 1, -1)
         self._next_x = x0 + probs.shape[1]
+        self._compact()
 
-    def finalize(self) -> list:
-        """Merged detections ``{bounding_box, score, n_pixels}`` (boxes
-        inclusive, survey coordinates), ``min_area`` applied to the
-        merged pixel counts."""
+    def _merged_groups(self) -> dict:
+        """Root id -> merged [y0, y1, x0, x1, score, n_px] over the live
+        component set."""
         merged = {}
         for i, (y0, y1, x0, x1, score, n_px) in enumerate(self._stats):
             root = self._find(i)
-            if root in merged:
-                m = merged[root]
+            m = merged.get(root)
+            if m is None:
+                merged[root] = [y0, y1, x0, x1, score, n_px]
+            else:
                 m[0] = min(m[0], y0)
                 m[1] = max(m[1], y1)
                 m[2] = min(m[2], x0)
                 m[3] = max(m[3], x1)
                 m[4] = max(m[4], score)
                 m[5] += n_px
-            else:
-                merged[root] = [y0, y1, x0, x1, score, n_px]
-        return [{"bounding_box": [int(y0), int(y1), int(x0), int(x1)],
-                 "score": float(score), "n_pixels": int(n_px)}
-                for y0, y1, x0, x1, score, n_px
-                in sorted(merged.values(),
-                          key=lambda m: (m[2], m[0]))
-                if n_px >= self.min_area]
+        return merged
+
+    def _compact(self) -> None:
+        """Finalize every component not reachable from the carry column
+        (it can never merge with a future chunk) and renumber the
+        survivors — the live set stays one-chunk-sized."""
+        if not self._stats:
+            return
+        merged = self._merged_groups()
+        # roots must be resolved BEFORE the parent array is replaced
+        prev_roots = []
+        carried_roots, carried = [], set()
+        if self._prev_col is not None:
+            prev_roots = [self._find(int(i)) if i >= 0 else -1
+                          for i in self._prev_col]
+            for root in prev_roots:
+                if root >= 0 and root not in carried:
+                    carried.add(root)
+                    carried_roots.append(root)
+        for root, m in merged.items():
+            if root not in carried and m[5] >= self.min_area:
+                self._final.append(m)
+        remap = {}
+        self._stats = []
+        for root in carried_roots:
+            remap[root] = len(self._stats)
+            self._stats.append(merged[root])
+        self._parent = list(range(len(self._stats)))
+        if self._prev_col is not None:
+            self._prev_col = np.array(
+                [remap[r] if r >= 0 else -1 for r in prev_roots],
+                dtype=np.int64)
+
+    def finalize(self) -> list:
+        """Merged detections ``{bounding_box, score, n_pixels}`` (boxes
+        inclusive, survey coordinates), ``min_area`` applied to the
+        merged pixel counts.  Terminal: drains the live set."""
+        for m in self._merged_groups().values():
+            if m[5] >= self.min_area:
+                self._final.append(m)
+        self._stats, self._parent = [], []
+        self._prev_col, self._next_x = None, None
+        out = [{"bounding_box": [int(y0), int(y1), int(x0), int(x1)],
+                "score": float(score), "n_pixels": int(n_px)}
+               for y0, y1, x0, x1, score, n_px
+               in sorted(self._final, key=lambda m: (m[2], m[0]))]
+        self._final = []
+        return out
 
 
 def detect_schools(prob_map: np.ndarray, prob_threshold: float = 0.5,

@@ -10,14 +10,15 @@ scoring of whole sandeel schools, as a working entry point.
 
 Protocol (COCO-style, self-contained — no pycocotools):
 
-- **Detections**: 4-connected components of the thresholded sandeel
-  probability map (the same connectivity the ground-truth objects are
-  built with, data/mat_to_memmap.py:53 / reference
-  generate_memmap_files.py:128-156), each scored by its maximum
-  probability.  Components are built *streaming* over predict_reader's
-  chunks with a union-find across chunk borders — no dense full-survey
-  probability array is ever materialized (a production zarr survey is
-  ~4M pings × ~2600 range bins: tens of GB dense).
+- **Detections**: 4-connected components of the thresholded per-category
+  probability maps — sandeel AND other fish, from one predict pass (the
+  same connectivity the ground-truth objects are built with,
+  data/mat_to_memmap.py:53 / reference generate_memmap_files.py:128-156),
+  each scored by its maximum probability.  Components are built
+  *streaming* over predict_reader's chunks with a union-find across
+  chunk borders — no dense full-survey probability array is ever
+  materialized (a production zarr survey is ~4M pings × ~2600 range
+  bins: tens of GB dense).
 - **Coordinate space**: detections live in the sv/prediction space, i.e.
   the heave-reverted label space.  Memmap ground truth is therefore
   rebuilt from the heave-reverted label map (``label_numpy(heave=True)``)
@@ -57,7 +58,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import RAW_SANDEEL
+from ..constants import RAW_OTHER, RAW_SANDEEL
 
 # COCO evaluates AP at IoU .5:.95; echogram school boxes are small and
 # ragged (single-digit pixel heights are common), where a one-pixel shift
@@ -352,9 +353,15 @@ def school_metrics(per_reader: list,
 
 
 # ------------------------------------------------------------ survey glue
-def sandeel_gt_boxes(reader) -> list:
-    """Inclusive sandeel-school boxes for one reader, in the *prediction*
-    (sv / heave-reverted) coordinate space.
+# category name -> (raw on-disk species code, predict_reader channel):
+# predictions carry [sandeel, other] probability planes
+# (save_predict.py:41-65 fills out[0]=class 1, out[1]=class 2)
+CATEGORY_CHANNELS = {"sandeel": (RAW_SANDEEL, 0), "other": (RAW_OTHER, 1)}
+
+
+def gt_boxes(reader, raw_category: int) -> list:
+    """Inclusive school boxes of one raw species code for one reader, in
+    the *prediction* (sv / heave-reverted) coordinate space.
 
     Memmap: rebuilt from the heave-reverted label map rather than the
     pickled ``objects`` — those are components of the ORIGINAL annotation
@@ -363,21 +370,27 @@ def sandeel_gt_boxes(reader) -> list:
     Zarr: the objects CSV already lives in sv space."""
     if getattr(reader, "data_format", "memm") == "zarr":
         return [o["bounding_box"] for o in reader.objects
-                if o["fish_type_index"] == RAW_SANDEEL]
+                if o["fish_type_index"] == raw_category]
     from ..data.mat_to_memmap import objects_from_label_image
     objs = objects_from_label_image(reader.label_numpy(heave=True))
     return [list(o["bounding_box"]) for o in objs
-            if o["fish_type_index"] == RAW_SANDEEL]
+            if o["fish_type_index"] == raw_category]
+
+
+def sandeel_gt_boxes(reader) -> list:
+    """Sandeel-school boxes in prediction space (see :func:`gt_boxes`)."""
+    return gt_boxes(reader, RAW_SANDEEL)
 
 
 def detect_reader_schools(runner, reader, preload_n_pings=1000,
                           prob_threshold=0.5, min_area=1,
                           fixed_R=None, fixed_C=None,
-                          progress=False) -> list:
-    """Stream one reader's sandeel probability chunks (channel 0 of
-    predict_reader's output — pixels outside the write mask are 0, like
-    the reference's out array, save_predict.py:41-65) through a
-    :class:`StreamingDetector`.
+                          progress=False, channels=(0, 1)) -> dict:
+    """Stream one reader's probability chunks through one
+    :class:`StreamingDetector` per requested channel (0 = sandeel,
+    1 = other fish; pixels outside the write mask are 0, like the
+    reference's out array, save_predict.py:41-65).  Both categories cost
+    ONE predict pass.  Returns ``{channel: detections}``.
 
     Zarr surveys concatenate raw files along the ping axis; connectivity
     is cut at ``raw_file`` boundaries so detections match the per-file
@@ -389,33 +402,40 @@ def detect_reader_schools(runner, reader, preload_n_pings=1000,
     if raw is not None and len(raw) > 1:
         raw = np.asarray(raw)
         cuts = np.nonzero(raw[1:] != raw[:-1])[0] + 1
-    det = StreamingDetector(prob_threshold, min_area)
+    dets = {ch: StreamingDetector(prob_threshold, min_area)
+            for ch in channels}
     for start, end, pred, _ in predict_reader(runner, reader,
                                               preload_n_pings,
                                               progress=progress,
                                               fixed_R=fixed_R,
                                               fixed_C=fixed_C):
-        chunk = np.asarray(pred[0])
-        s0 = start
-        for cut in cuts[(cuts > start) & (cuts < end)]:
-            det.add_chunk(chunk[:, s0 - start:cut - start], s0)
-            det.reset_boundary()
-            s0 = int(cut)
-        det.add_chunk(chunk[:, s0 - start:], s0)
-    return det.finalize()
+        pred = np.asarray(pred)
+        for ch, det in dets.items():
+            chunk = pred[ch]
+            s0 = start
+            for cut in cuts[(cuts > start) & (cuts < end)]:
+                det.add_chunk(chunk[:, s0 - start:cut - start], s0)
+                det.reset_boundary()
+                s0 = int(cut)
+            det.add_chunk(chunk[:, s0 - start:], s0)
+    return {ch: det.finalize() for ch, det in dets.items()}
 
 
 def school_eval_survey(runner, readers, preload_n_pings=1000,
                        prob_threshold=0.5, min_area=1,
                        iou_thresholds=DEFAULT_IOU_THRESHOLDS,
                        save_path_metrics=None, save_path_detections=None,
-                       progress=False) -> dict:
-    """Survey-level school detection metrics over all its readers.
+                       progress=False, categories=None) -> dict:
+    """Survey-level school detection metrics over all its readers, per
+    category (sandeel + other fish by default) from ONE predict pass —
+    COCO form: per-category AP averaged into the survey mAP.
 
     ``save_path_detections`` additionally writes the detection inventory
-    itself (one row per detected school: reader, inclusive box, score,
-    pixel count) — the per-school product downstream consumers want from
-    a survey run, independent of the metric."""
+    itself (one row per detected school: reader, category, inclusive box,
+    score, pixel count) — the per-school product downstream consumers
+    want from a survey run, independent of the metric."""
+    if categories is None:
+        categories = dict(CATEGORY_CHANNELS)
     readers = list(readers)
     # static_grid on multi-reader surveys: one compiled predict program
     # for the whole survey (the save_predict.py:run_save_predictions
@@ -429,66 +449,83 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                 for r in readers]
         fixed_R = max(d[0] for d in dims)
         fixed_C = max(d[1] for d in dims)
-    per_reader = []
-    reader_names = []
+    channels = tuple(ch for _, ch in categories.values())
+    per_cat = {name: [] for name in categories}
+    inventory = []      # (reader_name, category_name, detections)
     for reader in readers:
-        detections = detect_reader_schools(
+        dets_by_ch = detect_reader_schools(
             runner, reader, preload_n_pings, prob_threshold, min_area,
-            fixed_R=fixed_R, fixed_C=fixed_C, progress=progress)
-        per_reader.append((detections, sandeel_gt_boxes(reader)))
-        reader_names.append(getattr(reader, "name", ""))
-    metrics = school_metrics(per_reader, iou_thresholds)
-    metrics["prob_threshold"] = prob_threshold
-    metrics["min_area"] = min_area
+            fixed_R=fixed_R, fixed_C=fixed_C, progress=progress,
+            channels=channels)
+        rname = getattr(reader, "name", "")
+        for name, (raw_code, ch) in categories.items():
+            per_cat[name].append((dets_by_ch[ch],
+                                  gt_boxes(reader, raw_code)))
+            inventory.append((rname, name, dets_by_ch[ch]))
+    metrics = {"iou_thresholds": list(iou_thresholds),
+               "prob_threshold": prob_threshold, "min_area": min_area,
+               "categories": {}}
+    for name in categories:
+        metrics["categories"][name] = school_metrics(per_cat[name],
+                                                     iou_thresholds)
+    cat_maps = [m["mean_ap"] for m in metrics["categories"].values()
+                if np.isfinite(m["mean_ap"])]
+    metrics["mean_ap"] = float(np.mean(cat_maps)) if cat_maps \
+        else float("nan")
     if save_path_metrics is not None:
         save_school_metrics(metrics, save_path_metrics)
     if save_path_detections is not None:
-        save_detections_csv(
-            [(n, d) for n, (d, _) in zip(reader_names, per_reader)],
-            save_path_detections)
+        save_detections_csv(inventory, save_path_detections)
     return metrics
 
 
-def save_detections_csv(named_detections: list, save_path) -> None:
+def save_detections_csv(inventory: list, save_path) -> None:
     """Detection inventory CSV: one row per detected school —
-    ``reader, upperdepthindex, lowerdepthindex, startpingindex,
-    endpingindex, score, n_pixels`` (the objects-CSV column naming for
-    the box fields, reference data_reader.py:637-697)."""
+    ``reader, category, upperdepthindex, lowerdepthindex,
+    startpingindex, endpingindex, score, n_pixels`` (the objects-CSV
+    column naming for the box fields, reference data_reader.py:637-697;
+    ``category`` is the name, sandeel/other)."""
     import pandas as pd
 
-    rows = [{"reader": name,
+    rows = [{"reader": rname, "category": cname,
              "upperdepthindex": d["bounding_box"][0],
              "lowerdepthindex": d["bounding_box"][1],
              "startpingindex": d["bounding_box"][2],
              "endpingindex": d["bounding_box"][3],
              "score": d["score"], "n_pixels": d["n_pixels"]}
-            for name, dets in named_detections for d in dets]
-    pd.DataFrame(rows, columns=["reader", "upperdepthindex",
+            for rname, cname, dets in inventory for d in dets]
+    pd.DataFrame(rows, columns=["reader", "category", "upperdepthindex",
                                 "lowerdepthindex", "startpingindex",
                                 "endpingindex", "score",
                                 "n_pixels"]).to_csv(save_path)
 
 
 def save_school_metrics(metrics: dict, save_path) -> None:
-    """CSV: one row per IoU threshold + a summary row (mean AP over
-    thresholds, the COCO headline form)."""
+    """CSV: one row per (category, IoU threshold) + one summary row per
+    category (its mean AP over thresholds) + an overall-mAP row (the
+    COCO headline form)."""
     import pandas as pd
 
-    rows = [{"iou_threshold": t, "AP": metrics["ap"][i],
-             "recall": metrics["recall"][i],
-             "precision": metrics["precision"][i],
-             "n_gt": metrics["n_gt"],
-             "n_detections": metrics["n_detections"],
-             "prob_threshold": metrics.get("prob_threshold", np.nan),
-             "min_area": metrics.get("min_area", np.nan)}
-            for i, t in enumerate(metrics["iou_thresholds"])]
-    rows.append({"iou_threshold": np.nan, "AP": metrics["mean_ap"],
-                 "recall": np.nan, "precision": np.nan,
-                 "n_gt": metrics["n_gt"],
-                 "n_detections": metrics["n_detections"],
-                 "prob_threshold": metrics.get("prob_threshold", np.nan),
-                 "min_area": metrics.get("min_area", np.nan)})
-    pd.DataFrame(rows).to_csv(save_path)
+    rows = []
+    for cname, m in metrics["categories"].items():
+        for i, t in enumerate(m["iou_thresholds"]):
+            rows.append({"category": cname, "iou_threshold": t,
+                         "AP": m["ap"][i], "recall": m["recall"][i],
+                         "precision": m["precision"][i],
+                         "n_gt": m["n_gt"],
+                         "n_detections": m["n_detections"]})
+        rows.append({"category": cname, "iou_threshold": np.nan,
+                     "AP": m["mean_ap"], "recall": np.nan,
+                     "precision": np.nan, "n_gt": m["n_gt"],
+                     "n_detections": m["n_detections"]})
+    rows.append({"category": "mAP", "iou_threshold": np.nan,
+                 "AP": metrics["mean_ap"], "recall": np.nan,
+                 "precision": np.nan, "n_gt": np.nan,
+                 "n_detections": np.nan})
+    df = pd.DataFrame(rows)
+    df["prob_threshold"] = metrics.get("prob_threshold", np.nan)
+    df["min_area"] = metrics.get("min_area", np.nan)
+    df.to_csv(save_path)
 
 
 def main(argv=None):
@@ -519,11 +556,13 @@ def main(argv=None):
             save_path_detections=os.path.join(
                 ctx.metrics_dir, f"{survey}_schools.csv"),
             progress=True)
-        ap_str = ", ".join(f"AP@{t:g}={a:.3f}" for t, a in
-                           zip(metrics["iou_thresholds"], metrics["ap"]))
-        print(f"{survey}: mean AP {metrics['mean_ap']:.3f} ({ap_str}), "
-              f"{metrics['n_detections']} detections / "
-              f"{metrics['n_gt']} schools")
+        for cname, m in metrics["categories"].items():
+            ap_str = ", ".join(f"AP@{t:g}={a:.3f}" for t, a in
+                               zip(m["iou_thresholds"], m["ap"]))
+            print(f"{survey} [{cname}]: mean AP {m['mean_ap']:.3f} "
+                  f"({ap_str}), {m['n_detections']} detections / "
+                  f"{m['n_gt']} schools")
+        print(f"{survey}: mAP {metrics['mean_ap']:.3f}")
 
 
 if __name__ == "__main__":

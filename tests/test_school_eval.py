@@ -213,23 +213,32 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
                                  prob_threshold=0.5, min_area=2,
                                  save_path_metrics=str(out_csv),
                                  save_path_detections=str(det_csv))
-    assert metrics["n_gt"] == len(sandeel_gt_boxes(reader))
-    assert len(metrics["ap"]) == len(DEFAULT_IOU_THRESHOLDS)
+    # both categories evaluated from the one predict pass
+    assert set(metrics["categories"]) == {"sandeel", "other"}
+    sm = metrics["categories"]["sandeel"]
+    assert sm["n_gt"] == len(sandeel_gt_boxes(reader))
+    assert metrics["categories"]["other"]["n_gt"] > 0
     # a random-init net makes no accuracy promise — only contract checks
-    for key in ("recall", "precision", "ap"):
-        assert len(metrics[key]) == len(DEFAULT_IOU_THRESHOLDS)
+    for m in metrics["categories"].values():
+        for key in ("recall", "precision", "ap"):
+            assert len(m[key]) == len(DEFAULT_IOU_THRESHOLDS)
 
     import pandas as pd
     df = pd.read_csv(out_csv, index_col=0)
-    assert len(df) == len(DEFAULT_IOU_THRESHOLDS) + 1  # + mean-AP row
-    assert {"iou_threshold", "AP", "recall", "precision", "n_gt",
-            "n_detections"} <= set(df.columns)
-    assert (df["n_gt"] == metrics["n_gt"]).all()
+    # per category: |thresholds| rows + 1 summary; + 1 overall mAP row
+    assert len(df) == 2 * (len(DEFAULT_IOU_THRESHOLDS) + 1) + 1
+    assert {"category", "iou_threshold", "AP", "recall", "precision",
+            "n_gt", "n_detections"} <= set(df.columns)
+    assert set(df["category"]) == {"sandeel", "other", "mAP"}
+    sand = df[df["category"] == "sandeel"]
+    assert (sand["n_gt"] == sm["n_gt"]).all()
 
     # detection inventory CSV: one row per detection, objects-CSV naming
     ddf = pd.read_csv(det_csv, index_col=0)
-    assert len(ddf) == metrics["n_detections"]
-    assert {"reader", "upperdepthindex", "lowerdepthindex",
+    n_dets = sum(m["n_detections"]
+                 for m in metrics["categories"].values())
+    assert len(ddf) == n_dets
+    assert {"reader", "category", "upperdepthindex", "lowerdepthindex",
             "startpingindex", "endpingindex", "score",
             "n_pixels"} <= set(ddf.columns)
     if len(ddf):
@@ -372,8 +381,10 @@ def test_detect_reader_schools_cuts_at_raw_file_boundaries(monkeypatch):
     import crimac_unet_tpu.pipeline.inference as INF
     monkeypatch.setattr(INF, "predict_reader", fake_predict_reader)
     dets = SE.detect_reader_schools(None, StubReader())
-    boxes = sorted(d["bounding_box"] for d in dets)
+    boxes = sorted(d["bounding_box"] for d in dets[0])
     assert boxes == [[1, 1, 2, 5], [1, 1, 6, 9]]
+    # channel 1 ('other') streamed the same chunks in the same pass
+    assert sorted(d["bounding_box"] for d in dets[1]) == boxes
 
 
 def test_checkpoint_run_id_fallbacks():

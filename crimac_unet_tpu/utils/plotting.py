@@ -247,3 +247,74 @@ def visualize_predictions_vs_labels(reader, pred_store, threshold=0.5,
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def visualize_school_detections(reader, detections, gt_boxes=None,
+                                ping_idx=0, n_pings=None, frequency=None,
+                                save_path=None):
+    """Detection-overlay panel for ``pipeline/school_eval.py`` output:
+    the main-frequency dB echogram with ground-truth school boxes (solid
+    green) and detected school boxes (dashed red, annotated with their
+    score).  ``detections`` is the school_eval detection list (or one
+    category's list from ``detect_reader_schools``); ``gt_boxes``
+    defaults to the reader's sandeel boxes in prediction space
+    (school_eval.sandeel_gt_boxes).  Returns the figure."""
+    plt = _plt()
+    from matplotlib.patches import Rectangle
+
+    if gt_boxes is None:
+        from ..pipeline.school_eval import sandeel_gt_boxes
+        gt_boxes = sandeel_gt_boxes(reader)
+
+    is_zarr = reader.data_format == "zarr"
+    if frequency is None:
+        frequency = int(np.asarray(reader.frequencies).astype(int)[-1])
+    if is_zarr:
+        W, H = reader.shape
+    else:
+        H, W = reader.shape
+    if n_pings is None:
+        n_pings = W - ping_idx
+    n_pings = min(n_pings, W - ping_idx)
+    if is_zarr:
+        data = reader.get_data_slice(ping_idx, n_pings, 0, H,
+                                     [frequency])[0].T
+    else:
+        data = np.asarray(reader.data_memmaps([frequency])[0][
+            :, ping_idx:ping_idx + n_pings])
+
+    fig, ax = plt.subplots(1, figsize=(12, 5))
+    ax.imshow(db(np.nan_to_num(np.asarray(data, dtype=np.float32),
+                               nan=0.0)),
+              aspect="auto", cmap="viridis", vmin=-75, vmax=0)
+
+    def _draw(box, **kw):
+        y0, y1, x0, x1 = box
+        rx0, rx1 = x0 - ping_idx, x1 - ping_idx
+        if rx1 < 0 or rx0 >= n_pings or y1 < 0 or y0 >= H:
+            return False
+        ax.add_patch(Rectangle(
+            (max(rx0, 0) - 0.5, max(y0, 0) - 0.5),
+            min(rx1, n_pings - 1) - max(rx0, 0) + 1,
+            min(y1, H - 1) - max(y0, 0) + 1, fill=False, **kw))
+        return True
+
+    for box in gt_boxes:
+        _draw(box, edgecolor="lime", linewidth=1.0)
+    for det in detections:
+        if _draw(det["bounding_box"], edgecolor="red", linewidth=1.0,
+                 linestyle="--"):
+            y0, _, x0, _ = det["bounding_box"]
+            ax.annotate(f"{det['score']:.2f}",
+                        (x0 - ping_idx, max(y0 - 2, 0)), color="red",
+                        fontsize=6)
+    ax.set_xlabel("ping")
+    ax.set_ylabel("range")
+    ax.set_title(f"{getattr(reader, 'name', 'echogram')} — school "
+                 f"detections (red dashed) vs annotations (green), "
+                 f"{frequency} kHz", fontsize=10)
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig

@@ -387,6 +387,21 @@ def test_detect_reader_schools_cuts_at_raw_file_boundaries(monkeypatch):
     assert sorted(d["bounding_box"] for d in dets[1]) == boxes
 
 
+def test_visualize_school_detections(tmp_path, memm_survey):
+    from crimac_unet_tpu.constants import RAW_SANDEEL
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.utils.plotting import visualize_school_detections
+
+    reader = get_echograms(path_to_echograms=memm_survey,
+                           minimum_shape=50)[0]
+    probs = (reader.label_numpy(heave=True) == RAW_SANDEEL).astype(
+        np.float32) * 0.9
+    dets = detect_schools(probs, 0.5, 1)
+    out = tmp_path / "schools.png"
+    visualize_school_detections(reader, dets, save_path=str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_checkpoint_run_id_fallbacks():
     from crimac_unet_tpu.pipeline.cli_common import checkpoint_run_id
 

@@ -382,6 +382,62 @@ def sandeel_gt_boxes(reader) -> list:
     return gt_boxes(reader, RAW_SANDEEL)
 
 
+def _raw_file_cuts(reader) -> np.ndarray:
+    """Ping indexes where the survey switches raw files (zarr surveys
+    concatenate per-file echograms along the ping axis)."""
+    raw = getattr(reader, "raw_file", None) if reader is not None else None
+    if raw is None or len(raw) < 2:
+        return np.zeros(0, dtype=np.int64)
+    raw = np.asarray(raw)
+    return np.nonzero(raw[1:] != raw[:-1])[0] + 1
+
+
+def _stream_cut_chunk(det: StreamingDetector, chunk: np.ndarray,
+                      start: int, end: int, cuts: np.ndarray) -> None:
+    """Feed one (n_range, end-start) chunk, resetting connectivity at
+    every raw-file cut inside it."""
+    s0 = start
+    for cut in cuts[(cuts > start) & (cuts < end)]:
+        det.add_chunk(chunk[:, s0 - start:cut - start], s0)
+        det.reset_boundary()
+        s0 = int(cut)
+    det.add_chunk(chunk[:, s0 - start:], s0)
+
+
+def detect_store_schools(store_path, reader=None, prob_threshold=0.5,
+                         min_area=1, channels=(0, 1),
+                         chunk_pings=1000) -> dict:
+    """Detections from an ALREADY-WRITTEN prediction output — the zarr
+    store ``save_survey_predictions_zarr`` produces (``annotation``
+    (2, ping_time, range) float16) or the ``.npy`` file of the memm
+    variant ((2, n_range, n_pings)) — no model, device, or re-predict
+    needed.  The stored values ARE the live predict chunks, so this
+    matches ``detect_reader_schools`` exactly (asserted in
+    tests/test_school_eval.py).  ``reader`` (optional) supplies the
+    raw-file boundaries for the per-file connectivity cut."""
+    cuts = _raw_file_cuts(reader)
+    if str(store_path).endswith(".npy"):
+        arr = np.load(store_path, mmap_mode="r")      # (2, range, ping)
+        n_pings = arr.shape[2]
+
+        def get(ch, s, e):
+            return np.asarray(arr[ch, :, s:e])
+    else:
+        from ..data.zarrlite import ZGroup
+        ann = ZGroup.open(store_path)["annotation"]   # (2, ping, range)
+        n_pings = ann.shape[1]
+
+        def get(ch, s, e):
+            return np.asarray(ann[ch, s:e, :]).T
+    dets = {ch: StreamingDetector(prob_threshold, min_area)
+            for ch in channels}
+    for s in range(0, n_pings, chunk_pings):
+        e = min(s + chunk_pings, n_pings)
+        for ch, det in dets.items():
+            _stream_cut_chunk(det, get(ch, s, e), s, e, cuts)
+    return {ch: det.finalize() for ch, det in dets.items()}
+
+
 def detect_reader_schools(runner, reader, preload_n_pings=1000,
                           prob_threshold=0.5, min_area=1,
                           fixed_R=None, fixed_C=None,
@@ -397,11 +453,7 @@ def detect_reader_schools(runner, reader, preload_n_pings=1000,
     granularity of the ground-truth objects."""
     from .inference import predict_reader
 
-    cuts = np.zeros(0, dtype=np.int64)
-    raw = getattr(reader, "raw_file", None)
-    if raw is not None and len(raw) > 1:
-        raw = np.asarray(raw)
-        cuts = np.nonzero(raw[1:] != raw[:-1])[0] + 1
+    cuts = _raw_file_cuts(reader)
     dets = {ch: StreamingDetector(prob_threshold, min_area)
             for ch in channels}
     for start, end, pred, _ in predict_reader(runner, reader,
@@ -411,13 +463,7 @@ def detect_reader_schools(runner, reader, preload_n_pings=1000,
                                               fixed_C=fixed_C):
         pred = np.asarray(pred)
         for ch, det in dets.items():
-            chunk = pred[ch]
-            s0 = start
-            for cut in cuts[(cuts > start) & (cuts < end)]:
-                det.add_chunk(chunk[:, s0 - start:cut - start], s0)
-                det.reset_boundary()
-                s0 = int(cut)
-            det.add_chunk(chunk[:, s0 - start:], s0)
+            _stream_cut_chunk(det, pred[ch], start, end, cuts)
     return {ch: det.finalize() for ch, det in dets.items()}
 
 
@@ -425,15 +471,23 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                        prob_threshold=0.5, min_area=1,
                        iou_thresholds=DEFAULT_IOU_THRESHOLDS,
                        save_path_metrics=None, save_path_detections=None,
-                       progress=False, categories=None) -> dict:
+                       progress=False, categories=None,
+                       from_predictions=None) -> dict:
     """Survey-level school detection metrics over all its readers, per
     category (sandeel + other fish by default) from ONE predict pass —
     COCO form: per-category AP averaged into the survey mAP.
+
+    ``from_predictions``: a directory of already-written prediction
+    outputs (``<reader>_pred.zarr`` / ``<reader>_pred.npy`` as produced
+    by save_predict) — detections are read from the stores instead of
+    re-running the model; ``runner`` may then be ``None``.
 
     ``save_path_detections`` additionally writes the detection inventory
     itself (one row per detected school: reader, category, inclusive box,
     score, pixel count) — the per-school product downstream consumers
     want from a survey run, independent of the metric."""
+    import os
+
     if categories is None:
         categories = dict(CATEGORY_CHANNELS)
     readers = list(readers)
@@ -441,7 +495,9 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
     # for the whole survey (the save_predict.py:run_save_predictions
     # pattern) instead of one per distinct echogram geometry
     fixed_R = fixed_C = None
-    if getattr(runner, "static_grid", False) and len(readers) > 1:
+    if (from_predictions is None
+            and getattr(runner, "static_grid", False)
+            and len(readers) > 1):
         from .inference import static_grid_shape_for_reader
         dims = [static_grid_shape_for_reader(r, runner.window,
                                              runner.overlap,
@@ -453,10 +509,27 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
     per_cat = {name: [] for name in categories}
     inventory = []      # (reader_name, category_name, detections)
     for reader in readers:
-        dets_by_ch = detect_reader_schools(
-            runner, reader, preload_n_pings, prob_threshold, min_area,
-            fixed_R=fixed_R, fixed_C=fixed_C, progress=progress,
-            channels=channels)
+        if from_predictions is not None:
+            rname = getattr(reader, "name", "")
+            store = os.path.join(str(from_predictions),
+                                 rname + "_pred.zarr")
+            if not os.path.isdir(store):
+                npy = os.path.join(str(from_predictions),
+                                   rname + "_pred.npy")
+                if not os.path.isfile(npy):
+                    raise FileNotFoundError(
+                        f"no prediction output for {rname} under "
+                        f"{from_predictions} (looked for "
+                        f"{rname}_pred.zarr / {rname}_pred.npy)")
+                store = npy
+            dets_by_ch = detect_store_schools(
+                store, reader, prob_threshold, min_area,
+                channels=channels, chunk_pings=max(preload_n_pings, 1))
+        else:
+            dets_by_ch = detect_reader_schools(
+                runner, reader, preload_n_pings, prob_threshold,
+                min_area, fixed_R=fixed_R, fixed_C=fixed_C,
+                progress=progress, channels=channels)
         rname = getattr(reader, "name", "")
         for name, (raw_code, ch) in categories.items():
             per_cat[name].append((dets_by_ch[ch],
@@ -541,6 +614,9 @@ def main(argv=None):
     min_area = int(config.get("school_min_area", 1))
     iou_thrs = tuple(config.get("school_iou_thresholds",
                                 DEFAULT_IOU_THRESHOLDS))
+    # school_from_predictions: detect from a save_predict output dir
+    # instead of re-running the model (no device needed)
+    from_preds = config.get("school_from_predictions")
 
     import os
     for survey in data_obj.get_evaluation_surveys():
@@ -555,7 +631,7 @@ def main(argv=None):
                 ctx.metrics_dir, f"{survey}_school_eval.csv"),
             save_path_detections=os.path.join(
                 ctx.metrics_dir, f"{survey}_schools.csv"),
-            progress=True)
+            progress=True, from_predictions=from_preds)
         for cname, m in metrics["categories"].items():
             ap_str = ", ".join(f"AP@{t:g}={a:.3f}" for t, a in
                                zip(m["iou_thresholds"], m["ap"]))

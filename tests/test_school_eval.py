@@ -387,6 +387,53 @@ def test_detect_reader_schools_cuts_at_raw_file_boundaries(monkeypatch):
     assert sorted(d["bounding_box"] for d in dets[1]) == boxes
 
 
+def test_detect_store_schools_matches_live(tmp_path, zarr_survey,
+                                           memm_survey):
+    """Detections from an already-written prediction store must equal the
+    live-predict detections — the stored values ARE the live chunks."""
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.pipeline.inference import (
+        save_reader_predictions_memm, save_survey_predictions_zarr)
+    from crimac_unet_tpu.pipeline.school_eval import (
+        detect_reader_schools, detect_store_schools)
+
+    runner = _mini_runner()
+    key = lambda d: (tuple(d["bounding_box"]), d["n_pixels"], d["score"])
+
+    # zarr store path
+    reader = DataReaderZarr(zarr_survey)
+    store = tmp_path / (reader.name + "_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, str(store),
+                                 preload_n_pings=64)
+    live = detect_reader_schools(runner, reader, preload_n_pings=64,
+                                 prob_threshold=0.2)
+    stored = detect_store_schools(str(store), reader, prob_threshold=0.2)
+    for ch in (0, 1):
+        assert sorted(map(key, stored[ch])) == sorted(map(key, live[ch]))
+
+    # memm .npy path
+    ech = get_echograms(path_to_echograms=memm_survey,
+                        minimum_shape=50)[0]
+    npy = tmp_path / (ech.name + "_pred.npy")
+    save_reader_predictions_memm(runner, ech, str(npy),
+                                 preload_n_pings=64)
+    live = detect_reader_schools(runner, ech, preload_n_pings=64,
+                                 prob_threshold=0.2)
+    stored = detect_store_schools(str(npy), ech, prob_threshold=0.2)
+    for ch in (0, 1):
+        assert sorted(map(key, stored[ch])) == sorted(map(key, live[ch]))
+
+    # survey glue consumes the same directory (from_predictions mode,
+    # no runner needed)
+    m = school_eval_survey(None, [ech], prob_threshold=0.2,
+                           from_predictions=str(tmp_path))
+    assert set(m["categories"]) == {"sandeel", "other"}
+    with pytest.raises(FileNotFoundError):
+        school_eval_survey(None, [reader], from_predictions=str(
+            tmp_path / "nowhere"))
+
+
 def test_visualize_school_detections(tmp_path, memm_survey):
     from crimac_unet_tpu.constants import RAW_SANDEEL
     from crimac_unet_tpu.data.memmap_reader import get_echograms

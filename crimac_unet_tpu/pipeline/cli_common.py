@@ -39,18 +39,20 @@ def checkpoint_run_id(checkpoint_path) -> str:
     return os.path.splitext(parts[-1])[0]
 
 
-def load_eval_context(mode: str, argv=None,
-                      want_plots: bool = False) -> EvalContext:
+def load_eval_context(mode: str, argv=None, want_plots: bool = False,
+                      need_runner=True) -> EvalContext:
     """Parse the ``mode`` flag set, load the checkpoint into a
     GriddedRunner, build the data partition, and create the per-run
-    metrics (and optionally plot) directories."""
+    metrics (and optionally plot) directories.
+
+    ``need_runner`` may be a bool or a ``callable(config) -> bool``
+    (decided after the YAML merge): when False, the checkpoint is not
+    loaded and ``ctx.runner`` is None — e.g. school_eval's
+    from-predictions mode needs no model or device."""
     from ..config import (get_argparse_parser, load_yaml_config,
                           parse_config_options)
     from ..data.partition import make_partition
-    from ..models.unet import build_unet
     from ..utils.general import fix_seeds
-    from .engine import load_checkpoint
-    from .inference import GriddedRunner
 
     args = get_argparse_parser(mode).parse_args(argv)
     configuration = load_yaml_config(args.yaml_path)
@@ -59,11 +61,19 @@ def load_eval_context(mode: str, argv=None,
 
     fix_seeds(config["random_seed"])
 
-    payload = load_checkpoint(config["checkpoint_path"])
-    variables = {"params": payload["params"],
-                 "batch_stats": payload["batch_stats"]}
-    model = build_unet(config)
-    runner = GriddedRunner(model, variables, config)
+    if callable(need_runner):
+        need_runner = bool(need_runner(config))
+    runner = None
+    if need_runner:
+        from ..models.unet import build_unet
+        from .engine import load_checkpoint
+        from .inference import GriddedRunner
+
+        payload = load_checkpoint(config["checkpoint_path"])
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
+        model = build_unet(config)
+        runner = GriddedRunner(model, variables, config)
 
     print(f'\nLoading {config["data_mode"]} data partition object...')
     start = time.time()

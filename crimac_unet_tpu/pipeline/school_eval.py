@@ -261,24 +261,56 @@ def match_detections(detections: list, gt_boxes, iou_threshold: float,
     parallel bool array marking which matched a ground-truth box.  Each GT
     box is claimed at most once, by the highest-scoring detection whose
     IoU with it clears the threshold (ties on IoU go to the earlier GT,
-    like pycocotools).  ``iou_matrix`` (detections × gt, in *input*
-    order) is computed on demand when not supplied."""
+    like pycocotools).
+
+    IoUs are computed per detection against its ping-overlap GT
+    candidates (vectorized row at a time) rather than as one dense
+    (D, G) matrix: at survey scale a speckly model can emit 1e5
+    detections against 1e4 GT schools, where the dense float64 matrix
+    alone is multi-GB (review finding).  ``iou_matrix`` (detections ×
+    gt, in *input* order) short-circuits that when the caller already
+    has one."""
     order = np.argsort([-d["score"] for d in detections], kind="stable")
     scores = np.array([detections[i]["score"] for i in order],
                       dtype=np.float64)
     tp = np.zeros(len(order), dtype=bool)
     if len(gt_boxes) == 0 or len(order) == 0:
         return scores, tp
-    if iou_matrix is None:
-        iou_matrix = bbox_iou_matrix(
-            np.asarray([d["bounding_box"] for d in detections]),
-            np.asarray(gt_boxes))
-    claimed = np.zeros(len(gt_boxes), dtype=bool)
+    gt = np.asarray(gt_boxes, dtype=np.float64).reshape(-1, 4)
+    claimed = np.zeros(len(gt), dtype=bool)
+    if iou_matrix is not None:
+        for row, di in enumerate(order):
+            ious = np.where(claimed, -1.0, iou_matrix[di])
+            gi = int(np.argmax(ious))
+            if ious[gi] >= iou_threshold:
+                claimed[gi] = True
+                tp[row] = True
+        return scores, tp
+    # ping-interval prefilter: IoU > 0 requires x-overlap; GT sorted by
+    # startping, candidates are those with x0 <= det.x1, then filtered
+    # by x1 >= det.x0 — O(candidates) memory per detection
+    by_x0 = np.argsort(gt[:, 2], kind="stable")
+    gt_x0_sorted = gt[by_x0, 2]
     for row, di in enumerate(order):
-        ious = np.where(claimed, -1.0, iou_matrix[di])
+        dy0, dy1, dx0, dx1 = detections[di]["bounding_box"]
+        hi = np.searchsorted(gt_x0_sorted, dx1, side="right")
+        cand = by_x0[:hi]
+        cand = cand[(gt[cand, 3] >= dx0) & ~claimed[cand]]
+        if cand.size == 0:
+            continue
+        ious = bbox_iou_matrix(
+            np.array([[dy0, dy1, dx0, dx1]], dtype=np.float64),
+            gt[cand])[0]
         gi = int(np.argmax(ious))
         if ious[gi] >= iou_threshold:
-            claimed[gi] = True
+            # argmax over the candidate subset keeps the pycocotools
+            # tie rule: cand preserves input order among equal IoUs
+            # only when by_x0 is stable AND x0s differ — re-resolve ties
+            # to the earliest input index explicitly
+            best = ious[gi]
+            winners = cand[ious == best]
+            g = int(winners.min())
+            claimed[g] = True
             tp[row] = True
     return scores, tp
 
@@ -321,20 +353,13 @@ def school_metrics(per_reader: list,
     out = {"iou_thresholds": list(iou_thresholds),
            "n_gt": int(sum(len(g) for _, g in per_reader)),
            "n_detections": int(sum(len(d) for d, _ in per_reader))}
-    matrices = []
-    for detections, gt_boxes in per_reader:
-        if len(detections) and len(gt_boxes):
-            matrices.append(bbox_iou_matrix(
-                np.asarray([d["bounding_box"] for d in detections]),
-                np.asarray(gt_boxes)))
-        else:
-            matrices.append(None)
     aps, recalls, precisions = [], [], []
     for thr in iou_thresholds:
         all_scores, all_tp = [], []
-        for (detections, gt_boxes), mat in zip(per_reader, matrices):
-            scores, tp = match_detections(detections, gt_boxes, thr,
-                                          iou_matrix=mat)
+        for detections, boxes in per_reader:
+            # candidate-prefiltered matching: no dense (D, G) matrix
+            # (multi-GB at survey scale — see match_detections)
+            scores, tp = match_detections(detections, boxes, thr)
             all_scores.append(scores)
             all_tp.append(tp)
         scores = np.concatenate(all_scores) if all_scores else \
@@ -359,22 +384,33 @@ def school_metrics(per_reader: list,
 CATEGORY_CHANNELS = {"sandeel": (RAW_SANDEEL, 0), "other": (RAW_OTHER, 1)}
 
 
-def gt_boxes(reader, raw_category: int) -> list:
-    """Inclusive school boxes of one raw species code for one reader, in
-    the *prediction* (sv / heave-reverted) coordinate space.
+def gt_boxes_by_category(reader, raw_categories) -> dict:
+    """``{raw species code: [inclusive boxes]}`` for one reader, in the
+    *prediction* (sv / heave-reverted) coordinate space — ONE labeling
+    pass shared by every requested category (the memmap path loads and
+    connected-component-labels the full dense label image; doing that
+    once per category doubled the dominant GT cost).
 
     Memmap: rebuilt from the heave-reverted label map rather than the
     pickled ``objects`` — those are components of the ORIGINAL annotation
     image and sit ``round(heave/Δr)`` px above/below the sv data wherever
     heave is non-zero (reference data_reader.py:386-391 vs :84-113).
     Zarr: the objects CSV already lives in sv space."""
+    raw_categories = list(raw_categories)
     if getattr(reader, "data_format", "memm") == "zarr":
-        return [o["bounding_box"] for o in reader.objects
-                if o["fish_type_index"] == raw_category]
-    from ..data.mat_to_memmap import objects_from_label_image
-    objs = objects_from_label_image(reader.label_numpy(heave=True))
-    return [list(o["bounding_box"]) for o in objs
-            if o["fish_type_index"] == raw_category]
+        objs = [{"fish_type_index": o["fish_type_index"],
+                 "bounding_box": o["bounding_box"]}
+                for o in reader.objects]
+    else:
+        from ..data.mat_to_memmap import objects_from_label_image
+        objs = objects_from_label_image(reader.label_numpy(heave=True))
+    return {c: [list(o["bounding_box"]) for o in objs
+                if o["fish_type_index"] == c] for c in raw_categories}
+
+
+def gt_boxes(reader, raw_category: int) -> list:
+    """Single-category form of :func:`gt_boxes_by_category`."""
+    return gt_boxes_by_category(reader, (raw_category,))[raw_category]
 
 
 def sandeel_gt_boxes(reader) -> list:
@@ -395,7 +431,14 @@ def _raw_file_cuts(reader) -> np.ndarray:
 def _stream_cut_chunk(det: StreamingDetector, chunk: np.ndarray,
                       start: int, end: int, cuts: np.ndarray) -> None:
     """Feed one (n_range, end-start) chunk, resetting connectivity at
-    every raw-file cut inside it."""
+    every raw-file cut inside it — including a cut that lands exactly on
+    the chunk's first ping, where the carry column from the previous
+    chunk must not union across the file boundary (review finding: the
+    interior-only filter silently merged schools whenever a boundary
+    coincided with a chunk edge, e.g. raw files at multiples of the
+    1000-ping chunk width)."""
+    if np.any(cuts == start):
+        det.reset_boundary()
     s0 = start
     for cut in cuts[(cuts > start) & (cuts < end)]:
         det.add_chunk(chunk[:, s0 - start:cut - start], s0)
@@ -524,16 +567,21 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                 store = npy
             dets_by_ch = detect_store_schools(
                 store, reader, prob_threshold, min_area,
-                channels=channels, chunk_pings=max(preload_n_pings, 1))
+                channels=channels,
+                # the live path's preload rule (predict_reader):
+                # non-positive means 'use the 5000-ping default'
+                chunk_pings=preload_n_pings if preload_n_pings > 0
+                else 5000)
         else:
             dets_by_ch = detect_reader_schools(
                 runner, reader, preload_n_pings, prob_threshold,
                 min_area, fixed_R=fixed_R, fixed_C=fixed_C,
                 progress=progress, channels=channels)
         rname = getattr(reader, "name", "")
+        gts = gt_boxes_by_category(
+            reader, [raw for raw, _ in categories.values()])
         for name, (raw_code, ch) in categories.items():
-            per_cat[name].append((dets_by_ch[ch],
-                                  gt_boxes(reader, raw_code)))
+            per_cat[name].append((dets_by_ch[ch], gts[raw_code]))
             inventory.append((rname, name, dets_by_ch[ch]))
     metrics = {"iou_thresholds": list(iou_thresholds),
                "prob_threshold": prob_threshold, "min_area": min_area,
@@ -604,7 +652,12 @@ def save_school_metrics(metrics: dict, save_path) -> None:
 def main(argv=None):
     from .cli_common import load_eval_context
 
-    ctx = load_eval_context("eval", argv)
+    # from-predictions mode reads written stores: no checkpoint load, no
+    # model build, no device (the CLI still requires --checkpoint_path
+    # to exist — the reference eval flag set — but never opens it)
+    ctx = load_eval_context(
+        "eval", argv,
+        need_runner=lambda cfg: not cfg.get("school_from_predictions"))
     config, runner, data_obj = ctx.config, ctx.runner, ctx.data_obj
 
     # knobs are YAML keys (school_prob_threshold / school_min_area /

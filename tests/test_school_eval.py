@@ -387,6 +387,67 @@ def test_detect_reader_schools_cuts_at_raw_file_boundaries(monkeypatch):
     assert sorted(d["bounding_box"] for d in dets[1]) == boxes
 
 
+def test_cut_on_chunk_edge_still_splits():
+    """Regression (review finding): a raw-file cut landing exactly on a
+    chunk's first ping must still break connectivity — the interior-only
+    filter silently merged schools whenever a file boundary coincided
+    with the 1000-ping chunk grid."""
+    from crimac_unet_tpu.pipeline.school_eval import (StreamingDetector,
+                                                      _stream_cut_chunk)
+
+    probs = np.zeros((4, 12), np.float32)
+    probs[1, 2:10] = 0.8  # one component crossing the boundary at 6
+    cuts = np.array([6], dtype=np.int64)
+    det = StreamingDetector(0.5)
+    # chunked exactly at the cut: [0,6) then [6,12)
+    _stream_cut_chunk(det, probs[:, :6], 0, 6, cuts)
+    _stream_cut_chunk(det, probs[:, 6:], 6, 12, cuts)
+    boxes = sorted(d["bounding_box"] for d in det.finalize())
+    assert boxes == [[1, 1, 2, 5], [1, 1, 6, 9]]
+
+
+def test_lazy_matching_equals_dense_matrix():
+    """The candidate-prefiltered matcher (no dense D x G matrix) must be
+    decision-identical to matching against the precomputed matrix."""
+    from crimac_unet_tpu.pipeline.school_eval import bbox_iou_matrix
+
+    rng = np.random.RandomState(5)
+    for trial in range(20):
+        def boxes(n):
+            y0 = rng.randint(0, 40, n)
+            x0 = rng.randint(0, 60, n)
+            return np.stack([y0, y0 + rng.randint(0, 8, n),
+                             x0, x0 + rng.randint(0, 8, n)], axis=1)
+        gts = boxes(rng.randint(1, 12)).tolist()
+        dets = [{"bounding_box": b.tolist(),
+                 "score": float(rng.rand())}
+                for b in boxes(rng.randint(1, 20))]
+        mat = bbox_iou_matrix(
+            np.asarray([d["bounding_box"] for d in dets]),
+            np.asarray(gts))
+        for thr in (0.1, 0.25, 0.5):
+            s1, t1 = match_detections(dets, gts, thr)
+            s2, t2 = match_detections(dets, gts, thr, iou_matrix=mat)
+            assert s1.tolist() == s2.tolist()
+            assert t1.tolist() == t2.tolist(), f"trial {trial} thr {thr}"
+
+
+def test_gt_boxes_by_category_single_pass(memm_survey):
+    from crimac_unet_tpu.constants import RAW_OTHER, RAW_SANDEEL
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.pipeline.school_eval import (gt_boxes,
+                                                      gt_boxes_by_category)
+
+    reader = get_echograms(path_to_echograms=memm_survey,
+                           minimum_shape=50)[0]
+    both = gt_boxes_by_category(reader, [RAW_SANDEEL, RAW_OTHER])
+    assert sorted(map(tuple, both[RAW_SANDEEL])) == \
+        sorted(map(tuple, gt_boxes(reader, RAW_SANDEEL)))
+    assert sorted(map(tuple, both[RAW_OTHER])) == \
+        sorted(map(tuple, gt_boxes(reader, RAW_OTHER)))
+    assert both[RAW_SANDEEL] and both[RAW_OTHER]
+
+
 def test_detect_store_schools_matches_live(tmp_path, zarr_survey,
                                            memm_survey):
     """Detections from an already-written prediction store must equal the

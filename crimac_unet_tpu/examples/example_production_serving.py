@@ -71,6 +71,20 @@ def main():
         print(f"wrote {out}: annotation {ann.shape} {ann.dtype} "
               f"(category [27, 1], reference on-disk contract)")
 
+        # school-level detection from the store just written — no model
+        # or device needed (pipeline/school_eval.py from-predictions
+        # mode; also a CLI: crimac-school-eval with
+        # school_from_predictions in the YAML)
+        import os
+        from ..pipeline.school_eval import school_eval_survey
+        os.replace(out, f"{tmp}/{reader.name}_pred.zarr")
+        m = school_eval_survey(None, [reader], from_predictions=tmp,
+                               prob_threshold=0.2)
+        for cname, cm in m["categories"].items():
+            print(f"school detection [{cname}]: mean AP "
+                  f"{cm['mean_ap']:.3f}, {cm['n_detections']} detections"
+                  f" / {cm['n_gt']} annotated schools")
+
         # optional: ship the trained weights back to the reference stack
         # (requires unfolded batch_stats, i.e. a training checkpoint):
         from ..models.torch_import import save_torch_checkpoint

@@ -32,7 +32,8 @@ Protocol (COCO-style, self-contained — no pycocotools):
   as two objects).
 - **Matching**: per reader and IoU threshold, detections sorted by
   descending score greedily claim the highest-IoU unmatched ground-truth
-  box (the COCO matching rule), from one precomputed IoU matrix.
+  box (the COCO matching rule); IoUs come from a ping-interval candidate
+  prefilter, never a dense detections×GT matrix.
 - **AP**: detections pooled over all readers of a survey, ranked globally
   by score; 101-point interpolated average precision per IoU threshold
   (the COCO definition), plus recall/precision at the operating point.

@@ -131,6 +131,16 @@ def _check_end_to_end(rep: _Report, device: bool) -> None:
                  f"96 pings -> {a.shape} f16 on {where} "
                  f"({time.time() - t:.1f}s incl. compile)")
 
+        # school detection over the store just written (host-only,
+        # exercises the from-predictions consumer + union-find CC)
+        t = time.time()
+        from .pipeline.school_eval import detect_store_schools
+        dets = detect_store_schools(out, reader, prob_threshold=0.2)
+        n = sum(len(d) for d in dets.values())
+        rep.line("school detection (store)", True,
+                 f"{n} components across 2 categories "
+                 f"({time.time() - t:.1f}s, host-only)")
+
 
 def main(argv=None) -> int:
     import argparse

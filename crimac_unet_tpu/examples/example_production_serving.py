@@ -63,7 +63,10 @@ def main():
             warnings.simplefilter("ignore")
             runner = GriddedRunner(model, variables, cfg)
 
-        out = f"{tmp}/demo_pred.zarr"
+        # name the store <reader>_pred.zarr up front — the save_predict
+        # CLI convention, and what school_eval's from-predictions mode
+        # globs for below
+        out = f"{tmp}/{reader.name}_pred.zarr"
         save_survey_predictions_zarr(runner, reader, out,
                                      preload_n_pings=300)
         group = ZGroup.open(out)
@@ -75,9 +78,7 @@ def main():
         # or device needed (pipeline/school_eval.py from-predictions
         # mode; also a CLI: crimac-school-eval with
         # school_from_predictions in the YAML)
-        import os
         from ..pipeline.school_eval import school_eval_survey
-        os.replace(out, f"{tmp}/{reader.name}_pred.zarr")
         m = school_eval_survey(None, [reader], from_predictions=tmp,
                                prob_threshold=0.2)
         for cname, cm in m["categories"].items():

@@ -132,14 +132,24 @@ def _check_end_to_end(rep: _Report, device: bool) -> None:
                  f"({time.time() - t:.1f}s incl. compile)")
 
         # school detection over the store just written (host-only,
-        # exercises the from-predictions consumer + union-find CC)
+        # exercises the from-predictions consumer + union-find CC);
+        # its own try/except so a failure is reported under ITS name,
+        # not swallowed into the predict line by main()'s wrapper
         t = time.time()
-        from .pipeline.school_eval import detect_store_schools
-        dets = detect_store_schools(out, reader, prob_threshold=0.2)
-        n = sum(len(d) for d in dets.values())
-        rep.line("school detection (store)", True,
-                 f"{n} components across 2 categories "
-                 f"({time.time() - t:.1f}s, host-only)")
+        try:
+            from .pipeline.school_eval import detect_store_schools
+            dets = detect_store_schools(out, reader, prob_threshold=0.2)
+            n = sum(len(d) for d in dets.values())
+            ok2 = (set(dets) == {0, 1}
+                   and all(d["n_pixels"] >= 1
+                           and d["bounding_box"][0] <= d["bounding_box"][1]
+                           and d["bounding_box"][2] <= d["bounding_box"][3]
+                           for ch in dets.values() for d in ch))
+            rep.line("school detection (store)", ok2,
+                     f"{n} components across 2 categories "
+                     f"({time.time() - t:.1f}s, host-only)")
+        except Exception as exc:
+            rep.line("school detection (store)", False, repr(exc))
 
 
 def main(argv=None) -> int:

@@ -43,30 +43,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from crimac_unet_tpu.data.fixtures import make_survey_dir
-    memm = Path(args.work) / "memm"
-    if not (memm / "marker.ok").is_file():
-        make_survey_dir(memm, year=2017, n_echograms=3, H=700, W=1400,
-                        seed=41, n_schools=6)
-        make_survey_dir(memm, year=2016, n_echograms=2, H=700, W=1200,
-                        seed=42, n_schools=6)
-        (memm / "marker.ok").write_text("ok")
-
-    config = {
-        "frequencies": FREQS, "data_mode": "memm",
-        "path_to_echograms": str(memm),
-        "patch_size": [256, 256], "loss_type": "CE", "batch_size": 4,
-        "lr": 0.005, "lr_reduction": 0.5, "momentum": 0.95,
-        "iterations": args.iterations, "test_iter": 1000,
-        "log_step": max(args.iterations // 6, 1), "lr_step": 1000,
-        "num_workers": 2,
-        "partition_train": "selected surveys", "train_surveys": [2017],
-        "validation_surveys": [2016],
-        "partition_predict": "all surveys", "evaluation_surveys": [],
-        "save_prediction_surveys": [], "eval_mode": "all",
-        "patch_overlap": 20, "random_seed": 10,
-        "depth": 5, "start_filts": 64,
-    }
+    # SAME fixture and recipe as the r3 measurement session — import,
+    # don't copy, so the BASELINE.md comparability cannot silently drift
+    from scripts.r3_tpu_session import ensure_train_fixture, recipe_config
+    memm = ensure_train_fixture(args.work)
+    config = dict(recipe_config(memm, "bfloat16"),
+                  iterations=args.iterations,
+                  log_step=max(args.iterations // 6, 1))
 
     from crimac_unet_tpu.pipeline.train import run_training
     ckpt_dir = Path(args.work) / "ckpt"
@@ -110,8 +93,7 @@ def main():
            "train_min": round(train_min, 2),
            "steps": int(segpipe.state.step),
            "mean_ap": m["mean_ap"],
-           "categories": {k: {kk: vv for kk, vv in v.items()}
-                          for k, v in m["categories"].items()},
+           "categories": m["categories"],
            "eval_s": round(eval_s, 1)}
     with open(out, "w") as f:
         json.dump(res, f, indent=1, default=float)

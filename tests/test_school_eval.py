@@ -495,6 +495,57 @@ def test_detect_store_schools_matches_live(tmp_path, zarr_survey,
             tmp_path / "nowhere"))
 
 
+def test_multifile_zarr_and_static_grid_equivalence(tmp_path):
+    """Live vs store detections on a REAL two-raw-file zarr survey (the
+    raw_file boundary exercises the connectivity cut on both paths), and
+    the static_grid multi-reader branch (survey-max fixed_R/fixed_C)
+    yields the same detections as per-reader grids on memm surveys."""
+    from crimac_unet_tpu.data.fixtures import (make_survey_dir,
+                                               make_zarr_survey)
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.pipeline.inference import (
+        save_survey_predictions_zarr)
+    from crimac_unet_tpu.pipeline.school_eval import (
+        detect_reader_schools, detect_store_schools, school_eval_survey)
+
+    key = lambda d: (tuple(d["bounding_box"]), d["n_pixels"], d["score"])
+    runner = _mini_runner()
+
+    sv = make_zarr_survey(tmp_path, year=2018, n_echograms=2, H=90,
+                          W=140, seed=9)
+    reader = DataReaderZarr(sv)
+    assert len(np.unique(np.asarray(reader.raw_file))) == 2
+    store = tmp_path / (reader.name + "_pred.zarr")
+    save_survey_predictions_zarr(runner, reader, str(store),
+                                 preload_n_pings=60)
+    live = detect_reader_schools(runner, reader, preload_n_pings=60,
+                                 prob_threshold=0.2)
+    stored = detect_store_schools(str(store), reader, prob_threshold=0.2,
+                                  chunk_pings=90)  # DIFFERENT chunking
+    for ch in (0, 1):
+        assert sorted(map(key, stored[ch])) == sorted(map(key, live[ch]))
+
+    # static_grid multi-reader branch: two memm echograms with differing
+    # extents share one compiled program; detections identical
+    memm = tmp_path / "memm"
+    make_survey_dir(memm, year=2017, n_echograms=2, H=90, W=150, seed=4)
+    readers = get_echograms(path_to_echograms=str(memm),
+                            minimum_shape=50)
+    assert len(readers) == 2
+    base = school_eval_survey(runner, readers, preload_n_pings=60,
+                              prob_threshold=0.2)
+    srunner = _mini_runner()
+    srunner.static_grid = True
+    static = school_eval_survey(srunner, readers, preload_n_pings=60,
+                                prob_threshold=0.2)
+    for cname in base["categories"]:
+        b, s = base["categories"][cname], static["categories"][cname]
+        assert b["n_detections"] == s["n_detections"], cname
+        assert b["ap"] == s["ap"], cname
+        assert b["recall"] == s["recall"], cname
+
+
 def test_visualize_school_detections(tmp_path, memm_survey):
     from crimac_unet_tpu.constants import RAW_SANDEEL
     from crimac_unet_tpu.data.memmap_reader import get_echograms

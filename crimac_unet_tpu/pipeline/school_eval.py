@@ -578,12 +578,11 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                 runner, reader, preload_n_pings, prob_threshold,
                 min_area, fixed_R=fixed_R, fixed_C=fixed_C,
                 progress=progress, channels=channels)
-        rname = getattr(reader, "name", "")
         gts = gt_boxes_by_category(
             reader, [raw for raw, _ in categories.values()])
         for name, (raw_code, ch) in categories.items():
             per_cat[name].append((dets_by_ch[ch], gts[raw_code]))
-            inventory.append((rname, name, dets_by_ch[ch]))
+            inventory.append((reader, name, dets_by_ch[ch]))
     metrics = {"iou_thresholds": list(iou_thresholds),
                "prob_threshold": prob_threshold, "min_area": min_area,
                "categories": {}}
@@ -601,25 +600,46 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
     return metrics
 
 
+DETECTION_CSV_COLUMNS = ["reader", "category", "upperdepthindex",
+                         "lowerdepthindex", "startpingindex",
+                         "endpingindex", "upperdepth", "lowerdepth",
+                         "startpingtime", "endpingtime", "score",
+                         "n_pixels"]
+
+
 def save_detections_csv(inventory: list, save_path) -> None:
-    """Detection inventory CSV: one row per detected school —
-    ``reader, category, upperdepthindex, lowerdepthindex,
-    startpingindex, endpingindex, score, n_pixels`` (the objects-CSV
-    column naming for the box fields, reference data_reader.py:637-697;
-    ``category`` is the name, sandeel/other)."""
+    """Detection inventory CSV: one row per detected school, in the
+    objects-CSV column vocabulary (reference data_reader.py:637-697):
+    index-space box (``*depthindex`` / ``*pingindex``) plus the physical
+    coordinates consumers actually work in — ``upperdepth/lowerdepth``
+    in meters from the reader's range vector and
+    ``startpingtime/endpingtime`` from its time vector (datetime64 for
+    zarr surveys, MATLAB ordinal floats for memmap echograms, NaN when
+    a reader has no coordinate vectors).  ``inventory`` is
+    ``[(reader, category_name, detections)]``."""
     import pandas as pd
 
-    rows = [{"reader": rname, "category": cname,
-             "upperdepthindex": d["bounding_box"][0],
-             "lowerdepthindex": d["bounding_box"][1],
-             "startpingindex": d["bounding_box"][2],
-             "endpingindex": d["bounding_box"][3],
-             "score": d["score"], "n_pixels": d["n_pixels"]}
-            for rname, cname, dets in inventory for d in dets]
-    pd.DataFrame(rows, columns=["reader", "category", "upperdepthindex",
-                                "lowerdepthindex", "startpingindex",
-                                "endpingindex", "score",
-                                "n_pixels"]).to_csv(save_path)
+    rows = []
+    for reader, cname, dets in inventory:
+        rv = np.asarray(getattr(reader, "range_vector", np.zeros(0)))
+        tv = np.asarray(getattr(reader, "time_vector", np.zeros(0)))
+
+        def at(vec, i):
+            return vec[i] if 0 <= i < len(vec) else float("nan")
+
+        for d in dets:
+            y0, y1, x0, x1 = d["bounding_box"]
+            rows.append({"reader": getattr(reader, "name", ""),
+                         "category": cname,
+                         "upperdepthindex": y0, "lowerdepthindex": y1,
+                         "startpingindex": x0, "endpingindex": x1,
+                         "upperdepth": at(rv, y0),
+                         "lowerdepth": at(rv, y1),
+                         "startpingtime": at(tv, x0),
+                         "endpingtime": at(tv, x1),
+                         "score": d["score"],
+                         "n_pixels": d["n_pixels"]})
+    pd.DataFrame(rows, columns=DETECTION_CSV_COLUMNS).to_csv(save_path)
 
 
 def save_school_metrics(metrics: dict, save_path) -> None:

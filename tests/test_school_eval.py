@@ -234,16 +234,22 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
     assert (sand["n_gt"] == sm["n_gt"]).all()
 
     # detection inventory CSV: one row per detection, objects-CSV naming
+    # incl. physical coordinates (meters / ping_time)
+    from crimac_unet_tpu.pipeline.school_eval import DETECTION_CSV_COLUMNS
     ddf = pd.read_csv(det_csv, index_col=0)
     n_dets = sum(m["n_detections"]
                  for m in metrics["categories"].values())
     assert len(ddf) == n_dets
-    assert {"reader", "category", "upperdepthindex", "lowerdepthindex",
-            "startpingindex", "endpingindex", "score",
-            "n_pixels"} <= set(ddf.columns)
+    assert set(DETECTION_CSV_COLUMNS) <= set(ddf.columns)
     if len(ddf):
         assert (ddf["upperdepthindex"] <= ddf["lowerdepthindex"]).all()
         assert (ddf["reader"] == reader.name).all()
+        rv = np.asarray(reader.range_vector)
+        assert np.allclose(ddf["upperdepth"].values,
+                           rv[ddf["upperdepthindex"].values])
+        # zarr ping_time round-trips as ISO datetime strings
+        assert ddf["startpingtime"].astype(str).str.startswith(
+            "201").all()
 
 
 def test_school_eval_perfect_predictions_give_ap_1(memm_survey):

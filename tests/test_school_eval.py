@@ -337,6 +337,27 @@ def test_streaming_detector_matches_dense():
         assert sorted(map(key, streamed)) == sorted(map(key, dense)), \
             f"trial {trial}"
 
+        # with random raw-file cuts: streamed-with-cuts == dense computed
+        # per segment (cuts may land inside chunks or exactly on edges)
+        from crimac_unet_tpu.pipeline.school_eval import _stream_cut_chunk
+        n_cuts = rng.randint(1, 4)
+        cuts = np.unique(rng.randint(1, W, n_cuts)).astype(np.int64)
+        det = StreamingDetector(0.5, min_area=1)
+        x = 0
+        while x < W:
+            w = min(int(rng.randint(1, 20)), W - x)
+            _stream_cut_chunk(det, probs[:, x:x + w], x, x + w, cuts)
+            x += w
+        streamed_cut = det.finalize()
+        dense_cut = []
+        for s, e in zip(np.r_[0, cuts], np.r_[cuts, W]):
+            for d in detect_schools(probs[:, s:e], 0.5, min_area=1):
+                b = d["bounding_box"]
+                dense_cut.append(dict(d, bounding_box=[
+                    b[0], b[1], b[2] + int(s), b[3] + int(s)]))
+        assert sorted(map(key, streamed_cut)) \
+            == sorted(map(key, dense_cut)), f"trial {trial} (cuts)"
+
 
 def test_streaming_detector_boundary_and_contiguity():
     from crimac_unet_tpu.pipeline.school_eval import StreamingDetector

@@ -48,6 +48,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _unpack_bits(packed, n_cols: int):
+    """Device-side inverse of ``np.packbits(mask, axis=1)`` (big-endian
+    bit order): (H, ceil(n/8)) uint8 -> (H, n_cols) bool."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+    return (bits.reshape(packed.shape[0], -1)[:, :n_cols]) != 0
+
+
 def _fill_hwc_slab(reader, frequencies, data_slab, slab_x0, slab_x1,
                    slab_y1, row_off, x_off):
     """Read survey columns [slab_x0, slab_x1) x rows [0, slab_y1) for all
@@ -382,10 +390,18 @@ class GriddedRunner:
 
     @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
                                        "zarr_pad", "chunk_w"))
-    def _mask_output(self, stitched, label_slab, data_slab, seabed,
+    def _mask_output(self, stitched, lab_fin, lab_zero, data_slab, seabed,
                      row_cut, n_range, n_pings, zarr_pad, chunk_w):
         """Crop stitched grid output to chunk extent, apply write masks,
         emit float16 (the on-disk dtype).
+
+        The label slab itself never reaches the device: the write mask
+        only consults two predicates of it — ``isfinite(label)`` and
+        ``label == 0`` — so the host packs those into two uint8 bitmasks
+        (``np.packbits`` along pings, 1 bit/px instead of 16) and they are
+        unpacked here.  Both predicates are evaluated on the float32 host
+        labels, so this is bit-identical to shipping the labels (and 8x
+        fewer h2d bytes — the tunnel/PCIe link is the e2e wall).
 
         The sv-finiteness half of the write mask (save_predict.py:41-65 via
         remove_nan_inf on the preload slab) is read from channel 0 of the
@@ -425,8 +441,8 @@ class GriddedRunner:
         sv_fin = jnp.ones((n_range, n_pings), bool)
         sv_fin = sv_fin.at[:, :w2].set(
             jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
-        keep = (jnp.isfinite(label_slab) & sv_fin
-                & ~(below & (label_slab == 0)))
+        keep = (_unpack_bits(lab_fin, n_pings) & sv_fin
+                & ~(below & _unpack_bits(lab_zero, n_pings)))
         # row_cut (dynamic scalar): the per-chunk reference grid's bottom
         # data row.  Under static_grid the stitched output carries pad rows
         # below it (the survey-max grid); the reference per-chunk grid never
@@ -861,12 +877,15 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # h2d from the prefetch thread (device_put is async), in bfloat16
         # by default: halves tunnel/PCIe bytes, and every consumer is
         # exactness-safe — the data slab feeds the bf16 U-Net after a
-        # device-side dB transform (<=0.02 dB perturbation), and the
-        # label/sv slabs are only tested for finiteness / ==0, which bf16
-        # preserves for the small-integer categorical codes and nan/inf.
+        # device-side dB transform (<=0.02 dB perturbation).
         # `transfer_dtype: float32` disables the quantization entirely
         # (used by the reference-parity harness, where the last f16 ulp
         # of the output probabilities matters).
+        # Labels never ship at all: the write mask consults only
+        # isfinite(label) and label==0, so those predicates are packed to
+        # 1 bit/px here (computed on the exact float32 host labels —
+        # bit-identical under every transfer_dtype) and unpacked on
+        # device (_unpack_bits); 16x fewer label bytes than bf16.
         runner.timer.start("h2d_dispatch")
         import ml_dtypes
         xfer = np.dtype(runner.transfer_dtype) \
@@ -874,7 +893,9 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         dev = dict(
             data_slab=jax.device_put(data_slab.astype(xfer)),
             border_slab=jax.device_put(border_slab),
-            label_pad=jax.device_put(label_pad.astype(xfer)),
+            lab_fin=jax.device_put(np.packbits(
+                np.isfinite(label_pad), axis=1)),
+            lab_zero=jax.device_put(np.packbits(label_pad == 0, axis=1)),
             sb_vec=jax.device_put(sb_vec),
             row_cut=jax.device_put(np.int32(row_cut)),
             y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
@@ -920,8 +941,8 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             # tail chunk shares the same compiled program; its pad columns
             # carry NaN labels (keep=False) and are cropped on the host
             out, keep_dev = runner._mask_output(
-                stitched, dev["label_pad"], dev["data_slab"], dev["sb_vec"],
-                dev["row_cut"], nr, C * sw, is_zarr,
+                stitched, dev["lab_fin"], dev["lab_zero"], dev["data_slab"],
+                dev["sb_vec"], dev["row_cut"], nr, C * sw, is_zarr,
                 C * sw if static else w)
             runner.timer.stop("device_chunk")
             # start the d2h copy as soon as compute finishes (overlaps the

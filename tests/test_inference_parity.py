@@ -203,6 +203,20 @@ def test_predict_parity_with_reference_oracle(setup):
                                       err_msg=f"mask mismatch chunk {s}")
 
 
+def test_unpack_bits_inverts_packbits():
+    """_unpack_bits is the exact device-side inverse of
+    np.packbits(mask, axis=1) for every width mod 8, so the packed label
+    predicates reproduce the full-label write mask bit-for-bit."""
+    from crimac_unet_tpu.pipeline.inference import _unpack_bits
+
+    rng = np.random.default_rng(7)
+    for W in (1, 7, 8, 9, 40, 1000):
+        mask = rng.random((13, W)) < 0.4
+        packed = np.packbits(mask, axis=1)
+        out = np.asarray(_unpack_bits(jnp.asarray(packed), W))
+        np.testing.assert_array_equal(out, mask)
+
+
 def test_sub_batch_shape_minimizes_padding():
     """B/Np/nb choice: padding minimized at 8-patch granularity (measured
     faster than exact-fit off-multiple batches on v5e); mesh granularity
@@ -547,14 +561,15 @@ def test_static_grid_multi_reader_survey_one_program(tmp_path):
             return real(variables, data_slab, y0s, x0s, border_slab,
                         meta_slab, consts, R, C, border_zero, use_meta)
 
-        def spy_mask(stitched, label_slab, data_slab, sb_vec, row_cut,
-                     nr, n_pings, zarr_pad, chunk_w):
+        def spy_mask(stitched, lab_fin, lab_zero, data_slab, sb_vec,
+                     row_cut, nr, n_pings, zarr_pad, chunk_w):
             # the full static-arg + input-shape signature _mask_output
             # compiles against — every distinct tuple is one XLA compile
-            mask_sigs.append((nr, n_pings, chunk_w, label_slab.shape,
+            mask_sigs.append((nr, n_pings, chunk_w, lab_fin.shape,
                               data_slab.shape))
-            return real_mask(stitched, label_slab, data_slab, sb_vec,
-                             row_cut, nr, n_pings, zarr_pad, chunk_w)
+            return real_mask(stitched, lab_fin, lab_zero, data_slab,
+                             sb_vec, row_cut, nr, n_pings, zarr_pad,
+                             chunk_w)
         runner._predict_patches = spy
         runner._mask_output = spy_mask
         out_dir = tmp_path / f"pred_{static}"

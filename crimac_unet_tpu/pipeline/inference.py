@@ -56,6 +56,33 @@ def _unpack_bits(packed, n_cols: int):
     return (bits.reshape(packed.shape[0], -1)[:, :n_cols]) != 0
 
 
+# transfer_dtype='uint8': dB codes per the [-75, 0] clip range.  code =
+# round((dB + 75) * 255/75); dequant = code * 75/255 - 75 (exact -75/0 at
+# the endpoints, <=75/255/2 = 0.147 dB quantization error between).
+DB_U8_SCALE = 255.0 / 75.0
+
+
+def _quantize_db_u8(x):
+    """Host-side dB transform + clip + 8-bit quantization
+    (transfer_dtype='uint8' serving mode).
+
+    Matches the device chain remove_nan_inf -> db_with_limits exactly for
+    non-finite sv (scrub to 0 -> dB(1e-10) = -100 -> clipped -75 -> code
+    0).  One documented divergence: NEGATIVE sv (possible in
+    noise-subtracted recordings) yields NaN through the exact chain's
+    log10 and propagates NaN into the network; uint8 codes cannot carry
+    NaN, so negatives clamp to code 0 (-75 dB) instead
+    (DIVERGENCES.md)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = (10.0 * np.log10(x + 1e-10)).astype(np.float32, copy=False)
+    np.clip(d, -75.0, 0.0, out=d)        # NaN survives clip ...
+    d = np.where(np.isfinite(d), d, -75.0)  # ... scrub it to the floor
+    d += 75.0
+    d *= DB_U8_SCALE
+    d += 0.5                             # round-half-up via the trunc cast
+    return d.astype(np.uint8)
+
+
 def _fill_hwc_slab(reader, frequencies, data_slab, slab_x0, slab_x1,
                    slab_y1, row_off, x_off):
     """Read survey columns [slab_x0, slab_x1) x rows [0, slab_y1) for all
@@ -101,11 +128,15 @@ class GriddedRunner:
         self.meta_channels = config.get("meta_channels") or None
         self.pipeline_depth = int(config.get("pipeline_depth", 3))
         # h2d slab quantization: 'bfloat16' (default; halves transfer
-        # bytes, <=0.02 dB data perturbation) or 'float32' (exact)
+        # bytes, <=0.02 dB data perturbation), 'float32' (exact), or
+        # 'uint8' (predict-only serving mode: the host applies the dB
+        # transform and ships 8-bit dB codes — 4x fewer data bytes than
+        # float32, <=0.147 dB perturbation, see DIVERGENCES.md)
         self.transfer_dtype = str(config.get("transfer_dtype", "bfloat16"))
-        if self.transfer_dtype not in ("bfloat16", "float32"):
-            raise ValueError(f"transfer_dtype must be 'bfloat16' or "
-                             f"'float32', got {self.transfer_dtype!r}")
+        if self.transfer_dtype not in ("bfloat16", "float32", "uint8"):
+            raise ValueError(f"transfer_dtype must be 'bfloat16', "
+                             f"'float32' or 'uint8', "
+                             f"got {self.transfer_dtype!r}")
         # 'patch' (default, bit-parity with the reference's window
         # formulation) or 'slab' (fully-convolutional whole-chunk
         # forward; faster, no per-patch padding artifacts — see
@@ -307,14 +338,21 @@ class GriddedRunner:
                                          (wh, ww, Cf))
         patches = jax.vmap(jax.vmap(gather))(y0r, x0r)  # (nb,B,wh,ww,C)
         patches = self._shard_nb(patches)
-        # slabs may arrive bfloat16 (halved h2d bytes); the dB transform
-        # and net input math run in float32 regardless
-        patches = patches.astype(jnp.float32)
-        patches = jnp.where(jnp.isfinite(patches), patches, 0.0)
-        if use_meta:  # metadata runs use the [0,1]-scaled dB transform
-            d = data_ops.db_with_limits_scaled(patches)
+        if patches.dtype == jnp.uint8:
+            # transfer_dtype='uint8': the slab arrives as host-computed dB
+            # codes (already scrubbed + clipped); dequantize only.  The
+            # scaled variant reduces to code/255 exactly.
+            d = patches.astype(jnp.float32) / 255.0 if use_meta \
+                else patches.astype(jnp.float32) / DB_U8_SCALE - 75.0
         else:
-            d = data_ops.db_with_limits(patches)
+            # slabs may arrive bfloat16 (halved h2d bytes); the dB
+            # transform and net input math run in float32 regardless
+            patches = patches.astype(jnp.float32)
+            patches = jnp.where(jnp.isfinite(patches), patches, 0.0)
+            if use_meta:  # metadata runs use the [0,1]-scaled dB transform
+                d = data_ops.db_with_limits_scaled(patches)
+            else:
+                d = data_ops.db_with_limits(patches)
         if border_zero:
             def gatherb(y0, x0):
                 return jax.lax.dynamic_slice(border_slab, (y0, x0), (wh, ww))
@@ -369,9 +407,12 @@ class GriddedRunner:
         n_dev = 1 if self.mesh is None else len(self.mesh.devices.ravel())
         H16 = _round_up(Hp, div)
         W16 = _round_up(Wp, div * n_dev)  # even per-device ping shards
-        x = data_slab.astype(jnp.float32)
-        x = jnp.where(jnp.isfinite(x), x, 0.0)
-        x = data_ops.db_with_limits(x)
+        if data_slab.dtype == jnp.uint8:  # pre-quantized dB codes
+            x = data_slab.astype(jnp.float32) / DB_U8_SCALE - 75.0
+        else:
+            x = data_slab.astype(jnp.float32)
+            x = jnp.where(jnp.isfinite(x), x, 0.0)
+            x = data_ops.db_with_limits(x)
         if border_zero:
             x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
         x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
@@ -391,7 +432,8 @@ class GriddedRunner:
     @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
                                        "zarr_pad", "chunk_w"))
     def _mask_output(self, stitched, lab_fin, lab_zero, data_slab, seabed,
-                     row_cut, n_range, n_pings, zarr_pad, chunk_w):
+                     row_cut, n_range, n_pings, zarr_pad, chunk_w,
+                     svf_packed=None):
         """Crop stitched grid output to chunk extent, apply write masks,
         emit float16 (the on-disk dtype).
 
@@ -438,9 +480,14 @@ class GriddedRunner:
         below = rows >= thresh
         o = self.overlap
         w2 = min(chunk_w, n_pings)
-        sv_fin = jnp.ones((n_range, n_pings), bool)
-        sv_fin = sv_fin.at[:, :w2].set(
-            jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
+        if svf_packed is not None and svf_packed.shape[0] > 0:
+            # transfer_dtype='uint8': sv codes cannot carry NaN, so the
+            # host packs channel-0 finiteness alongside the label bits
+            sv_fin = _unpack_bits(svf_packed, n_pings)
+        else:
+            sv_fin = jnp.ones((n_range, n_pings), bool)
+            sv_fin = sv_fin.at[:, :w2].set(
+                jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
         keep = (_unpack_bits(lab_fin, n_pings) & sv_fin
                 & ~(below & _unpack_bits(lab_zero, n_pings)))
         # row_cut (dynamic scalar): the per-chunk reference grid's bottom
@@ -888,11 +935,26 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # device (_unpack_bits); 16x fewer label bytes than bf16.
         runner.timer.start("h2d_dispatch")
         import ml_dtypes
-        xfer = np.dtype(runner.transfer_dtype) \
-            if runner.transfer_dtype != "bfloat16" else ml_dtypes.bfloat16
+        if runner.transfer_dtype == "uint8":
+            # serving mode: dB-transform + 8-bit-quantize on the host (4x
+            # fewer slab bytes than float32); channel-0 finiteness rides
+            # as a packed bitmask since uint8 codes cannot carry NaN
+            w2m = min(C * sw if static else w, C * sw)
+            svf = np.ones((nr, C * sw), bool)
+            svf[:, :w2m] = np.isfinite(data_slab[o:o + nr, o:o + w2m, 0])
+            svf_packed = np.packbits(svf, axis=1)
+            slab_xfer = _quantize_db_u8(data_slab)
+        else:
+            svf_packed = None
+            xfer = np.dtype(runner.transfer_dtype) \
+                if runner.transfer_dtype != "bfloat16" \
+                else ml_dtypes.bfloat16
+            slab_xfer = data_slab.astype(xfer)
         dev = dict(
-            data_slab=jax.device_put(data_slab.astype(xfer)),
+            data_slab=jax.device_put(slab_xfer),
             border_slab=jax.device_put(border_slab),
+            svf_packed=(None if svf_packed is None
+                        else jax.device_put(svf_packed)),
             lab_fin=jax.device_put(np.packbits(
                 np.isfinite(label_pad), axis=1)),
             lab_zero=jax.device_put(np.packbits(label_pad == 0, axis=1)),
@@ -943,7 +1005,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             out, keep_dev = runner._mask_output(
                 stitched, dev["lab_fin"], dev["lab_zero"], dev["data_slab"],
                 dev["sb_vec"], dev["row_cut"], nr, C * sw, is_zarr,
-                C * sw if static else w)
+                C * sw if static else w, dev["svf_packed"])
             runner.timer.stop("device_chunk")
             # start the d2h copy as soon as compute finishes (overlaps the
             # next chunk's device work; _drain only synchronizes).  The

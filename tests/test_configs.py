@@ -48,13 +48,17 @@ def test_serving_preset_differs_only_in_documented_keys():
     serving = load_yaml_config(CONFIGS / "config_serving.yaml")
     assert REFERENCE_KEYS <= set(serving)
     documented = {"infer_mode", "static_grid", "save_labels", "data_mode",
-                  "resume_writing"}
+                  "resume_writing", "transfer_dtype"}
     diff = {k for k in set(base) | set(serving)
             if base.get(k) != serving.get(k)}
     assert diff <= documented, diff - documented
     assert serving["infer_mode"] == "slab"
     assert serving["static_grid"] is True
     assert serving["save_labels"] is False
+    # serving ships 8-bit dB-code transfers (measured bound in
+    # DIVERGENCES.md / scripts/u8_bound.py); baseline stays bfloat16
+    assert serving["transfer_dtype"] == "uint8"
+    assert base["transfer_dtype"] == "bfloat16"
     # the tiling contract (and with it the measured |dF1| < 5e-6 bound
     # geometry) is unchanged
     assert serving["patch_size"] == base["patch_size"]

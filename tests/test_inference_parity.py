@@ -562,14 +562,15 @@ def test_static_grid_multi_reader_survey_one_program(tmp_path):
                         meta_slab, consts, R, C, border_zero, use_meta)
 
         def spy_mask(stitched, lab_fin, lab_zero, data_slab, sb_vec,
-                     row_cut, nr, n_pings, zarr_pad, chunk_w):
+                     row_cut, nr, n_pings, zarr_pad, chunk_w,
+                     svf_packed=None):
             # the full static-arg + input-shape signature _mask_output
             # compiles against — every distinct tuple is one XLA compile
             mask_sigs.append((nr, n_pings, chunk_w, lab_fin.shape,
                               data_slab.shape))
             return real_mask(stitched, lab_fin, lab_zero, data_slab,
                              sb_vec, row_cut, nr, n_pings, zarr_pad,
-                             chunk_w)
+                             chunk_w, svf_packed)
         runner._predict_patches = spy
         runner._mask_output = spy_mask
         out_dir = tmp_path / f"pred_{static}"
@@ -644,3 +645,86 @@ def test_static_grid_memmap_save_store(tmp_path):
     b = ZGroup.open(str(stores[True]))
     np.testing.assert_array_equal(a["annotation"][:], b["annotation"][:])
     np.testing.assert_array_equal(a["labels"][:], b["labels"][:])
+
+
+# ------------------------------------------- transfer_dtype='uint8' serving
+def test_quantize_db_u8_codes():
+    """Quantization law: code = round((clip(dB, -75, 0) + 75) * 255/75);
+    NaN/negative sv (no NaN in uint8) clamp to the -75 dB floor — matching
+    the exact chain's scrub-to-zero for NaN (DIVERGENCES.md for the
+    negative-sv case)."""
+    from crimac_unet_tpu.pipeline.inference import _quantize_db_u8
+
+    x = np.array([1e-3, 1.0, 0.0, np.nan, np.inf, -0.5, 1e-20],
+                 np.float32)
+    q = _quantize_db_u8(x)
+    assert q.dtype == np.uint8
+    # dB(1e-3) = -30 -> code 153; dB>=0 -> 255; 0/nan/-ve/tiny -> floor 0
+    np.testing.assert_array_equal(q, [153, 255, 0, 0, 255, 0, 0])
+    # dequant inverts to within half a step everywhere on finite inputs
+    rng = np.random.default_rng(3)
+    sv = rng.lognormal(np.log(1e-6), 3.0, size=4096).astype(np.float32)
+    d_true = np.clip(10 * np.log10(sv + 1e-10), -75, 0)
+    d_hat = _quantize_db_u8(sv).astype(np.float32) * (75 / 255) - 75
+    assert np.abs(d_hat - d_true).max() <= 75 / 255 / 2 + 1e-4
+
+
+def test_transfer_dtype_uint8_mode(tmp_path):
+    """transfer_dtype='uint8' (serving): write masks and exported labels
+    are IDENTICAL to the exact float32 transfer (the mask predicates ride
+    as host-packed bits in both), and probabilities move only by the
+    <=0.147 dB input quantization."""
+    import os
+
+    from crimac_unet_tpu.data.fixtures import (make_synthetic_echogram,
+                                               write_memmap_echogram)
+    from crimac_unet_tpu.data.memmap_reader import Echogram
+    from crimac_unet_tpu.data.preprocess import echograms_to_zarr_survey
+    from crimac_unet_tpu.models.unet import build_unet
+
+    rng = np.random.RandomState(13)
+    data, labels, heave, _ = make_synthetic_echogram(90, 130, rng)
+    data[10:22, 30:55, :] = np.nan      # a dead-zone hole: sv_fin bits
+    d = write_memmap_echogram(tmp_path / "memm",
+                              "2019843-D20190512-T101010", data, labels,
+                              heave)
+    ech = Echogram(d)
+    out = tmp_path / "zarr"
+    echograms_to_zarr_survey([ech], str(out), "S2019843")
+    reader = DataReaderZarr(str(out / "S2019843_sv.zarr"))
+
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    def run(td):
+        runner = GriddedRunner(model, v, dict(cfg, transfer_dtype=td))
+        return list(predict_reader(runner, reader, 70, save_labels=True))
+
+    exact, quant = run("float32"), run("uint8")
+    assert len(exact) == len(quant) > 1
+    saw_hole = False
+    for (s, e, p, l), (s2, e2, p2, l2) in zip(exact, quant):
+        assert (s, e) == (s2, e2)
+        # identical write masks -> identical exported labels
+        np.testing.assert_array_equal(l, l2)
+        keep_zero = (p == 0)
+        np.testing.assert_array_equal(keep_zero, p2 == 0)
+        # the NaN hole is excluded from the write in both modes
+        cols = np.arange(max(30, s), min(55, e)) - s
+        if len(cols):
+            assert (p[:, 10:22][:, :, cols] == 0).all()
+            assert (p2[:, 10:22][:, :, cols] == 0).all()
+            saw_hole = True
+        # probabilities: only the <=0.147 dB input quantization moves them
+        pd = np.abs(p.astype(np.float32) - p2.astype(np.float32))
+        assert pd.max() < 0.15, pd.max()
+        assert pd.mean() < 0.01, pd.mean()
+    assert saw_hole
+    # the mode rejects nothing else: meta/slab composition is exercised
+    # in their own suites; bad dtypes fail loudly
+    with pytest.raises(ValueError):
+        GriddedRunner(model, v, dict(cfg, transfer_dtype="int8"))

@@ -80,7 +80,9 @@ def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
                           threshold_freq_idx: int = -1,
                           threshold_lo: float = 1e-7,
                           threshold_hi: float = 1e-4,
-                          channels_last: bool = False) -> jnp.ndarray:
+                          channels_last: bool = False,
+                          threshold_mask: jnp.ndarray | None = None
+                          ) -> jnp.ndarray:
     """Inside labelled regions, mark pixels whose high-frequency sv falls
     outside [lo, hi] (after 7x7-disc binary closing of the in-threshold mask)
     as LABEL_REFINE_BOUNDARY_VAL (reference refine_label_boundary.py:24-104).
@@ -89,16 +91,24 @@ def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
     reference's crop-then-close (scipy zero border at the crop edge).
     Patches that are entirely boundary are passed through unchanged
     (the reference's empty-patch guard, :78-84).
+
+    ``threshold_mask`` (B, H, W bool), when given, replaces the
+    ``lo < data[threshold_freq] < hi`` term: quantized-transfer eval
+    (transfer_dtype bfloat16/uint8) computes the predicate on the host
+    from the exact float32 sv, so the label chain stays bit-identical to
+    the float32 path while the network-input slab ships quantized.
     """
     # (B, H, W) threshold channel; channels_last supports NHWC patch
     # batches (the TPU-preferred gather layout) without a relayout
-    d = data[..., threshold_freq_idx] if channels_last \
-        else data[:, threshold_freq_idx]
     valid = labels != LABEL_BOUNDARY_VAL
     any_valid = jnp.any(valid, axis=(1, 2), keepdims=True)
 
     crop_mask = _valid_bbox_mask(valid)
-    mask_threshold = ((labels > 0) & (d > threshold_lo) & (d < threshold_hi))
+    if threshold_mask is None:
+        d = data[..., threshold_freq_idx] if channels_last \
+            else data[:, threshold_freq_idx]
+        threshold_mask = (d > threshold_lo) & (d < threshold_hi)
+    mask_threshold = (labels > 0) & threshold_mask
     if use_pallas_morphology():
         from .pallas_morphology import binary_closing_pallas
         closed = binary_closing_pallas(mask_threshold, crop_mask)

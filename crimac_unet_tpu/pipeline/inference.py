@@ -507,11 +507,11 @@ class GriddedRunner:
 
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
-                                       "zarr_pad", "use_meta"))
+                                       "zarr_pad", "use_meta", "use_thr"))
     def _eval_patches(self, variables, hist, data_slab, label_slab, sb_pad,
-                      keep_slab, meta_slab, consts, y0s, x0s, patch_y0_data,
-                      col_valid, use_keep, border_zero, zarr_pad,
-                      use_meta=False):
+                      keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
+                      patch_y0_data, col_valid, use_keep, border_zero,
+                      zarr_pad, use_meta=False, use_thr=False):
         """Per-patch test label chain + forward + PR histogram update.
 
         label_slab is in the same padded grid coordinates as data_slab;
@@ -521,6 +521,12 @@ class GriddedRunner:
         the virtual pad columns appended to keep every column group the
         same compiled shape (their pixels are force-ignored — the reference
         grid has no such patches).
+
+        Under a quantized transfer (``use_thr``; transfer_dtype bfloat16 /
+        uint8) the refine threshold predicate rides in ``thr_slab`` (bool,
+        host-computed from the exact float32 sv), so the label chain stays
+        bit-identical to the float32 path — only the network input is
+        quantized (same contract as the predict path's bf16/uint8 slabs).
         """
         from ..constants import LABEL_IGNORE_VAL
         wh, ww = self.window
@@ -558,9 +564,15 @@ class GriddedRunner:
             # data BEFORE any transform (dataset.py:275-277, :404) — so
             # refine sees zeros, and remove_nan_inf never marks labels in
             # the eval paths
+            # is_u8: the slab holds host-computed dB codes (already
+            # scrubbed + clipped) — skip the finiteness scrub and swap the
+            # dB transform for the dequantization below, like the predict
+            # path (dtype is static at trace time)
+            is_u8 = data_slab.dtype == jnp.uint8
             data = self._shard(jax.vmap(gather3)(y0b, x0b)).astype(
                 jnp.float32)
-            data = jnp.where(jnp.isfinite(data), data, 0.0)
+            if not is_u8:
+                data = jnp.where(jnp.isfinite(data), data, 0.0)
             labels = jax.vmap(gather2, in_axes=(None, 0, 0))(
                 label_slab, y0b, x0b).astype(jnp.int32)
 
@@ -583,9 +595,16 @@ class GriddedRunner:
             # label test chain (transforms.py:78-92)
             lab = label_ops.convert_label_indexing(
                 labels, mark_unused_species=True)
+            thr = None
+            if use_thr:
+                # quantized transfer: the exact (float32-computed) refine
+                # threshold predicate rides as a host-built bool slab
+                thr = jax.vmap(gather2, in_axes=(None, 0, 0))(
+                    thr_slab, y0b, x0b) > 0
             lab = label_ops.refine_label_boundary(data, lab,
                                                   threshold_freq_idx=-1,
-                                                  channels_last=True)
+                                                  channels_last=True,
+                                                  threshold_mask=thr)
             lab = label_ops.mask_label_seabed(lab, sb_rows)
             lab = label_ops.mask_label_overlap(lab, self.overlap)
             if use_keep:
@@ -596,7 +615,12 @@ class GriddedRunner:
             # which would otherwise turn them into -1 negatives)
             lab = jnp.where(cvb[:, None, None] > 0, lab, LABEL_IGNORE_VAL)
 
-            if use_meta:
+            if is_u8:
+                # dequantize the dB codes; the scaled (meta) variant
+                # reduces to code/255 exactly
+                d = data / 255.0 if use_meta \
+                    else data / DB_U8_SCALE - 75.0
+            elif use_meta:
                 d = data_ops.db_with_limits_scaled(data)
             else:
                 d = data_ops.db_with_limits(data)
@@ -1369,17 +1393,30 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
                 np.tile(np.arange(j0, j1) * sw, R) - o, ww)
             meta_slab, consts = _build_meta_inputs(
                 runner, reader, Hp, Wp, -o, want_x0, centers_x)
+
+        # transfer_dtype quantization (same knob as the predict path).
+        # refine_label_boundary compares raw sv against the 1e-7/1e-4
+        # thresholds, and quantized rounding could flip pixels at the
+        # threshold edge — so under bfloat16/uint8 the exact predicate is
+        # computed HERE from the float32 sv and rides as a bool slab
+        # (thr_slab): the label chain stays bit-identical to float32 and
+        # only the network input quantizes (<=0.02 dB bf16 / <=0.147 dB u8).
+        thr_slab = np.zeros((1, 1), np.uint8)
+        if runner.transfer_dtype != "float32":
+            ch = data_slab[..., -1]  # threshold channel (200 kHz)
+            thr_slab = ((ch > 1e-7) & (ch < 1e-4)).astype(np.uint8)
+            if runner.transfer_dtype == "uint8":
+                data_slab = _quantize_db_u8(data_slab)
+            else:
+                import ml_dtypes
+                data_slab = data_slab.astype(ml_dtypes.bfloat16)
         runner.timer.stop("eval_host_slab")
         # h2d from the prefetch thread (device_put is async) so transfers
-        # overlap the previous group's device work.  Eval slabs stay
-        # float32: refine_label_boundary compares raw sv against the
-        # 1e-7/1e-4 thresholds and bf16 rounding could flip pixels at the
-        # threshold edge (the predict path ships bf16 because its masks
-        # only test finiteness).
+        # overlap the previous group's device work
         runner.timer.start("eval_h2d_dispatch")
         dev = tuple(jax.device_put(a) for a in (
-            data_slab, label_slab, sb_pad, keep_slab, meta_slab, consts,
-            y0s, x0s, patch_y0_data, col_valid))
+            data_slab, label_slab, sb_pad, keep_slab, thr_slab, meta_slab,
+            consts, y0s, x0s, patch_y0_data, col_valid))
         runner.timer.stop("eval_h2d_dispatch")
         return dev
 
@@ -1400,17 +1437,19 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         hist_host = np.zeros((2, metrics.N_F16_BINS), np.int64)
         hist_host += np.asarray(hist).astype(np.int64)  # incoming carry
         pending_hist = None
+        use_thr = runner.transfer_dtype != "float32"
         for idx, _ in enumerate(it):
-            (data_slab, label_slab, sb_pad, keep_slab, meta_slab, consts,
-             y0s, x0s, patch_y0_data, col_valid) = fut.result()
+            (data_slab, label_slab, sb_pad, keep_slab, thr_slab, meta_slab,
+             consts, y0s, x0s, patch_y0_data, col_valid) = fut.result()
             if idx + 1 < len(col_groups):
                 fut = executor.submit(prepare, *col_groups[idx + 1])
             runner.timer.start("eval_device_chunk")
             group_hist = runner._eval_patches(
                 runner.variables,
                 metrics.new_histogram(), data_slab, label_slab, sb_pad,
-                keep_slab, meta_slab, consts, y0s, x0s, patch_y0_data,
-                col_valid, use_keep, border_zero, is_zarr, runner.use_meta)
+                keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
+                patch_y0_data, col_valid, use_keep, border_zero, is_zarr,
+                runner.use_meta, use_thr)
             runner.timer.stop("eval_device_chunk")
             # drain one group behind so the d2h overlaps the next group
             if pending_hist is not None:

@@ -274,3 +274,68 @@ def test_static_grid_multi_reader_eval_exact(tmp_path, eval_mode):
     for k in dyn_curve:
         np.testing.assert_array_equal(np.asarray(dyn_curve[k]),
                                       np.asarray(sta_curve[k]))
+
+
+# --------------------------------------- transfer_dtype-quantized evaluation
+@pytest.mark.parametrize("td", ["bfloat16", "uint8"])
+def test_eval_quantized_transfer_label_chain_bit_exact(setup, td):
+    """Under a quantized h2d transfer (bfloat16/uint8) the eval label chain
+    must stay BIT-IDENTICAL to float32: the refine threshold predicate is
+    computed on the host from the exact float32 sv and rides as a bool slab
+    (thr_slab).  Proof: with a constant-output model (all params zeroed ->
+    uniform softmax) the PR histogram is a pure function of the label
+    chain — so bit-equal histograms across transfer dtypes mean bit-equal
+    labels at every scored pixel."""
+    reader, _, _ = setup
+    cfg = {"patch_size": [WH, WW], "patch_overlap": OVERLAP,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8}
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    v = model.init(jax.random.PRNGKey(7),
+                   jnp.zeros((1, WH, WW, 4), jnp.float32), train=False)
+    # zero every parameter (keep the BN stats): the head's kernel AND bias
+    # are zero, so logits == 0 -> softmax == 1/3 at every pixel regardless
+    # of the input
+    zeroed = dict(v, params=jax.tree_util.tree_map(jnp.zeros_like,
+                                                   v["params"]))
+
+    def hist_for(dtype):
+        r = GriddedRunner(model, zeroed, dict(cfg, transfer_dtype=dtype))
+        return np.asarray(evaluate_reader(
+            r, reader, metrics.new_histogram(), eval_mode="all",
+            chunk_cols=3))
+
+    h_exact = hist_for("float32")
+    h_quant = hist_for(td)
+    assert h_exact.sum() > 0
+    np.testing.assert_array_equal(h_exact, h_quant)
+
+
+@pytest.mark.parametrize("td", ["bfloat16", "uint8"])
+def test_eval_quantized_transfer_metric_bound(setup, td):
+    """With a real (random-init) model, quantized transfers keep the exact
+    valid-pixel selection/class split (label chain unchanged) and move the
+    PR metrics only through the bounded input perturbation
+    (<=0.02 dB bf16 / <=0.147 dB uint8)."""
+    reader, _, _ = setup
+    cfg = {"patch_size": [WH, WW], "patch_overlap": OVERLAP,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8}
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    v = model.init(jax.random.PRNGKey(5),
+                   jnp.zeros((1, WH, WW, 4), jnp.float32), train=False)
+
+    def curve_for(dtype):
+        r = GriddedRunner(model, v, dict(cfg, transfer_dtype=dtype))
+        h = np.asarray(evaluate_reader(
+            r, reader, metrics.new_histogram(), eval_mode="all",
+            chunk_cols=3))
+        return h, metrics.max_f1(metrics.pr_curve_from_histogram(h))[0]
+
+    h32, f32_f1 = curve_for("float32")
+    hq, q_f1 = curve_for(td)
+    # label-chain invariants are exact: same scored-pixel count and the
+    # same positive-class split
+    assert hq.sum() == h32.sum()
+    assert hq[0].sum() == h32[0].sum()
+    # the quantized network input moves F1 only within the measured-bound
+    # envelope (test fixture is tiny; keep a generous but meaningful cap)
+    assert abs(q_f1 - f32_f1) < 0.02, (q_f1, f32_f1)

@@ -211,3 +211,21 @@ def test_add_noise_statistics():
     assert vals.min() >= 0.0 and vals.max() <= 10.0
     # roughly half increased, half decreased
     assert 0.4 < (vals > 1.0).mean() < 0.6
+
+
+@pytest.mark.parametrize("boundary", ["none", "frame"])
+def test_refine_label_boundary_threshold_mask(rng, boundary):
+    """The host-precomputed threshold predicate (quantized-transfer eval)
+    must reproduce the data-threshold path bit-for-bit, and must be honored
+    even when the data argument carries garbage (uint8 transfers ship dB
+    codes, not raw sv)."""
+    cases = [_random_refine_case(rng, boundary=boundary) for _ in range(4)]
+    data = jnp.asarray(np.stack([c[0] for c in cases]))
+    labels = jnp.asarray(np.stack([c[1] for c in cases]))
+    want = np.asarray(label_ops.refine_label_boundary(data, labels))
+
+    d = np.asarray(data)[:, -1]  # threshold channel, layout (B, C, H, W)
+    thr = jnp.asarray((d > 1e-7) & (d < 1e-4))
+    got = np.asarray(label_ops.refine_label_boundary(
+        jnp.zeros_like(data), labels, threshold_mask=thr))
+    np.testing.assert_array_equal(got, want)

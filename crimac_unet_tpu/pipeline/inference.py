@@ -83,6 +83,27 @@ def _quantize_db_u8(x):
     return d.astype(np.uint8)
 
 
+def _convert_labels_host(labels):
+    """Host mirror of ops.label_ops.convert_label_indexing(...,
+    mark_unused_species=True) — elementwise and therefore exact: raw
+    species codes {0, 27, 1} -> {0, 1, 2}, other positive codes ->
+    LABEL_UNUSED_SPECIES, everything else (sentinels, NaN) ->
+    LABEL_IGNORE_VAL.  Quantized-transfer eval converts the label slab
+    here and ships int8 (4x fewer label bytes than float32; every
+    converted value fits int8); equality with the device op is pinned in
+    tests/test_eval_parity.py."""
+    from ..constants import (BACKGROUND, LABEL_IGNORE_VAL,
+                             LABEL_UNUSED_SPECIES, OTHER, RAW_OTHER,
+                             RAW_SANDEEL, SANDEEL)
+    out = np.full(labels.shape, LABEL_IGNORE_VAL, np.int8)
+    out[labels == 0] = BACKGROUND
+    out[labels == RAW_SANDEEL] = SANDEEL
+    out[labels == RAW_OTHER] = OTHER
+    unused = (labels > 0) & (labels != RAW_SANDEEL) & (labels != RAW_OTHER)
+    out[unused] = LABEL_UNUSED_SPECIES
+    return out
+
+
 def _fill_hwc_slab(reader, frequencies, data_slab, slab_x0, slab_x1,
                    slab_y1, row_off, x_off):
     """Read survey columns [slab_x0, slab_x1) x rows [0, slab_y1) for all
@@ -592,9 +613,14 @@ class GriddedRunner:
             sb_rows = jnp.clip(sb_rows, -(10 ** 6), BIG_ROW).astype(
                 jnp.int32)
 
-            # label test chain (transforms.py:78-92)
-            lab = label_ops.convert_label_indexing(
-                labels, mark_unused_species=True)
+            # label test chain (transforms.py:78-92).  int8 label slabs
+            # arrive ALREADY converted on the host (_convert_labels_host,
+            # quantized-transfer eval) — elementwise mapping, bit-exact
+            if label_slab.dtype == jnp.int8:
+                lab = labels
+            else:
+                lab = label_ops.convert_label_indexing(
+                    labels, mark_unused_species=True)
             thr = None
             if use_thr:
                 # quantized transfer: the exact (float32-computed) refine
@@ -1405,6 +1431,9 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         if runner.transfer_dtype != "float32":
             ch = data_slab[..., -1]  # threshold channel (200 kHz)
             thr_slab = ((ch > 1e-7) & (ch < 1e-4)).astype(np.uint8)
+            # labels ship pre-converted int8 (4x fewer bytes; elementwise
+            # mapping so the chain stays bit-exact — _convert_labels_host)
+            label_slab = _convert_labels_host(label_slab)
             if runner.transfer_dtype == "uint8":
                 data_slab = _quantize_db_u8(data_slab)
             else:

@@ -339,3 +339,26 @@ def test_eval_quantized_transfer_metric_bound(setup, td):
     # the quantized network input moves F1 only within the measured-bound
     # envelope (test fixture is tiny; keep a generous but meaningful cap)
     assert abs(q_f1 - f32_f1) < 0.02, (q_f1, f32_f1)
+
+
+def test_host_label_convert_matches_device_op():
+    """_convert_labels_host (quantized-transfer eval ships pre-converted
+    int8 labels) must equal ops.label_ops.convert_label_indexing with
+    mark_unused_species=True on every input class, including NaN (which
+    the device path never sees converted: zarr slabs are nan_to_num'd to
+    BOUNDARY first — host maps NaN to IGNORE, the same value)."""
+    from crimac_unet_tpu.ops import label_ops
+    from crimac_unet_tpu.pipeline.inference import _convert_labels_host
+
+    rng = np.random.default_rng(11)
+    raw = rng.choice([0.0, 27.0, 1.0, 6009.0, 5027.0, -100.0, -50.0, 2.5],
+                     size=(3, 40, 50)).astype(np.float32)
+    got = _convert_labels_host(raw)
+    assert got.dtype == np.int8
+    want = np.asarray(label_ops.convert_label_indexing(
+        jnp.asarray(raw.astype(np.int32)), mark_unused_species=True))
+    np.testing.assert_array_equal(got.astype(np.int32), want)
+    # NaN -> IGNORE (== what BOUNDARY-filled zarr slabs would carry)
+    nan_in = np.array([[np.nan, 27.0]], np.float32)
+    np.testing.assert_array_equal(_convert_labels_host(nan_in),
+                                  [[LABEL_IGNORE_VAL, 1]])

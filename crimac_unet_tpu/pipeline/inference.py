@@ -84,22 +84,32 @@ def _quantize_db_u8(x):
 
 
 def _convert_labels_host(labels):
-    """Host mirror of ops.label_ops.convert_label_indexing(...,
-    mark_unused_species=True) — elementwise and therefore exact: raw
-    species codes {0, 27, 1} -> {0, 1, 2}, other positive codes ->
-    LABEL_UNUSED_SPECIES, everything else (sentinels, NaN) ->
-    LABEL_IGNORE_VAL.  Quantized-transfer eval converts the label slab
-    here and ships int8 (4x fewer label bytes than float32; every
-    converted value fits int8); equality with the device op is pinned in
+    """Host mirror of the device label-conversion step: the float32 eval
+    path casts the gathered label patch ``astype(int32)`` (truncation)
+    and then applies ops.label_ops.convert_label_indexing(...,
+    mark_unused_species=True) — raw species codes {0, 27, 1} -> {0, 1, 2},
+    other positive codes -> LABEL_UNUSED_SPECIES, the rest ->
+    LABEL_IGNORE_VAL.  This mirrors BOTH steps exactly (incl. the
+    truncation of fractional codes: 27.5 -> 27 -> SANDEEL, -0.5 -> 0 ->
+    BACKGROUND); non-finite values — undefined through an int32 cast —
+    map deterministically to LABEL_IGNORE_VAL (zarr slabs are
+    nan_to_num'd to BOUNDARY == IGNORE before reaching here anyway).
+    Quantized-transfer eval converts the label slab here and ships int8
+    (4x fewer label bytes than float32; every converted value fits
+    int8); equality with the device chain is pinned in
     tests/test_eval_parity.py."""
     from ..constants import (BACKGROUND, LABEL_IGNORE_VAL,
                              LABEL_UNUSED_SPECIES, OTHER, RAW_OTHER,
                              RAW_SANDEEL, SANDEEL)
-    out = np.full(labels.shape, LABEL_IGNORE_VAL, np.int8)
-    out[labels == 0] = BACKGROUND
-    out[labels == RAW_SANDEEL] = SANDEEL
-    out[labels == RAW_OTHER] = OTHER
-    unused = (labels > 0) & (labels != RAW_SANDEEL) & (labels != RAW_OTHER)
+    if np.issubdtype(labels.dtype, np.floating):
+        labels = np.where(np.isfinite(labels), labels,
+                          float(LABEL_IGNORE_VAL))
+    li = labels.astype(np.int32)  # device-equal truncation
+    out = np.full(li.shape, LABEL_IGNORE_VAL, np.int8)
+    out[li == 0] = BACKGROUND
+    out[li == RAW_SANDEEL] = SANDEEL
+    out[li == RAW_OTHER] = OTHER
+    unused = (li > 0) & (li != RAW_SANDEEL) & (li != RAW_OTHER)
     out[unused] = LABEL_UNUSED_SPECIES
     return out
 
@@ -528,11 +538,11 @@ class GriddedRunner:
 
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
-                                       "zarr_pad", "use_meta", "use_thr"))
+                                       "zarr_pad", "use_meta"))
     def _eval_patches(self, variables, hist, data_slab, label_slab, sb_pad,
                       keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
                       patch_y0_data, col_valid, use_keep, border_zero,
-                      zarr_pad, use_meta=False, use_thr=False):
+                      zarr_pad, use_meta=False):
         """Per-patch test label chain + forward + PR histogram update.
 
         label_slab is in the same padded grid coordinates as data_slab;
@@ -543,11 +553,13 @@ class GriddedRunner:
         same compiled shape (their pixels are force-ignored — the reference
         grid has no such patches).
 
-        Under a quantized transfer (``use_thr``; transfer_dtype bfloat16 /
-        uint8) the refine threshold predicate rides in ``thr_slab`` (bool,
-        host-computed from the exact float32 sv), so the label chain stays
-        bit-identical to the float32 path — only the network input is
-        quantized (same contract as the predict path's bf16/uint8 slabs).
+        Under a quantized transfer (transfer_dtype bfloat16/uint8 — the
+        label slab arrives pre-converted int8, which is the trace-static
+        signal) the refine threshold predicate rides in ``thr_slab``
+        (np.packbits rows, host-computed from the exact float32 sv), so
+        the label chain stays bit-identical to the float32 path — only
+        the network input is quantized (same contract as the predict
+        path's bf16/uint8 slabs and packed write-mask predicates).
         """
         from ..constants import LABEL_IGNORE_VAL
         wh, ww = self.window
@@ -578,6 +590,19 @@ class GriddedRunner:
 
         def gather2(slab, y0, x0):
             return jax.lax.dynamic_slice(slab, (y0, x0), (wh, ww))
+
+        # quantized transfer (pre-converted int8 label slab is the
+        # trace-static signal): unpack the packed refine-threshold
+        # predicate rows ONCE per column group (8x fewer h2d bytes than a
+        # byte-per-pixel slab); patches then gather from the bool slab
+        use_thr = label_slab.dtype == jnp.int8
+        if use_thr:
+            if thr_slab.shape[0] <= 1:
+                raise ValueError(
+                    "int8 (pre-converted) label slab without a threshold "
+                    "predicate slab — quantized-transfer eval must ship "
+                    "both (pipeline bug)")
+            thr_bool = _unpack_bits(thr_slab, data_slab.shape[1])
 
         def body(hist, inp):
             y0b, x0b, py0b, cvb, consts_b = inp
@@ -624,9 +649,9 @@ class GriddedRunner:
             thr = None
             if use_thr:
                 # quantized transfer: the exact (float32-computed) refine
-                # threshold predicate rides as a host-built bool slab
+                # threshold predicate, gathered from the unpacked bit rows
                 thr = jax.vmap(gather2, in_axes=(None, 0, 0))(
-                    thr_slab, y0b, x0b) > 0
+                    thr_bool, y0b, x0b)
             lab = label_ops.refine_label_boundary(data, lab,
                                                   threshold_freq_idx=-1,
                                                   channels_last=True,
@@ -1430,9 +1455,11 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         thr_slab = np.zeros((1, 1), np.uint8)
         if runner.transfer_dtype != "float32":
             ch = data_slab[..., -1]  # threshold channel (200 kHz)
-            thr_slab = ((ch > 1e-7) & (ch < 1e-4)).astype(np.uint8)
-            # labels ship pre-converted int8 (4x fewer bytes; elementwise
-            # mapping so the chain stays bit-exact — _convert_labels_host)
+            # packed rows: 8x fewer h2d bytes than a byte-per-pixel slab
+            # (unpacked once on device, _eval_patches)
+            thr_slab = np.packbits((ch > 1e-7) & (ch < 1e-4), axis=1)
+            # labels ship pre-converted int8 (4x fewer bytes; the mapping
+            # mirrors the device chain exactly — _convert_labels_host)
             label_slab = _convert_labels_host(label_slab)
             if runner.transfer_dtype == "uint8":
                 data_slab = _quantize_db_u8(data_slab)
@@ -1466,7 +1493,6 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         hist_host = np.zeros((2, metrics.N_F16_BINS), np.int64)
         hist_host += np.asarray(hist).astype(np.int64)  # incoming carry
         pending_hist = None
-        use_thr = runner.transfer_dtype != "float32"
         for idx, _ in enumerate(it):
             (data_slab, label_slab, sb_pad, keep_slab, thr_slab, meta_slab,
              consts, y0s, x0s, patch_y0_data, col_valid) = fut.result()
@@ -1478,7 +1504,7 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
                 metrics.new_histogram(), data_slab, label_slab, sb_pad,
                 keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
                 patch_y0_data, col_valid, use_keep, border_zero, is_zarr,
-                runner.use_meta, use_thr)
+                runner.use_meta)
             runner.timer.stop("eval_device_chunk")
             # drain one group behind so the d2h overlaps the next group
             if pending_hist is not None:

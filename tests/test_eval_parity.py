@@ -351,7 +351,11 @@ def test_host_label_convert_matches_device_op():
     from crimac_unet_tpu.pipeline.inference import _convert_labels_host
 
     rng = np.random.default_rng(11)
-    raw = rng.choice([0.0, 27.0, 1.0, 6009.0, 5027.0, -100.0, -50.0, 2.5],
+    # fractional codes included: the device path truncates via
+    # astype(int32) BEFORE comparing (27.5 -> SANDEEL, 0.5/-0.5 ->
+    # BACKGROUND), and the host must mirror that truncation exactly
+    raw = rng.choice([0.0, 27.0, 1.0, 6009.0, 5027.0, -100.0, -50.0,
+                      2.5, 27.5, 0.5, -0.5, 1.9],
                      size=(3, 40, 50)).astype(np.float32)
     got = _convert_labels_host(raw)
     assert got.dtype == np.int8

@@ -235,6 +235,23 @@ def run_ours(sv_path):
             extras["eval_pings_per_sec"] = round(N_PINGS / eval_dt, 1)
             print(f"# eval (all mode): {extras['eval_pings_per_sec']} "
                   "pings/s", file=sys.stderr)
+            # serving-style eval: uint8 dB-code slabs + packed threshold
+            # predicate + int8 labels — the label chain is bit-exact vs
+            # float32 (tests/test_eval_parity.py); fastest e2e path
+            # measured (BASELINE.md quantized-transfer eval)
+            u8_runner = GriddedRunner(model, variables,
+                                      dict(config, transfer_dtype="uint8"))
+            evaluate_reader(u8_runner, reader, M.new_histogram())  # compile
+            t0 = time.time()
+            hist8 = evaluate_reader(u8_runner, reader, M.new_histogram())
+            if not np.array_equal(
+                    np.asarray(hist8).sum(), np.asarray(hist).sum()):
+                raise RuntimeError("u8 eval scored-pixel count diverged")
+            extras["eval_u8_pings_per_sec"] = round(
+                N_PINGS / (time.time() - t0), 1)
+            print(f"# eval (all mode, uint8 transfer): "
+                  f"{extras['eval_u8_pings_per_sec']} pings/s",
+                  file=sys.stderr)
         except Exception as exc:
             print(f"# eval bench skipped: {exc}", file=sys.stderr)
 

@@ -239,3 +239,49 @@ def test_slab_mode_ping_axis_sharding_parity(tmp_path):
         s, e, pred, _ = next(iter(predict_reader(runner, reader, 200)))
         outs[n_dev] = np.asarray(pred, np.float32)
     np.testing.assert_allclose(outs[1], outs[8], atol=2e-5)
+
+
+def test_sharded_quantized_transfer_matches_single_device(tmp_path):
+    """transfer_dtype='uint8' (serving) over the 8-device mesh: the
+    quantized predict path (dB-code slabs, packed sv-finiteness bits) and
+    the quantized eval path (packed refine predicate, int8 labels) must
+    match their single-device outputs — write masks bit-equal, probs
+    within the f16/conv-partitioning wobble, eval histograms bit-equal
+    (the label chain is device-count-independent)."""
+    from crimac_unet_tpu.ops import metrics as M
+    from crimac_unet_tpu.pipeline.inference import evaluate_reader
+
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=60, W=160,
+                          seed=34)
+    reader = DataReaderZarr(sv)
+    model = UNet(n_classes=3, depth=2, start_filts=4)
+    x = jnp.zeros((1, 32, 32, 4), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    base = {"patch_size": [32, 32], "patch_overlap": 4,
+            "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+            "transfer_dtype": "uint8"}
+
+    r1 = GriddedRunner(model, variables, dict(base, mesh_devices=1))
+    r8 = GriddedRunner(model, variables, dict(base, mesh_devices=8))
+    assert r8.mesh is not None
+
+    out1 = {s: o for s, e, o, _ in predict_reader(r1, reader, 80)}
+    out8 = {s: o for s, e, o, _ in predict_reader(r8, reader, 80)}
+    assert out1.keys() == out8.keys() and out1
+    for s in out1:
+        np.testing.assert_allclose(
+            out1[s].astype(np.float32), out8[s].astype(np.float32),
+            atol=2e-3)
+        np.testing.assert_array_equal(out1[s] != 0, out8[s] != 0)
+
+    h1 = np.asarray(evaluate_reader(r1, reader, M.new_histogram()))
+    h8 = np.asarray(evaluate_reader(r8, reader, M.new_histogram()))
+    assert h1.sum() > 0
+    # scored pixels and class split are exactly device-count-independent;
+    # histogram bins can wobble by f16 ulps from conv partitioning, so
+    # compare the invariants exactly and the F1 tightly
+    assert h8.sum() == h1.sum()
+    assert h8[0].sum() == h1[0].sum()
+    f1_1 = M.max_f1(M.pr_curve_from_histogram(h1))[0]
+    f1_8 = M.max_f1(M.pr_curve_from_histogram(h8))[0]
+    assert abs(f1_8 - f1_1) < 5e-3, (f1_1, f1_8)

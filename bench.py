@@ -251,8 +251,7 @@ def run_ours(sv_path):
                                         M.new_histogram())
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            if not np.array_equal(
-                    np.asarray(hist8).sum(), np.asarray(hist).sum()):
+            if int(np.asarray(hist8).sum()) != int(np.asarray(hist).sum()):
                 raise RuntimeError("u8 eval scored-pixel count diverged")
             extras["eval_u8_pings_per_sec"] = round(N_PINGS / best, 1)
             print(f"# eval (all mode, uint8 transfer): "

@@ -24,6 +24,13 @@ from .morphology import DISC_7X7, binary_closing
 
 BIG_ROW = 10 ** 8  # "no seabed in this column" sentinel for seabed vectors
 
+# refine_label_boundary's raw-sv acceptance band (reference
+# refine_label_boundary.py:24: 200 kHz sv inside (lo, hi) keeps the
+# label).  Shared with the host-side predicate builder for
+# quantized-transfer eval (pipeline/inference.py) so the two can't drift.
+REFINE_THRESHOLD_LO = 1e-7
+REFINE_THRESHOLD_HI = 1e-4
+
 # None = auto (Pallas kernel on TPU, XLA convs elsewhere); set True/False to
 # force an implementation. The scipy-oracle tests exercise whichever
 # backend the platform selects (conv on the CPU suite, Pallas under
@@ -78,8 +85,8 @@ def _valid_bbox_mask(valid: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("threshold_freq_idx", "channels_last"))
 def refine_label_boundary(data: jnp.ndarray, labels: jnp.ndarray,
                           threshold_freq_idx: int = -1,
-                          threshold_lo: float = 1e-7,
-                          threshold_hi: float = 1e-4,
+                          threshold_lo: float = REFINE_THRESHOLD_LO,
+                          threshold_hi: float = REFINE_THRESHOLD_HI,
                           channels_last: bool = False,
                           threshold_mask: jnp.ndarray | None = None
                           ) -> jnp.ndarray:

@@ -83,6 +83,23 @@ def _quantize_db_u8(x):
     return d.astype(np.uint8)
 
 
+def _net_db_input(x, use_meta: bool):
+    """Device-side network-input transform shared by the predict (patch +
+    slab) and eval paths so the three cannot drift: uint8 arrays hold
+    host-computed dB codes (_quantize_db_u8 — dequantize only; the scaled
+    meta variant reduces to code/255 exactly), anything else holds raw sv
+    (scrub non-finite to 0, then db_with_limits[_scaled]).  dtype is
+    static at trace time, so each jit program compiles exactly one
+    branch."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32)
+        return x / 255.0 if use_meta else x / DB_U8_SCALE - 75.0
+    x = x.astype(jnp.float32)
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    return data_ops.db_with_limits_scaled(x) if use_meta \
+        else data_ops.db_with_limits(x)
+
+
 def _convert_labels_host(labels):
     """Host mirror of the device label-conversion step: the float32 eval
     path casts the gathered label patch ``astype(int32)`` (truncation)
@@ -369,21 +386,10 @@ class GriddedRunner:
                                          (wh, ww, Cf))
         patches = jax.vmap(jax.vmap(gather))(y0r, x0r)  # (nb,B,wh,ww,C)
         patches = self._shard_nb(patches)
-        if patches.dtype == jnp.uint8:
-            # transfer_dtype='uint8': the slab arrives as host-computed dB
-            # codes (already scrubbed + clipped); dequantize only.  The
-            # scaled variant reduces to code/255 exactly.
-            d = patches.astype(jnp.float32) / 255.0 if use_meta \
-                else patches.astype(jnp.float32) / DB_U8_SCALE - 75.0
-        else:
-            # slabs may arrive bfloat16 (halved h2d bytes); the dB
-            # transform and net input math run in float32 regardless
-            patches = patches.astype(jnp.float32)
-            patches = jnp.where(jnp.isfinite(patches), patches, 0.0)
-            if use_meta:  # metadata runs use the [0,1]-scaled dB transform
-                d = data_ops.db_with_limits_scaled(patches)
-            else:
-                d = data_ops.db_with_limits(patches)
+        # uint8 slabs hold host-computed dB codes (dequantize only);
+        # f32/bf16 slabs hold raw sv (scrub + dB transform in float32) —
+        # ONE shared transform with the slab-predict and eval paths
+        d = _net_db_input(patches, use_meta)
         if border_zero:
             def gatherb(y0, x0):
                 return jax.lax.dynamic_slice(border_slab, (y0, x0), (wh, ww))
@@ -438,12 +444,7 @@ class GriddedRunner:
         n_dev = 1 if self.mesh is None else len(self.mesh.devices.ravel())
         H16 = _round_up(Hp, div)
         W16 = _round_up(Wp, div * n_dev)  # even per-device ping shards
-        if data_slab.dtype == jnp.uint8:  # pre-quantized dB codes
-            x = data_slab.astype(jnp.float32) / DB_U8_SCALE - 75.0
-        else:
-            x = data_slab.astype(jnp.float32)
-            x = jnp.where(jnp.isfinite(x), x, 0.0)
-            x = data_ops.db_with_limits(x)
+        x = _net_db_input(data_slab, use_meta=False)
         if border_zero:
             x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
         x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
@@ -606,18 +607,15 @@ class GriddedRunner:
 
         def body(hist, inp):
             y0b, x0b, py0b, cvb, consts_b = inp
-            # eval reads crops through get_crop_* which scrub non-finite
-            # data BEFORE any transform (dataset.py:275-277, :404) — so
-            # refine sees zeros, and remove_nan_inf never marks labels in
-            # the eval paths
-            # is_u8: the slab holds host-computed dB codes (already
-            # scrubbed + clipped) — skip the finiteness scrub and swap the
-            # dB transform for the dequantization below, like the predict
-            # path (dtype is static at trace time)
-            is_u8 = data_slab.dtype == jnp.uint8
-            data = self._shard(jax.vmap(gather3)(y0b, x0b)).astype(
-                jnp.float32)
-            if not is_u8:
+            data = self._shard(jax.vmap(gather3)(y0b, x0b))
+            if not use_thr:
+                # float32 (exact) mode: refine consumes the scrubbed raw
+                # sv directly — eval reads crops through get_crop_* which
+                # scrub non-finite data BEFORE any transform
+                # (dataset.py:275-277, :404), so refine sees zeros and
+                # remove_nan_inf never marks labels in the eval paths.
+                # (Quantized modes ship the refine predicate in thr_slab
+                # instead, and _net_db_input scrubs for the network.)
                 data = jnp.where(jnp.isfinite(data), data, 0.0)
             labels = jax.vmap(gather2, in_axes=(None, 0, 0))(
                 label_slab, y0b, x0b).astype(jnp.int32)
@@ -638,20 +636,19 @@ class GriddedRunner:
             sb_rows = jnp.clip(sb_rows, -(10 ** 6), BIG_ROW).astype(
                 jnp.int32)
 
-            # label test chain (transforms.py:78-92).  int8 label slabs
-            # arrive ALREADY converted on the host (_convert_labels_host,
-            # quantized-transfer eval) — elementwise mapping, bit-exact
-            if label_slab.dtype == jnp.int8:
+            # label test chain (transforms.py:78-92).  Quantized transfer
+            # (use_thr): labels arrive ALREADY converted int8 on the host
+            # (_convert_labels_host — elementwise mapping, bit-exact) and
+            # the exact (float32-computed) refine threshold predicate is
+            # gathered from the unpacked bit rows
+            thr = None
+            if use_thr:
                 lab = labels
+                thr = jax.vmap(gather2, in_axes=(None, 0, 0))(
+                    thr_bool, y0b, x0b)
             else:
                 lab = label_ops.convert_label_indexing(
                     labels, mark_unused_species=True)
-            thr = None
-            if use_thr:
-                # quantized transfer: the exact (float32-computed) refine
-                # threshold predicate, gathered from the unpacked bit rows
-                thr = jax.vmap(gather2, in_axes=(None, 0, 0))(
-                    thr_bool, y0b, x0b)
             lab = label_ops.refine_label_boundary(data, lab,
                                                   threshold_freq_idx=-1,
                                                   channels_last=True,
@@ -666,15 +663,7 @@ class GriddedRunner:
             # which would otherwise turn them into -1 negatives)
             lab = jnp.where(cvb[:, None, None] > 0, lab, LABEL_IGNORE_VAL)
 
-            if is_u8:
-                # dequantize the dB codes; the scaled (meta) variant
-                # reduces to code/255 exactly
-                d = data / 255.0 if use_meta \
-                    else data / DB_U8_SCALE - 75.0
-            elif use_meta:
-                d = data_ops.db_with_limits_scaled(data)
-            else:
-                d = data_ops.db_with_limits(data)
+            d = _net_db_input(data, use_meta)
             if border_zero:
                 d = data_ops.set_data_border_value(d, lab,
                                                    channels_last=True)
@@ -1454,10 +1443,13 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         # only the network input quantizes (<=0.02 dB bf16 / <=0.147 dB u8).
         thr_slab = np.zeros((1, 1), np.uint8)
         if runner.transfer_dtype != "float32":
+            from ..ops.label_ops import (REFINE_THRESHOLD_HI,
+                                         REFINE_THRESHOLD_LO)
             ch = data_slab[..., -1]  # threshold channel (200 kHz)
             # packed rows: 8x fewer h2d bytes than a byte-per-pixel slab
             # (unpacked once on device, _eval_patches)
-            thr_slab = np.packbits((ch > 1e-7) & (ch < 1e-4), axis=1)
+            thr_slab = np.packbits((ch > REFINE_THRESHOLD_LO)
+                                   & (ch < REFINE_THRESHOLD_HI), axis=1)
             # labels ship pre-converted int8 (4x fewer bytes; the mapping
             # mirrors the device chain exactly — _convert_labels_host)
             label_slab = _convert_labels_host(label_slab)

@@ -12,18 +12,18 @@ and run it on TPU or CPU with no flax, no model source, and no
 checkpoint parsing, and the batch dimension is symbolic so one artifact
 serves any batch size.
 
-Input contract: raw (not dB) sv patches, NHWC float32,
-``(batch, *patch_size, len(frequencies))``, frequency channels in
-ascending order (the reader contract).  Output: float32 softmax
+Input contract: NHWC patches ``(batch, *patch_size,
+len(frequencies))``, frequency channels in ascending order (the reader
+contract); the input DTYPE follows the config's ``transfer_dtype`` —
+float32 raw sv (export default: exact), bfloat16 raw sv (the live
+runner's default h2d quantization, <=0.02 dB), or uint8 host-computed
+dB codes (the serving preset; quantize with
+``pipeline.inference._quantize_db_u8``).  Output: float32 softmax
 probabilities ``(batch, *patch_size, 3)`` — the same program as
 ``make_serving_forward`` (bit-equal, tests/test_export.py) and
 ``GriddedRunner``'s patch forward up to float reassociation in the
 runner's ``lax.map``/sharding wrapper (assert_allclose atol=2e-7 in the
-same tests).  Two pipeline differences: (1) the production runner
-quantizes raw sv slabs to bfloat16 at host->device transfer by default
-(``transfer_dtype``, <=0.02 dB perturbation) — the artifact consumes the
-float32 you feed it; pre-cast through bfloat16 to replicate production
-output exactly; (2) memm-format surveys additionally zero dB-space
+same tests).  One pipeline difference: memm-format surveys zero dB-space
 pixels outside the data extent between the dB transform and the net
 (``border_zero``, inference.py) — the artifact cannot reproduce that
 (the mask is patch-position knowledge it does not receive), so it
@@ -36,7 +36,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import data_ops
 
 # artifact header: identifies the format and pins the calling convention
 # we wrote, so a loader failure is a clear error instead of a
@@ -47,11 +46,16 @@ _MAGIC = b"CRIMACX1"
 def make_serving_forward(model, variables, config):
     """(fn, folded_variables): the serving forward closed over nothing.
 
-    ``fn(variables, x)`` maps raw sv NHWC patches to softmax
+    ``fn(variables, x)`` maps NHWC input patches to softmax
     probabilities with the exact predict-path semantics
-    (pipeline/inference.py: slab scrub + db_with_limits + folded-BN
-    eval forward + softmax).  BN is folded unless the model already
-    runs bare convs or ``fold_bn: false``.
+    (pipeline/inference.py ``_net_db_input``: raw-sv inputs are scrubbed
+    and dB-transformed; uint8 inputs — ``transfer_dtype: uint8``, the
+    serving preset — are host-computed dB codes and only dequantize) +
+    folded-BN eval forward + softmax.  BN is folded unless the model
+    already runs bare convs or ``fold_bn: false``.  The artifact's input
+    dtype follows ``transfer_dtype`` (see :func:`_export_input_dtype`),
+    so a deployment host feeds the exported program exactly what the
+    live GriddedRunner would put on device.
     """
     # mirror the runner's gate (inference.py: get_in_channels(...) > 0):
     # an all-false meta_channels dict is a plain no-meta model and must
@@ -69,12 +73,27 @@ def make_serving_forward(model, variables, config):
     model, folded = fold_for_serving(model, variables, config)
 
     def fn(variables, x):
-        x = jnp.where(jnp.isfinite(x), x, 0.0)   # slab scrub (data side)
-        x = data_ops.db_with_limits(x)
-        logits = model.apply(variables, x, train=False)
+        # ONE shared input transform with the live predict/eval paths
+        # (scrub + dB for raw sv; dequantize for uint8 dB codes)
+        from .inference import _net_db_input
+        d = _net_db_input(x, use_meta=False)
+        logits = model.apply(variables, d, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     return fn, folded
+
+
+def _export_input_dtype(config):
+    """Artifact input dtype from ``transfer_dtype`` — float32 (exact,
+    default for export), bfloat16 (the live default h2d quantization), or
+    uint8 (the serving preset's host-computed dB codes)."""
+    td = str(config.get("transfer_dtype", "float32"))
+    table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "uint8": jnp.uint8}
+    if td not in table:
+        raise ValueError(f"transfer_dtype must be one of {sorted(table)}, "
+                         f"got {td!r}")
+    return table[td]
 
 
 def export_predictor(model, variables, config, *, batch=None,
@@ -96,7 +115,8 @@ def export_predictor(model, variables, config, *, batch=None,
         (b,) = jexport.symbolic_shape("b")
     else:
         b = int(batch)
-    x_spec = jax.ShapeDtypeStruct((b, wh, ww, n_ch), jnp.float32)
+    x_spec = jax.ShapeDtypeStruct((b, wh, ww, n_ch),
+                                  _export_input_dtype(config))
     return _export(fn, folded, x_spec, platforms)
 
 
@@ -122,7 +142,8 @@ def export_slab_predictor(model, variables, config, *, platforms=None):
                   - 1)
     n_ch = len(config["frequencies"])
     b, h, w = jexport.symbolic_shape(f"b, {align}*h, {align}*w")
-    x_spec = jax.ShapeDtypeStruct((b, h, w, n_ch), jnp.float32)
+    x_spec = jax.ShapeDtypeStruct((b, h, w, n_ch),
+                                  _export_input_dtype(config))
     return _export(fn, folded, x_spec, platforms)
 
 

@@ -299,3 +299,69 @@ def test_cross_platform_export_lowers_for_tpu(model_and_vars, tmp_path):
     save_exported(exported, path)
     out = np.asarray(load_predictor(path)(_raw_patches(2)))
     assert out.shape == (2, 32, 32, 3) and np.isfinite(out).all()
+
+
+# --------------------------------------------- quantized-input artifacts
+def test_uint8_artifact_matches_live_quantized_path(model_and_vars,
+                                                    tmp_path):
+    """transfer_dtype: uint8 exports an artifact whose input is the
+    serving preset's host-computed dB codes — BIT-EQUAL to the live
+    runner's dequant forward on the same codes, and within the
+    quantization envelope of the exact float32 artifact."""
+    from crimac_unet_tpu.pipeline.inference import _quantize_db_u8
+
+    model, variables = model_and_vars
+    cfg8 = dict(CFG, transfer_dtype="uint8")
+    fn, folded = make_serving_forward(model, variables, cfg8)
+    path = tmp_path / "unet_u8.stablehlo"
+    save_exported(export_predictor(model, variables, cfg8), path)
+    predict = load_predictor(path)
+
+    raw = _raw_patches(3)
+    codes = _quantize_db_u8(raw)
+    assert codes.dtype == np.uint8
+    got = np.asarray(predict(codes))
+    want = np.asarray(jax.jit(lambda x: fn(folded, x))(codes))
+    np.testing.assert_array_equal(got, want)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+
+    # float32 inputs must be rejected by the artifact's calling convention
+    with pytest.raises(Exception):
+        predict(raw)
+
+    # vs the exact float32 artifact: only the <=0.147 dB input
+    # quantization moves the probabilities
+    save_exported(export_predictor(model, variables, CFG),
+                  tmp_path / "unet_f32.stablehlo")
+    exact = np.asarray(load_predictor(tmp_path / "unet_f32.stablehlo")(raw))
+    assert np.abs(got - exact).mean() < 0.02
+
+
+def test_bfloat16_artifact_input_dtype(model_and_vars, tmp_path):
+    """transfer_dtype: bfloat16 (the live runner default) exports a
+    bf16-input artifact reproducing the live bf16 h2d path."""
+    import ml_dtypes
+
+    model, variables = model_and_vars
+    cfgb = dict(CFG, transfer_dtype="bfloat16")
+    path = tmp_path / "unet_bf16.stablehlo"
+    save_exported(export_predictor(model, variables, cfgb), path)
+    predict = load_predictor(path)
+    xb = _raw_patches(2).astype(ml_dtypes.bfloat16)
+    out = np.asarray(predict(xb))
+    assert out.shape == (2, 32, 32, 3) and np.isfinite(out).all()
+
+    # and the exported program equals the f32 artifact fed pre-cast
+    # inputs (the documented replicate-production recipe)
+    save_exported(export_predictor(model, variables, CFG),
+                  tmp_path / "unet_f32b.stablehlo")
+    f32 = load_predictor(tmp_path / "unet_f32b.stablehlo")
+    want = np.asarray(f32(xb.astype(np.float32)))
+    np.testing.assert_array_equal(out, want)
+
+
+def test_export_rejects_bad_transfer_dtype(model_and_vars):
+    model, variables = model_and_vars
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        export_predictor(model, variables, dict(CFG, transfer_dtype="int8"))

@@ -6,9 +6,14 @@ Demonstrates the recommended serving configuration (README "Inference"):
     (~1.7x over patch windows when device-bound, end-metric-identical
     with trained weights, BASELINE.md r3);
   * BatchNorm folded into the convs (default at inference);
-  * bf16 h2d transfers + bf16 MXU compute;
+  * ``transfer_dtype: uint8`` — host-side dB transform, 8-bit codes on
+    the h2d slab (4x fewer bytes than float32; measured |dF1| 0.0011
+    at this preset, BASELINE.md) + bf16 MXU compute;
   * on a multi-chip mesh the slab forward runs sequence-parallel over
     the survey's ping axis automatically (mesh_devices).
+
+For the AOT variant of this story (artifact on a bare-jax host) see
+``example_aot_deployment.py``.
 
 Run (synthesizes a small survey; substitute your own store + checkpoint):
   python -m crimac_unet_tpu.examples.example_production_serving
@@ -43,6 +48,7 @@ def main():
             "fwd_batch": 32,
             "compute_dtype": "bfloat16",
             "infer_mode": "slab",               # production serving mode
+            "transfer_dtype": "uint8",          # 8-bit dB-code h2d slabs
             "mesh_devices": 1,                  # 0 = all visible chips
         }
         model = build_unet(cfg)
@@ -103,15 +109,21 @@ def main():
         # for whole chunks of any geometry.
         from ..pipeline.export import (export_slab_predictor,
                                        load_predictor, save_exported)
+        # The artifact's input dtype follows transfer_dtype — with this
+        # config (uint8) the host feeds dB codes, exactly what the live
+        # runner ships (see example_aot_deployment.py for the full
+        # bare-host walkthrough).
+        from ..pipeline.inference import _quantize_db_u8
         exported = export_slab_predictor(model, variables, cfg)
         save_exported(exported, f"{tmp}/unet_slab.stablehlo")
         predict = load_predictor(f"{tmp}/unet_slab.stablehlo")
-        raw = jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
-                                        (1, 128, 320, 4))) * 1e-5
-        probs = predict(raw)
+        import numpy as np
+        raw = np.abs(np.random.RandomState(1).standard_normal(
+            (1, 128, 320, 4)).astype(np.float32)) * 1e-5
+        probs = predict(_quantize_db_u8(raw))
         print(f"AOT slab artifact: unet_slab.stablehlo -> probs "
-              f"{probs.shape} (symbolic chunk dims, platforms "
-              f"{list(exported.platforms)})")
+              f"{probs.shape} (symbolic chunk dims, uint8 dB-code "
+              f"input, platforms {list(exported.platforms)})")
 
 
 if __name__ == "__main__":

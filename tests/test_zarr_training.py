@@ -31,7 +31,8 @@ def test_zarr_mode_training(tmp_path):
 
 
 def test_examples_run(capsys):
-    from crimac_unet_tpu.examples import (example_ek60_onboarding,
+    from crimac_unet_tpu.examples import (example_aot_deployment,
+                                          example_ek60_onboarding,
                                           example_production_serving,
                                           example_samplers,
                                           example_zarr_reader)
@@ -40,9 +41,13 @@ def test_examples_run(capsys):
     example_zarr_reader.main([])
     example_samplers.main()
     example_production_serving.main()
+    probs = example_aot_deployment.main()
+    assert probs.shape[-1] == 3
     out = capsys.readouterr().out
     assert "Survey:" in out and "Batch:" in out
     assert "annotation (2, " in out and "export_for_reference" in out
+    assert "fewer\nbytes than float32" in out.replace("  ", " ") \
+        or "fewer bytes than float32" in out
 
 
 def test_batch_prefetcher_surfaces_worker_crash():

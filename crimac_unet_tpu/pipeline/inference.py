@@ -67,15 +67,17 @@ def _quantize_db_u8(x):
     (transfer_dtype='uint8' serving mode).
 
     Matches the device chain remove_nan_inf -> db_with_limits exactly for
-    non-finite sv (scrub to 0 -> dB(1e-10) = -100 -> clipped -75 -> code
-    0).  One documented divergence: NEGATIVE sv (possible in
-    noise-subtracted recordings) yields NaN through the exact chain's
-    log10 and propagates NaN into the network; uint8 codes cannot carry
-    NaN, so negatives clamp to code 0 (-75 dB) instead
-    (DIVERGENCES.md)."""
+    non-finite sv: scrub to 0 FIRST (like the device's isfinite scrub —
+    doing it after the log would let +inf slip through the clip as 0 dB
+    full-signal), then dB(1e-10) = -100 -> clipped -75 -> code 0.  One
+    documented divergence: NEGATIVE sv (possible in noise-subtracted
+    recordings) yields NaN through the exact chain's log10 and propagates
+    NaN into the network; uint8 codes cannot carry NaN, so negatives
+    clamp to code 0 (-75 dB) instead (DIVERGENCES.md)."""
+    x = np.where(np.isfinite(x), x, np.float32(0.0))
     with np.errstate(invalid="ignore", divide="ignore"):
         d = (10.0 * np.log10(x + 1e-10)).astype(np.float32, copy=False)
-    np.clip(d, -75.0, 0.0, out=d)        # NaN survives clip ...
+    np.clip(d, -75.0, 0.0, out=d)        # negatives' NaN survives clip ...
     d = np.where(np.isfinite(d), d, -75.0)  # ... scrub it to the floor
     d += 75.0
     d *= DB_U8_SCALE
@@ -177,9 +179,10 @@ class GriddedRunner:
         self.pipeline_depth = int(config.get("pipeline_depth", 3))
         # h2d slab quantization: 'bfloat16' (default; halves transfer
         # bytes, <=0.02 dB data perturbation), 'float32' (exact), or
-        # 'uint8' (predict-only serving mode: the host applies the dB
-        # transform and ships 8-bit dB codes — 4x fewer data bytes than
-        # float32, <=0.147 dB perturbation, see DIVERGENCES.md)
+        # 'uint8' (serving mode, predict AND eval: the host applies the
+        # dB transform and ships 8-bit dB codes — 4x fewer data bytes
+        # than float32, <=0.147 dB perturbation; the eval label chain
+        # stays bit-exact via host-packed predicates, DIVERGENCES.md)
         self.transfer_dtype = str(config.get("transfer_dtype", "bfloat16"))
         if self.transfer_dtype not in ("bfloat16", "float32", "uint8"):
             raise ValueError(f"transfer_dtype must be 'bfloat16', "

@@ -659,8 +659,10 @@ def test_quantize_db_u8_codes():
                  np.float32)
     q = _quantize_db_u8(x)
     assert q.dtype == np.uint8
-    # dB(1e-3) = -30 -> code 153; dB>=0 -> 255; 0/nan/-ve/tiny -> floor 0
-    np.testing.assert_array_equal(q, [153, 255, 0, 0, 255, 0, 0])
+    # dB(1e-3) = -30 -> code 153; dB>=0 -> 255; 0/nan/INF/-ve/tiny ->
+    # floor 0 (non-finite scrubs to 0 BEFORE the log, exactly like the
+    # device chain's remove_nan_inf — +inf must not ride the clip to 0 dB)
+    np.testing.assert_array_equal(q, [153, 255, 0, 0, 0, 0, 0])
     # dequant inverts to within half a step everywhere on finite inputs
     rng = np.random.default_rng(3)
     sv = rng.lognormal(np.log(1e-6), 3.0, size=4096).astype(np.float32)

@@ -8,7 +8,13 @@ wall, pings/s, peak host RSS and the per-phase timers.  Round-2 measured
 three-pass host slab assembly; this re-measures with the native
 decode+scatter path and the slab mode.
 
-  python scripts/soak50k.py [patch|slab]
+  python scripts/soak50k.py [patch|slab|eval]
+
+``eval`` streams evaluate_reader (full test label chain + PR histogram,
+no zarr writes) instead of predict; optional second arg picks the
+transfer dtype (default uint8 — the fastest measured eval path):
+
+  python scripts/soak50k.py eval [uint8|bfloat16|float32]
 """
 
 import os
@@ -59,10 +65,14 @@ def main():
 
     sv = ensure_fixture()
     reader = DataReaderZarr(sv)
+    is_eval = mode == "eval"
+    td = (sys.argv[2] if len(sys.argv) > 2 else "uint8") if is_eval \
+        else "bfloat16"
     cfg = {"patch_size": [256, 256], "patch_overlap": 20,
            "frequencies": [18, 38, 120, 200], "fwd_batch": 32,
            "depth": 5, "start_filts": 64, "compute_dtype": "bfloat16",
-           "infer_mode": mode}
+           "infer_mode": "patch" if is_eval else mode,
+           "transfer_dtype": td}
     model = build_unet(cfg)
     variables = jax.jit(lambda k: model.init(
         k, jnp.zeros((1, 256, 256, 4)), train=False))(
@@ -71,13 +81,23 @@ def main():
         warnings.simplefilter("ignore")
         runner = GriddedRunner(model, variables, cfg)
 
-    out = f"/tmp/soak50k/pred_{mode}.zarr"
     t0 = time.time()
-    save_survey_predictions_zarr(runner, reader, out,
-                                 preload_n_pings=1000, progress=False)
+    if is_eval:
+        import numpy as np
+
+        from crimac_unet_tpu.ops import metrics as M
+        from crimac_unet_tpu.pipeline.inference import evaluate_reader
+        hist = np.asarray(evaluate_reader(runner, reader,
+                                          M.new_histogram()))
+        tag = f"eval/{td}: scored {hist.sum():.3e} px"
+    else:
+        out = f"/tmp/soak50k/pred_{mode}.zarr"
+        save_survey_predictions_zarr(runner, reader, out,
+                                     preload_n_pings=1000, progress=False)
+        tag = f"mode={mode}"
     wall = time.time() - t0
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    print(f"soak mode={mode}: {wall:.1f}s  "
+    print(f"soak {tag}: {wall:.1f}s  "
           f"{N_PINGS / wall:.0f} pings/s  peak RSS {rss_gb:.2f} GB",
           flush=True)
     for name, st in sorted(runner.timer.summary().items()):

@@ -189,8 +189,10 @@ def run_ours(sv_path):
             print(f"# slab-mode bench skipped: {exc}", file=sys.stderr)
 
     # serving preset (config_serving.yaml): slab + uint8 dB-code transfer
-    # — 4x fewer slab h2d bytes than float32; accuracy bound measured
-    # with trained weights in scripts/u8_bound.py (BASELINE.md)
+    # + uint8 probability codes back — 4x fewer h2d slab bytes than
+    # float32 and half the d2h bytes; accuracy bounds measured with
+    # trained weights in scripts/u8_bound.py (BASELINE.md: serving_out_u8
+    # |dF1| = 0.0 vs f16 outputs at the same preset)
     serve_ok = (time.time() - _SCRIPT_T0) < float(
         os.environ.get("BENCH_SLAB_BUDGET_S", "900")) + 300
     if os.environ.get("BENCH_SERVING", "1") != "0" and serve_ok:
@@ -200,7 +202,8 @@ def run_ours(sv_path):
                 warnings.simplefilter("ignore")
                 srv_runner = GriddedRunner(
                     model, variables, dict(config, infer_mode="slab",
-                                           transfer_dtype="uint8"))
+                                           transfer_dtype="uint8",
+                                           output_dtype="uint8"))
             srv_out = Path(__file__).resolve().parent / ".bench_cache" \
                 / "pred_srv.zarr"
             save_survey_predictions_zarr(srv_runner, reader, str(srv_out),

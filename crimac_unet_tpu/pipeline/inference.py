@@ -61,6 +61,12 @@ def _unpack_bits(packed, n_cols: int):
 # the endpoints, <=75/255/2 = 0.147 dB quantization error between).
 DB_U8_SCALE = 255.0 / 75.0
 
+# output_dtype='uint8' d2h codes: code -> float16(code / 255), the value
+# written to the prediction store.  One 256-entry table keeps the
+# dequantization a single fancy-index on the host drain path.
+_U8_PROB_DEQUANT = (np.arange(256, dtype=np.float32)
+                    / np.float32(255.0)).astype(np.float16)
+
 
 def _quantize_db_u8(x):
     """Host-side dB transform + clip + 8-bit quantization
@@ -188,6 +194,19 @@ class GriddedRunner:
             raise ValueError(f"transfer_dtype must be 'bfloat16', "
                              f"'float32' or 'uint8', "
                              f"got {self.transfer_dtype!r}")
+        # d2h probability quantization: 'float16' (default — the exact
+        # on-disk dtype comes back from the device) or 'uint8' (serving
+        # mode: the device emits codes round(p * 255) and the host
+        # dequantizes to float16 before the zarr write — halves d2h
+        # bytes, |dprob| <= 1/510 + f16 rounding; pixels the f16 path
+        # stores as subnormal-tiny probabilities land on code 0, so the
+        # stored zero set grows by p < 1/510 pixels.  The write MASK
+        # itself is unchanged — save_labels uses the device keep mask,
+        # not `pred != 0`.)  See DIVERGENCES.md "uint8 output codes".
+        self.output_dtype = str(config.get("output_dtype", "float16"))
+        if self.output_dtype not in ("float16", "uint8"):
+            raise ValueError(f"output_dtype must be 'float16' or 'uint8', "
+                             f"got {self.output_dtype!r}")
         # 'patch' (default, bit-parity with the reference's window
         # formulation) or 'slab' (fully-convolutional whole-chunk
         # forward; faster, no per-patch padding artifacts — see
@@ -538,7 +557,14 @@ class GriddedRunner:
         # the host misclassifies kept pixels whose f16 probabilities
         # underflow to 0 (review finding r3); it is only transferred
         # when labels are exported
-        return img.transpose(2, 0, 1).astype(jnp.float16), keep
+        out = img.transpose(2, 0, 1)
+        if self.output_dtype == "uint8":
+            # d2h quantization: codes round(p * 255); softmax outputs are
+            # finite in [0, 1] so the round-then-cast is exact, and masked
+            # pixels (0.0) map to code 0.  The host dequantizes with the
+            # shared _U8_PROB_DEQUANT table before the zarr write.
+            return jnp.round(out * 255.0).astype(jnp.uint8), keep
+        return out.astype(jnp.float16), keep
 
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
@@ -866,6 +892,10 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # below is identically zero); rebuild full range on the host —
         # cuts d2h bytes by the below-grid fraction (large for deep surveys)
         part = np.asarray(dev_out)[:, :, :e0 - s0]
+        if part.dtype == np.uint8:
+            # output_dtype='uint8': dequantize the d2h codes to the f16
+            # store values (code 0 -> 0.0, so masked pixels stay 0)
+            part = _U8_PROB_DEQUANT[part]
         host = np.zeros((2, n_range, e0 - s0), np.float16)
         # static_grid multi-reader surveys: the device buffer may carry
         # survey-max pad rows below this reader's range; they are

@@ -65,6 +65,10 @@ def main():
         "exact_f32": dict(cfg, transfer_dtype="float32"),
         "patch_u8": dict(cfg, transfer_dtype="uint8"),
         "serving_u8": dict(cfg, transfer_dtype="uint8", infer_mode="slab"),
+        # + d2h probability quantization (output_dtype: uint8): codes
+        # round(p*255) come back instead of f16 maps (half the d2h bytes)
+        "serving_out_u8": dict(cfg, transfer_dtype="uint8",
+                               infer_mode="slab", output_dtype="uint8"),
     }
     outp = {}
     for name, mcfg in modes.items():
@@ -95,7 +99,7 @@ def main():
         return float(f1.max())
 
     res = {"ckpt": args.ckpt, "f1_exact_f32": round(f1_of(base), 5)}
-    for name in ("patch_u8", "serving_u8"):
+    for name in ("patch_u8", "serving_u8", "serving_out_u8"):
         arr = outp[name]
         diff = np.abs(base - arr)[written]
         res[name] = {
@@ -106,6 +110,18 @@ def main():
             "f1": round(f1_of(arr), 5),
             "abs_dF1": round(abs(f1_of(arr) - res["f1_exact_f32"]), 5),
         }
+    # isolate the OUTPUT quantization alone: vs the same serving combo
+    # with f16 outputs it must obey |d| <= 1/510 (+ f16 rounding), and
+    # the stored zero set may grow only by p < 1/510 pixels
+    a, b = outp["serving_u8"], outp["serving_out_u8"]
+    extra_zero = (b == 0) & (a != 0)
+    res["output_u8_isolated"] = {
+        "max_abs_dprob": float(np.abs(a - b).max()),
+        "n_extra_zero": int(extra_zero.sum()),
+        "max_p_at_extra_zero": float(a[extra_zero].max())
+        if extra_zero.any() else 0.0,
+        "abs_dF1_vs_serving_u8": round(abs(f1_of(b) - f1_of(a)), 5),
+    }
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     log(json.dumps(res))

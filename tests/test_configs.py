@@ -48,27 +48,56 @@ def test_serving_preset_differs_only_in_documented_keys():
     serving = load_yaml_config(CONFIGS / "config_serving.yaml")
     assert REFERENCE_KEYS <= set(serving)
     documented = {"infer_mode", "static_grid", "save_labels", "data_mode",
-                  "resume_writing", "transfer_dtype"}
+                  "resume_writing", "transfer_dtype", "output_dtype"}
     diff = {k for k in set(base) | set(serving)
             if base.get(k) != serving.get(k)}
     assert diff <= documented, diff - documented
     assert serving["infer_mode"] == "slab"
     assert serving["static_grid"] is True
     assert serving["save_labels"] is False
-    # serving ships 8-bit dB-code transfers (measured bound in
-    # DIVERGENCES.md / scripts/u8_bound.py); baseline stays bfloat16
+    # serving ships 8-bit dB-code transfers AND 8-bit probability codes
+    # back (measured bounds in DIVERGENCES.md / scripts/u8_bound.py);
+    # baseline stays bfloat16 in / float16 out
     assert serving["transfer_dtype"] == "uint8"
+    assert serving["output_dtype"] == "uint8"
     assert base["transfer_dtype"] == "bfloat16"
+    assert base["output_dtype"] == "float16"
     # the tiling contract (and with it the measured |dF1| < 5e-6 bound
     # geometry) is unchanged
     assert serving["patch_size"] == base["patch_size"]
     assert serving["patch_overlap"] == base["patch_overlap"]
 
 
+def test_fast_train_preset_is_the_rescaled_reference_recipe():
+    """config_fast_train.yaml: the reference recipe at batch 16 with the
+    IDENTICAL sample budget and proportionally rescaled schedule (measured
+    F1-parity 1.66x wall win, scripts/fast_recipe.py / BASELINE.md r3).
+    Every invariant of the rescaling is asserted so the preset cannot
+    drift into a different training semantics silently."""
+    base = load_yaml_config(CONFIGS / "config_baseline.yaml")
+    fast = load_yaml_config(CONFIGS / "config_fast_train.yaml")
+    assert REFERENCE_KEYS <= set(fast)
+    documented = {"batch_size", "lr", "iterations", "lr_step", "log_step",
+                  "test_iter"}
+    diff = {k for k in set(base) | set(fast) if base.get(k) != fast.get(k)}
+    assert diff <= documented, diff - documented
+    scale = fast["batch_size"] // base["batch_size"]
+    assert scale == 4
+    # equal sample budget, equal decay-per-sample, same validation
+    # cadence and pixel count, linear LR scaling
+    assert fast["iterations"] * fast["batch_size"] == \
+        base["iterations"] * base["batch_size"]
+    assert fast["lr_step"] * scale == base["lr_step"]
+    assert fast["log_step"] * scale == base["log_step"]
+    assert fast["test_iter"] * scale == base["test_iter"]
+    assert fast["lr"] == base["lr"] * scale
+
+
 def test_yaml_roundtrip_keys_are_plain_scalars():
     """Presets must survive yaml.safe_load/safe_dump untouched (the CLI
     writes merged configs back out for experiment provenance)."""
-    for name in ("config_baseline.yaml", "config_serving.yaml"):
+    for name in ("config_baseline.yaml", "config_serving.yaml",
+                 "config_fast_train.yaml"):
         cfg = load_yaml_config(CONFIGS / name)
         again = yaml.safe_load(yaml.safe_dump(cfg))
         assert again == cfg, name

@@ -730,3 +730,55 @@ def test_transfer_dtype_uint8_mode(tmp_path):
     # in their own suites; bad dtypes fail loudly
     with pytest.raises(ValueError):
         GriddedRunner(model, v, dict(cfg, transfer_dtype="int8"))
+
+
+def test_output_dtype_uint8(tmp_path):
+    """output_dtype='uint8' (serving d2h quantization): stored values are
+    float16(round(p * 255) / 255), the stored zero set only grows by
+    kept pixels with p < 1/510 (codes rounding to 0), the exported labels
+    (device keep mask, not `pred != 0`) are IDENTICAL, and the law holds
+    in both infer modes."""
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey as _mks
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import _U8_PROB_DEQUANT
+
+    sv = _mks(tmp_path, year=2018, n_echograms=1, H=70, W=140, seed=23,
+              n_schools=3)
+    reader = DataReaderZarr(sv)
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4, "transfer_dtype": "float32"}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    for mode in ("patch", "slab"):
+        def run(od):
+            runner = GriddedRunner(model, v, dict(
+                cfg, infer_mode=mode, output_dtype=od))
+            return list(predict_reader(runner, reader, 60,
+                                       save_labels=True))
+
+        exact, quant = run("float16"), run("uint8")
+        assert len(exact) == len(quant) > 1
+        for (s, e, p, l), (s2, e2, p2, l2) in zip(exact, quant):
+            assert (s2, e2) == (s, e)
+            assert p2.dtype == np.float16
+            # labels ride the device keep mask: identical under
+            # output quantization
+            np.testing.assert_array_equal(l, l2)
+            # every stored value is on the 256-entry dequant lattice
+            assert np.isin(p2, _U8_PROB_DEQUANT).all()
+            # quantization law: |p - round(p*255)/255| <= 1/510 (+ f16
+            # rounding of both representations)
+            diff = np.abs(p.astype(np.float32) - p2.astype(np.float32))
+            assert diff.max() <= 0.5 / 255 + 1e-3, diff.max()
+            # zero set: masked pixels stay zero; it may only GROW, and
+            # only by pixels whose probability rounds to code 0
+            assert (p2[p == 0] == 0).all()
+            extra = (p2 == 0) & (p != 0)
+            if extra.any():
+                assert p.astype(np.float32)[extra].max() < 0.5 / 255 + 1e-3
+
+    with pytest.raises(ValueError):
+        GriddedRunner(model, v, dict(cfg, output_dtype="int8"))

@@ -15,7 +15,10 @@ no model source, no checkpoint parsing:
   * serving side: ``load_predictor(path)`` + the 10-line uint8 quantizer
     (``_quantize_db_u8``'s documented law: round((clip(dB,-75,0)+75)*255/75))
     — 4x fewer input bytes than float32, outputs bit-equal to the live
-    GriddedRunner dequant path (tests/test_export.py).
+    GriddedRunner dequant path (tests/test_export.py).  With
+    ``output_dtype: uint8`` the artifact also RETURNS 8-bit codes
+    (round(p*255); dequant = code/255) — half the output bytes, the
+    measured-|dF1|-free serving quantization (BASELINE.md).
 
 Run (synthesizes everything; substitute your own checkpoint + stores):
   python -m crimac_unet_tpu.examples.example_aot_deployment
@@ -43,6 +46,9 @@ def main():
         "compute_dtype": "bfloat16",
         "infer_mode": "slab",             # whole-chunk forward
         "transfer_dtype": "uint8",        # serving preset: dB-code input
+        "output_dtype": "uint8",          # serving preset: round(p*255)
+                                          # codes out (half the bytes;
+                                          # dequant = code/255)
     }
     model = build_unet(cfg)
     variables = model.init(jax.random.PRNGKey(0),
@@ -67,10 +73,12 @@ def main():
         sv_chunk[0, 10:14, 30:50, :] = np.nan     # dropouts ride as code 0
 
         codes = _quantize_db_u8(sv_chunk)         # the whole host-side prep
-        probs = np.asarray(predict(codes))
+        out = np.asarray(predict(codes))          # uint8 probability codes
+        assert out.dtype == np.uint8
+        probs = out.astype(np.float32) / 255.0    # the dequant contract
         assert probs.shape == (1, 128, 256, 3)
         assert np.isfinite(probs).all()
-        assert np.allclose(probs.sum(-1), 1.0, atol=1e-3)
+        assert np.allclose(probs.sum(-1), 1.0, atol=2 / 255 + 1e-3)
         print(f"served chunk {sv_chunk.shape} as {codes.nbytes / 1e3:.0f} kB "
               f"of uint8 codes ({sv_chunk.nbytes / codes.nbytes:.0f}x fewer "
               f"bytes than float32); sandeel prob range "

@@ -19,7 +19,11 @@ float32 raw sv (export default: exact), bfloat16 raw sv (the live
 runner's default h2d quantization, <=0.02 dB), or uint8 host-computed
 dB codes (the serving preset; quantize with
 ``pipeline.inference._quantize_db_u8``).  Output: float32 softmax
-probabilities ``(batch, *patch_size, 3)`` — the same program as
+probabilities ``(batch, *patch_size, 3)``, or — with ``output_dtype:
+uint8`` (the serving preset's d2h quantization) — uint8 codes
+``round(p * 255)`` of the same shape (dequantize with ``code / 255``;
+|dprob| <= 1/510, DIVERGENCES.md "uint8 output codes") — the same
+program as
 ``make_serving_forward`` (bit-equal, tests/test_export.py) and
 ``GriddedRunner``'s patch forward up to float reassociation in the
 runner's ``lax.map``/sharding wrapper (assert_allclose atol=2e-7 in the
@@ -71,6 +75,10 @@ def make_serving_forward(model, variables, config):
             "model or serve through GriddedRunner")
     from ..models.fold_bn import fold_for_serving
     model, folded = fold_for_serving(model, variables, config)
+    od = str(config.get("output_dtype", "float16"))
+    if od not in ("float16", "uint8"):
+        raise ValueError(f"output_dtype must be 'float16' or 'uint8', "
+                         f"got {od!r}")
 
     def fn(variables, x):
         # ONE shared input transform with the live predict/eval paths
@@ -78,7 +86,14 @@ def make_serving_forward(model, variables, config):
         from .inference import _net_db_input
         d = _net_db_input(x, use_meta=False)
         logits = model.apply(variables, d, train=False)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if od == "uint8":
+            # output_dtype: uint8 (the serving preset's d2h probability
+            # quantization, inference._mask_output): codes round(p*255),
+            # dequant = code/255 — half the output transfer bytes;
+            # |dprob| <= 1/510 (DIVERGENCES.md "uint8 output codes")
+            return jnp.round(probs * 255.0).astype(jnp.uint8)
+        return probs
 
     return fn, folded
 

@@ -365,3 +365,34 @@ def test_export_rejects_bad_transfer_dtype(model_and_vars):
     model, variables = model_and_vars
     with pytest.raises(ValueError, match="transfer_dtype"):
         export_predictor(model, variables, dict(CFG, transfer_dtype="int8"))
+
+
+def test_uint8_output_artifact(model_and_vars, tmp_path):
+    """output_dtype: uint8 (serving preset) exports an artifact returning
+    round(p*255) codes: uint8 dtype, exact code law vs the float32
+    artifact's probabilities, and bit-equal to the live serving
+    forward."""
+    model, variables = model_and_vars
+    cfg = dict(CFG, output_dtype="uint8")
+    fn, folded = make_serving_forward(model, variables, cfg)
+    path = tmp_path / "unet_out8.stablehlo"
+    save_exported(export_predictor(model, variables, cfg), path)
+    predict = load_predictor(path)
+
+    raw = _raw_patches(2)
+    got = np.asarray(predict(raw))
+    assert got.dtype == np.uint8 and got.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(
+        got, np.asarray(jax.jit(lambda x: fn(folded, x))(raw)))
+    # code law vs the float32 artifact (identical forward, so the codes
+    # are exactly round(p*255))
+    save_exported(export_predictor(model, variables, CFG),
+                  tmp_path / "unet_f32.stablehlo")
+    p = np.asarray(load_predictor(tmp_path / "unet_f32.stablehlo")(raw))
+    np.testing.assert_array_equal(got, np.round(p * 255).astype(np.uint8))
+    # dequantized codes approximately renormalize
+    np.testing.assert_allclose((got.astype(np.float32) / 255).sum(-1),
+                               1.0, atol=2 / 255 + 1e-3)
+
+    with pytest.raises(ValueError):
+        make_serving_forward(model, variables, dict(CFG, output_dtype="i8"))

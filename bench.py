@@ -132,6 +132,9 @@ def run_ours(sv_path):
               file=sys.stderr)
     best_i = passes.index(min(passes))
     dt = passes[best_i]
+    # bind the headline NOW: the extras sections below are long and a
+    # shadowed temp once silently replaced `dt` before the return
+    headline_pps = N_PINGS / dt
     # phase walls are attributed per thread; the writer/prefetch threads
     # overlap the main loop, so summed phases can exceed wall-clock —
     # they explain where each thread spends time, not a wall breakdown
@@ -246,14 +249,20 @@ def run_ours(sv_path):
                                       dict(config, transfer_dtype="uint8"))
             evaluate_reader(u8_runner, reader, M.new_histogram())  # compile
             # best-of-2 passes: tunnel transfer throughput swings 2-3x
-            # run-to-run and a single pass can catch a bad window
+            # run-to-run and a single pass can catch a bad window.
+            # NB: a local named `dt` here previously SHADOWED the
+            # headline pass time consumed by the final
+            # `return N_PINGS / dt`, silently replacing the predict e2e
+            # headline with an eval-pass number (bug found 2026-08-19;
+            # earlier same-day captures carrying eval_u8 extras are
+            # suspect — see BASELINE.md note)
             best = None
             for _ in range(2):
                 t0 = time.time()
                 hist8 = evaluate_reader(u8_runner, reader,
                                         M.new_histogram())
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                e_dt = time.time() - t0
+                best = e_dt if best is None else min(best, e_dt)
             if int(np.asarray(hist8).sum()) != int(np.asarray(hist).sum()):
                 raise RuntimeError("u8 eval scored-pixel count diverged")
             extras["eval_u8_pings_per_sec"] = round(N_PINGS / best, 1)
@@ -275,7 +284,7 @@ def run_ours(sv_path):
               f"{extras['device_tflops_per_sec']} TFLOP/s"
               + (f", MFU {dev_mfu:.1%}" if dev_mfu else ""),
               file=sys.stderr)
-    return N_PINGS / dt, extras
+    return headline_pps, extras
 
 
 def _device_only_chunk_time(runner, reader, reps=3):

@@ -76,6 +76,14 @@ def make_serving_forward(model, variables, config):
     from ..models.fold_bn import fold_for_serving
     model, folded = fold_for_serving(model, variables, config)
     od = str(config.get("output_dtype", "float16"))
+    if od == "float32":
+        raise ValueError(
+            "output_dtype 'float32' is not a setting: the default "
+            "('float16') artifact already RETURNS float32 softmax "
+            "probabilities — 'float16' names the live pipeline's d2h/"
+            "on-disk dtype, and the quantization to it happens only at "
+            "the zarr write.  Use the default, or 'uint8' for "
+            "round(p*255) codes.")
     if od not in ("float16", "uint8"):
         raise ValueError(f"output_dtype must be 'float16' or 'uint8', "
                          f"got {od!r}")
@@ -83,16 +91,16 @@ def make_serving_forward(model, variables, config):
     def fn(variables, x):
         # ONE shared input transform with the live predict/eval paths
         # (scrub + dB for raw sv; dequantize for uint8 dB codes)
-        from .inference import _net_db_input
+        from .inference import _net_db_input, _quantize_prob_u8
         d = _net_db_input(x, use_meta=False)
         logits = model.apply(variables, d, train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if od == "uint8":
-            # output_dtype: uint8 (the serving preset's d2h probability
-            # quantization, inference._mask_output): codes round(p*255),
-            # dequant = code/255 — half the output transfer bytes;
-            # |dprob| <= 1/510 (DIVERGENCES.md "uint8 output codes")
-            return jnp.round(probs * 255.0).astype(jnp.uint8)
+            # the serving preset's d2h probability quantization — ONE
+            # shared law with the live path (inference._quantize_prob_u8):
+            # codes round(p*255), dequant = code/255, half the output
+            # bytes, |dprob| <= 1/510 (DIVERGENCES.md "uint8 output codes")
+            return _quantize_prob_u8(probs)
         return probs
 
     return fn, folded

@@ -68,6 +68,15 @@ _U8_PROB_DEQUANT = (np.arange(256, dtype=np.float32)
                     / np.float32(255.0)).astype(np.float16)
 
 
+def _quantize_prob_u8(probs):
+    """The output_dtype='uint8' quantization law, shared by the live d2h
+    path (_mask_output) and the AOT artifact (pipeline/export.py) so the
+    two cannot drift: codes ``round(p * 255)`` — softmax outputs are
+    finite in [0, 1] so the round-then-cast is exact and masked pixels
+    (0.0) map to code 0; dequant = code / 255 (``_U8_PROB_DEQUANT``)."""
+    return jnp.round(probs * 255.0).astype(jnp.uint8)
+
+
 def _quantize_db_u8(x):
     """Host-side dB transform + clip + 8-bit quantization
     (transfer_dtype='uint8' serving mode).
@@ -559,11 +568,9 @@ class GriddedRunner:
         # when labels are exported
         out = img.transpose(2, 0, 1)
         if self.output_dtype == "uint8":
-            # d2h quantization: codes round(p * 255); softmax outputs are
-            # finite in [0, 1] so the round-then-cast is exact, and masked
-            # pixels (0.0) map to code 0.  The host dequantizes with the
-            # shared _U8_PROB_DEQUANT table before the zarr write.
-            return jnp.round(out * 255.0).astype(jnp.uint8), keep
+            # d2h quantization (shared law with the AOT artifact); the
+            # host dequantizes via _U8_PROB_DEQUANT before the zarr write
+            return _quantize_prob_u8(out), keep
         return out.astype(jnp.float16), keep
 
     # ---------------------------------------------------- eval chunk (jit)
@@ -892,16 +899,18 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         # below is identically zero); rebuild full range on the host —
         # cuts d2h bytes by the below-grid fraction (large for deep surveys)
         part = np.asarray(dev_out)[:, :, :e0 - s0]
-        if part.dtype == np.uint8:
-            # output_dtype='uint8': dequantize the d2h codes to the f16
-            # store values (code 0 -> 0.0, so masked pixels stay 0)
-            part = _U8_PROB_DEQUANT[part]
         host = np.zeros((2, n_range, e0 - s0), np.float16)
         # static_grid multi-reader surveys: the device buffer may carry
         # survey-max pad rows below this reader's range; they are
         # identically zero (>= row_cut) and cropped here
         nr_out = min(part.shape[1], n_range)
-        host[:, :nr_out, :] = part[:, :nr_out, :]
+        part = part[:, :nr_out, :]
+        if part.dtype == np.uint8:
+            # output_dtype='uint8': dequantize the d2h codes to the f16
+            # store values (code 0 -> 0.0, so masked pixels stay 0) —
+            # AFTER the row crop, so static-grid pad rows never pay it
+            part = _U8_PROB_DEQUANT[part]
+        host[:, :nr_out, :] = part
         runner.timer.stop("d2h")
         if lab is not None:
             # masked label export (save_labels): raw categorical labels

@@ -250,11 +250,11 @@ class GriddedRunner:
         wh, ww = self.window
         self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
         if self.infer_mode == "slab":
-            if self.use_meta:
-                raise ValueError(
-                    "infer_mode='slab' does not support metadata channels "
-                    "(the fully-convolutional forward has no per-patch "
-                    "metadata injection point); use infer_mode='patch'")
+            # metadata channels are supported fully convolutionally: the
+            # per-pixel families (time_diff, depth_*) use the exact patch
+            # meta law, and the per-patch-constant families are evaluated
+            # at each pixel's own column (portion_day divergence documented
+            # in DIVERGENCES.md; see _build_meta_slab_full)
             # patch-interior agreement with patch mode requires the slab's
             # pooling grid to line up with every patch's pooling grid:
             # stride and overlap must be multiples of 2**(depth-1).  The
@@ -444,9 +444,10 @@ class GriddedRunner:
         sel = probs.reshape(Np, wh, ww, 3)[:N][..., jnp.array([1, 2])]
         return stitch_patches(sel, R, C, self.overlap)
 
-    @partial(jax.jit, static_argnames=("self", "R", "C", "border_zero"))
-    def _predict_slab(self, variables, data_slab, border_slab, R, C,
-                      border_zero):
+    @partial(jax.jit, static_argnames=("self", "R", "C", "border_zero",
+                                       "use_meta"))
+    def _predict_slab(self, variables, data_slab, border_slab, meta_full,
+                      R, C, border_zero, use_meta=False):
         """Fully-convolutional whole-slab forward — the opt-in
         ``infer_mode: slab`` alternative to the patch pipeline.
 
@@ -475,9 +476,19 @@ class GriddedRunner:
         n_dev = 1 if self.mesh is None else len(self.mesh.devices.ravel())
         H16 = _round_up(Hp, div)
         W16 = _round_up(Wp, div * n_dev)  # even per-device ping shards
-        x = _net_db_input(data_slab, use_meta=False)
+        x = _net_db_input(data_slab, use_meta)
         if border_zero:
+            # patch mode zeroes only the acoustic channels at borders (the
+            # reference's set_data_border_value runs before meta concat) —
+            # mirror that: meta channels stay untouched
             x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
+        meta = None
+        if use_meta:
+            if self.late_meta:
+                meta = jnp.pad(meta_full,
+                               ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
+            else:
+                x = jnp.concatenate([x, meta_full], axis=-1)
         x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
         if self.mesh is not None:
             # sequence parallelism over the survey's ping axis (the
@@ -488,7 +499,15 @@ class GriddedRunner:
             from jax.sharding import NamedSharding, PartitionSpec as P
             x = jax.lax.with_sharding_constraint(
                 x, NamedSharding(self.mesh, P(None, None, "data", None)))
-        logits = self.model.apply(variables, x, train=False)[0]
+            if meta is not None:
+                meta = jax.lax.with_sharding_constraint(
+                    meta, NamedSharding(self.mesh, P(None, None, "data",
+                                                     None)))
+        if meta is not None:
+            logits = self.model.apply(variables, x, meta=meta,
+                                      train=False)[0]
+        else:
+            logits = self.model.apply(variables, x, train=False)[0]
         probs = jax.nn.softmax(logits, axis=-1)
         return probs[o:o + R * sh, o:o + C * sw][..., jnp.array([1, 2])]
 
@@ -789,6 +808,44 @@ def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
     return meta_slab, consts.astype(np.float32)
 
 
+def _build_meta_slab_full(runner, reader, Hp, Wp, row0_data, col0_data):
+    """(Hp, Wp, M) metadata channels for the fully-convolutional slab
+    forward (``infer_mode: slab`` + ``meta_channels``), channel order
+    matching the patch path (reference dataset.py:288-351): portion_year,
+    portion_day sin/cos, time_diff, depth_rel, depth_abs_surface,
+    depth_abs_seabed.
+
+    The per-pixel families (time_diff, depth_*) use EXACTLY the patch
+    meta law (_build_meta_inputs), so their values per survey pixel are
+    identical to patch mode.  The per-patch-constant families differ by
+    construction — the slab forward has no patches, so each column
+    carries its own ping's portion_day instead of the owning patch
+    center's (portion_year is a survey scalar either way).  The
+    divergence is bounded by the within-patch time-of-day drift (a few
+    minutes over a 256-ping patch) and is documented in DIVERGENCES.md.
+    """
+    mc = runner.meta_channels
+    per_pixel, _ = _build_meta_inputs(runner, reader, Hp, Wp, row0_data,
+                                      col0_data, np.zeros(0, np.int64))
+    # same clipped column mapping (incl. the reference's -1 meta-grid
+    # offset) as the per-pixel families, so all channels stay aligned
+    cols = np.arange(Wp) + col0_data - 1
+    cc = np.clip(cols, 0, reader.shape[1] - 1)
+    parts = []
+    if mc.get("portion_year"):
+        parts.append(np.full((Hp, Wp), reader.portion_of_year_scalar,
+                             np.float32))
+    if mc.get("portion_day"):
+        pd = reader.portion_of_day_vector[cc]
+        for f in (np.sin, np.cos):
+            parts.append(np.broadcast_to(
+                f(2 * np.pi * pd)[None, :].astype(np.float32), (Hp, Wp)))
+    consts_full = (np.stack(parts) if parts
+                   else np.zeros((0, Hp, Wp), np.float32))
+    full = np.concatenate([consts_full, per_pixel], axis=0)
+    return np.ascontiguousarray(full.transpose(1, 2, 0)).astype(np.float32)
+
+
 # ============================================================== PREDICTION
 def _grid_extent_rows(n_range: int, seabed, known, wh: int, o: int) -> int:
     """Reference grid height (patch-grid rows) for one seabed vector: range
@@ -1020,11 +1077,16 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         y0s, x0s = make_grid_starts(R, C, sh, sw, o, o, o)
         meta_slab = np.zeros((0, 1, 1), np.float32)
         consts = np.zeros((len(y0s), 0), np.float32)
+        meta_full = np.zeros((1, 1, 0), np.float32)
         if runner.use_meta:
-            centers_x = grid_center_cols(
-                s + np.tile(np.arange(C) * sw, R) - o, ww)
-            meta_slab, consts = _build_meta_inputs(
-                runner, reader, Hp, Wp, -o, s - o, centers_x)
+            if runner.infer_mode == "slab":
+                meta_full = _build_meta_slab_full(
+                    runner, reader, Hp, Wp, -o, s - o)
+            else:
+                centers_x = grid_center_cols(
+                    s + np.tile(np.arange(C) * sw, R) - o, ww)
+                meta_slab, consts = _build_meta_inputs(
+                    runner, reader, Hp, Wp, -o, s - o, centers_x)
         runner.timer.stop("host_slab")
 
         # h2d from the prefetch thread (device_put is async), in bfloat16
@@ -1068,7 +1130,8 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
             row_cut=jax.device_put(np.int32(row_cut)),
             y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
             meta_slab=jax.device_put(meta_slab),
-            consts=jax.device_put(consts))
+            consts=jax.device_put(consts),
+            meta_full=jax.device_put(meta_full))
         runner.timer.stop("h2d_dispatch")
         return (s, e, w, R, C, nr, border_zero, dev,
                 label_pad if save_labels else None)
@@ -1095,10 +1158,10 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                 runner.patches_processed += int(dev["y0s"].shape[0])
             runner.timer.start("device_chunk")
             if runner.infer_mode == "slab":
-                # use_meta + slab is rejected in GriddedRunner.__init__
                 stitched = runner._predict_slab(
                     runner.variables, dev["data_slab"],
-                    dev["border_slab"], R, C, border_zero)
+                    dev["border_slab"], dev["meta_full"], R, C,
+                    border_zero, runner.use_meta)
             else:
                 stitched = runner._predict_patches(
                     runner.variables,

@@ -348,30 +348,108 @@ def test_slab_infer_mode_misaligned_geometry(tmp_path):
     assert diff.max() < 0.75, diff.max()
 
 
-def test_slab_infer_mode_rejects_meta_channels():
-    """use_meta + infer_mode='slab' is a config error caught at
-    GriddedRunner construction (advisor finding r2: was a stripped-under
-    -O assert deep in the predict loop)."""
+def _meta_flags(**on):
+    flags = {"portion_year": False, "portion_day": False, "depth_rel": False,
+             "depth_abs_surface": False, "depth_abs_seabed": False,
+             "time_diff": False}
+    flags.update(on)
+    return flags
+
+
+@pytest.mark.parametrize("late", [False, True])
+def test_slab_infer_mode_meta_channels_interior_parity(tmp_path, late):
+    """infer_mode='slab' supports metadata channels fully convolutionally
+    (early concat AND the late per-pixel-MLP injection).  With the
+    per-pixel families (portion_year, time_diff, depth_*) the meta values
+    per survey pixel are IDENTICAL to patch mode, so interior pixels agree
+    with patch mode exactly like the no-meta aligned-geometry case."""
     import jax
     import jax.numpy as jnp
-    import pytest
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.meta_channels import get_in_channels
     from crimac_unet_tpu.models.unet import build_unet
-    from crimac_unet_tpu.pipeline.inference import GriddedRunner
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
 
-    meta = {"portion_year": True, "portion_day": False, "depth_rel": False,
-            "depth_abs_surface": False, "depth_abs_seabed": False,
-            "time_diff": False}
+    make_survey_dir(tmp_path, year=2017, n_echograms=1, H=200, W=220,
+                    seed=29)
+    e = get_echograms(years=[2017], path_to_echograms=str(tmp_path),
+                      minimum_shape=64)[0]
+    meta = _meta_flags(portion_year=True, time_diff=True, depth_rel=True,
+                       depth_abs_surface=True, depth_abs_seabed=True)
     cfg = {"patch_size": [64, 64], "patch_overlap": 8,
            "frequencies": [18, 38, 120, 200], "fwd_batch": 16,
-           "depth": 2, "start_filts": 4, "infer_mode": "slab",
-           "meta_channels": meta}
-    from crimac_unet_tpu.data.meta_channels import get_in_channels
+           "depth": 2, "start_filts": 4, "meta_channels": meta,
+           "late_meta_inject": late}
     model = build_unet(cfg)
-    nch = 4 + get_in_channels(cfg["meta_channels"])
-    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, nch)),
+    M = get_in_channels(meta)
+    if late:
+        v = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 4)),
+                       meta=jnp.zeros((1, 64, 64, M)), train=False)
+    else:
+        v = model.init(jax.random.PRNGKey(5),
+                       jnp.zeros((1, 64, 64, 4 + M)), train=False)
+    out = {}
+    for mode in ("patch", "slab"):
+        runner = GriddedRunner(model, v, dict(cfg, infer_mode=mode))
+        s, e2, pred, _ = next(iter(predict_reader(runner, e, 220)))
+        out[mode] = np.asarray(pred, np.float32)
+
+    np.testing.assert_array_equal(out["patch"] == 0, out["slab"] == 0)
+    assert (out["slab"] > 0).any()
+    # interior selection as in test_slab_infer_mode_matches_patch_interior
+    sh = sw = 64 - 2 * 8
+    H, W = out["patch"].shape[1:]
+    ys, xs = np.arange(H), np.arange(W)
+    yd = np.minimum((ys % sh) + 8, sh - 1 - (ys % sh) + 8)
+    xd = np.minimum((xs % sw) + 8, sw - 1 - (xs % sw) + 8)
+    sel_y = (yd >= 16) & (ys >= 32) & (ys < H - 32)
+    sel_x = (xd >= 16) & (xs >= 32) & (xs < W - 32)
+    interior = np.ix_([0, 1], np.where(sel_y)[0], np.where(sel_x)[0])
+    a, b = out["patch"][interior], out["slab"][interior]
+    assert a.size > 500, "selection too small to be meaningful"
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_slab_infer_mode_portion_day_bounded_divergence(tmp_path):
+    """With portion_day enabled, slab mode evaluates each column's own
+    time-of-day instead of the owning patch center's (documented
+    divergence): outputs stay close, masks bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.meta_channels import get_in_channels
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    make_survey_dir(tmp_path, year=2017, n_echograms=1, H=160, W=200,
+                    seed=31)
+    e = get_echograms(years=[2017], path_to_echograms=str(tmp_path),
+                      minimum_shape=64)[0]
+    meta = _meta_flags(portion_year=True, portion_day=True, time_diff=True)
+    cfg = {"patch_size": [64, 64], "patch_overlap": 8,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 16,
+           "depth": 2, "start_filts": 4, "meta_channels": meta}
+    model = build_unet(cfg)
+    M = get_in_channels(meta)
+    v = model.init(jax.random.PRNGKey(13), jnp.zeros((1, 64, 64, 4 + M)),
                    train=False)
-    with pytest.raises(ValueError, match="metadata channels"):
-        GriddedRunner(model, v, cfg)
+    out = {}
+    for mode in ("patch", "slab"):
+        runner = GriddedRunner(model, v, dict(cfg, infer_mode=mode))
+        s, e2, pred, _ = next(iter(predict_reader(runner, e, 200)))
+        out[mode] = np.asarray(pred, np.float32)
+    np.testing.assert_array_equal(out["patch"] == 0, out["slab"] == 0)
+    written = out["patch"] != 0
+    assert written.any()
+    diff = np.abs(out["patch"] - out["slab"])[written]
+    assert np.isfinite(diff).all()
+    # bounded, visible-on-regression divergence (fixture pings span
+    # minutes, so the per-column vs patch-center portion_day gap is small)
+    assert diff.mean() < 0.05, diff.mean()
 
 
 def test_slab_infer_mode_memmap_border_zero(tmp_path):
@@ -472,10 +550,11 @@ def test_static_grid_output_identical(tmp_path, mode):
         else:
             real = runner._predict_slab
 
-            def spy(variables, data_slab, border_slab, R, C, border_zero):
+            def spy(variables, data_slab, border_slab, meta_full, R, C,
+                    border_zero, use_meta=False):
                 seen.append((R, C))
-                return real(variables, data_slab, border_slab, R, C,
-                            border_zero)
+                return real(variables, data_slab, border_slab, meta_full,
+                            R, C, border_zero, use_meta)
             runner._predict_slab = spy
         # preload 97 over 290 pings -> linspace splits of 96/97/97 pings:
         # the 96-wide chunk needs one patch column fewer (stride 24), so C

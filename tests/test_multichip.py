@@ -241,6 +241,42 @@ def test_slab_mode_ping_axis_sharding_parity(tmp_path):
     np.testing.assert_allclose(outs[1], outs[8], atol=2e-5)
 
 
+def test_slab_mode_meta_channels_sharded_parity(tmp_path):
+    """Sequence-parallel slab inference WITH metadata channels: the meta
+    slab is sharded along the same ping axis as the data slab; 8-device
+    outputs must match single-device."""
+    import jax
+    import jax.numpy as jnp
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.meta_channels import get_in_channels
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    make_survey_dir(tmp_path, year=2017, n_echograms=1, H=120, W=200,
+                    seed=37)
+    e = get_echograms(years=[2017], path_to_echograms=str(tmp_path),
+                      minimum_shape=32)[0]
+    meta = {"portion_year": True, "portion_day": True, "depth_rel": True,
+            "depth_abs_surface": False, "depth_abs_seabed": False,
+            "time_diff": True}
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4, "infer_mode": "slab",
+           "meta_channels": meta}
+    model = build_unet(cfg)
+    M = get_in_channels(meta)
+    v = model.init(jax.random.PRNGKey(21), jnp.zeros((1, 32, 32, 4 + M)),
+                   train=False)
+    outs = {}
+    for n_dev in (1, 8):
+        runner = GriddedRunner(model, v, dict(cfg, mesh_devices=n_dev))
+        s, e2, pred, _ = next(iter(predict_reader(runner, e, 200)))
+        outs[n_dev] = np.asarray(pred, np.float32)
+    np.testing.assert_allclose(outs[1], outs[8], atol=2e-5)
+
+
 def test_sharded_quantized_transfer_matches_single_device(tmp_path):
     """transfer_dtype='uint8' (serving) over the 8-device mesh: the
     quantized predict path (dB-code slabs, packed sv-finiteness bits) and

@@ -62,10 +62,96 @@ def fits_budget(readers, frequencies, window, budget_mb=2048) -> bool:
     return pool_bytes(readers, frequencies, window) <= budget_mb * 2 ** 20
 
 
+# reference metadata channel order (batch/dataset.py:288-351)
+META_ORDER = ("portion_year", "portion_day", "time_diff", "depth_rel",
+              "depth_abs_surface", "depth_abs_seabed")
+
+
+def _meta_vector_arrays(readers, meta_channels):
+    """Per-echogram metadata VECTORS for the on-device meta computation
+    (``_gather_meta_crops``): portion_of_day / time_diff / seabed padded
+    to the widest survey, portion_year scalars, and per-echogram ping
+    counts for the reference's index clamping.  A few KB per echogram —
+    the meta channel MAPS are computed on device from these inside the
+    fused train/eval step, so pooled metadata training costs no extra
+    HBM canvases and no host crop work."""
+    E = len(readers)
+    W = max(r.shape[1] for r in readers)
+    pod = np.zeros((E, W), np.float32)
+    tdiff = np.zeros((E, W), np.float32)
+    seabed = np.zeros((E, W), np.float32)
+    pyear = np.zeros((E,), np.float32)
+    npings = np.zeros((E,), np.int32)
+    mc = meta_channels
+    need_sb = any(mc.get(k) for k in ("depth_rel", "depth_abs_surface",
+                                      "depth_abs_seabed"))
+    for i, r in enumerate(readers):
+        n = r.shape[1]
+        npings[i] = n
+        if mc.get("portion_year"):
+            pyear[i] = r.portion_of_year_scalar
+        if mc.get("portion_day"):
+            pod[i, :n] = r.portion_of_day_vector
+        if mc.get("time_diff"):
+            tdiff[i, :n] = r.time_vector_diff
+        if need_sb:
+            seabed[i, :n] = np.asarray(r.get_seabed(0, n))
+    return tuple(jax.device_put(a)
+                 for a in (pod, tdiff, seabed, pyear, npings))
+
+
+@partial(jax.jit, static_argnames=("window", "flags"))
+def _gather_meta_crops(pod, tdiff, seabed, pyear, npings, ech_idx, starts,
+                       window, flags):
+    """(B, M, wh, ww) float32 metadata crops computed ON DEVICE from
+    per-echogram vectors — the exact reference meta laws
+    (batch/dataset.py:288-351) evaluated from pool coordinates: the
+    sampler center is recovered from the crop start (inverting
+    ``prepare_center``, recentering included), then crop_meta's
+    ``arange(center - w//2, center + w//2)`` grid (NO +1 shift — the
+    meta grid sits offset from the data crop for even windows) and its
+    index clamping are applied.  ``flags`` is the tuple of enabled
+    channel names in reference order (META_ORDER)."""
+    wh, ww = window
+
+    rows_j = jnp.arange(wh, dtype=jnp.float32)
+    cols_j = jnp.arange(ww, dtype=jnp.int32)
+    # survey-coordinate sampler center from the padded-canvas start
+    # (prepare_center: s = center - (w+1)//2 + 1 + pad)
+    y_off = (wh + 1) // 2 - 1 - wh
+    x_off = (ww + 1) // 2 - 1 - ww
+
+    def one(e, s):
+        n = npings[e]
+        yc = s[0] + y_off
+        xc = s[1] + x_off
+        r = rows_j + jnp.float32(yc - wh // 2)
+        c = jnp.clip(cols_j + (xc - ww // 2), 0, n - 1)
+        parts = []
+        if "portion_year" in flags:
+            parts.append(jnp.full((wh, ww), pyear[e]))
+        if "portion_day" in flags:
+            ang = 2 * jnp.pi * pod[e, jnp.clip(xc, 0, n - 1)]
+            parts.append(jnp.full((wh, ww), jnp.sin(ang)))
+            parts.append(jnp.full((wh, ww), jnp.cos(ang)))
+        if "time_diff" in flags:
+            parts.append(jnp.broadcast_to(tdiff[e, c][None, :], (wh, ww)))
+        sb = seabed[e, c]
+        if "depth_rel" in flags:
+            parts.append(r[:, None] / sb[None, :])
+        if "depth_abs_surface" in flags:
+            parts.append(jnp.broadcast_to(r[:, None] / wh, (wh, ww)))
+        if "depth_abs_seabed" in flags:
+            parts.append((sb[None, :] - r[:, None]) / wh)
+        return jnp.stack(parts)
+
+    return jax.vmap(one)(ech_idx, starts)
+
+
 class DeviceSamplePool:
     data_format = "memmap"
 
-    def __init__(self, readers, frequencies, window):
+    def __init__(self, readers, frequencies, window, meta_channels=None):
         if not all(r.data_format == "memmap" for r in readers):
             raise ValueError(
                 "DeviceSamplePool holds memmap echograms; use "
@@ -100,6 +186,12 @@ class DeviceSamplePool:
         self.data = jax.device_put(data)
         self.labels = jax.device_put(labels)
         self.pad = (wh, ww)
+        self.meta_flags = ()
+        self.meta_vectors = None
+        if meta_channels and any(meta_channels.values()):
+            self.meta_flags = tuple(k for k in META_ORDER
+                                    if meta_channels.get(k))
+            self.meta_vectors = _meta_vector_arrays(readers, meta_channels)
 
     def prepare_center(self, reader, center):
         """Host-side: map a sampler (center, reader) to pool coordinates,
@@ -143,10 +235,17 @@ class ZarrSamplePool:
 
     data_format = "zarr"
 
-    def __init__(self, readers, frequencies, window, chunk_pings=2048):
+    def __init__(self, readers, frequencies, window, meta_channels=None,
+                 chunk_pings=2048):
         if not all(r.data_format == "zarr" for r in readers):
             raise ValueError("ZarrSamplePool holds zarr surveys; use "
                              "DeviceSamplePool for memmap echograms")
+        if meta_channels and any(meta_channels.values()):
+            raise ValueError("metadata channels are memmap-only (reference "
+                             "dataset.py:245-252); ZarrSamplePool cannot "
+                             "carry them")
+        self.meta_flags = ()
+        self.meta_vectors = None
         self.window = tuple(window)
         # caller order, like the host crop path (see DeviceSamplePool)
         self.frequencies = list(frequencies)

@@ -227,19 +227,32 @@ def make_train_step_pooled(model: UNet, config: dict):
     per-step h2d is a few dozen bytes instead of ~8 MB of host crops, and
     the gather fuses into the same augmentation/label/forward program.
 
-    Signature: (state, pool_data, pool_labels, ech_idx, starts, rng).
+    Signature: (state, pool_data, pool_labels, ech_idx, starts, rng), or
+    with metadata channels
+    (state, pool_data, pool_labels, meta_vectors, ech_idx, starts, rng,
+    flags) — the meta channel MAPS are computed on device from the pool's
+    per-echogram vectors (device_pool._gather_meta_crops), so metadata
+    runs get the same on-device gather speedup as the baseline.
     Pool arrays are explicit arguments (not closed over) so the compiled
     program references the resident HBM buffers instead of embedding them.
-    Metadata-channel runs use the host path (meta crops are host-derived).
     """
-    from ..data.device_pool import _gather_crops
+    from ..data.device_pool import _gather_crops, _gather_meta_crops
     from ..data.meta_channels import get_in_channels
-    if get_in_channels(config.get("meta_channels")) != 0:
-        raise ValueError(
-            "pooled training does not support metadata channels "
-            "(use the host path)")
     window = tuple(config["patch_size"])
     base = make_train_step(model, config)  # inlined when traced below
+
+    if get_in_channels(config.get("meta_channels")) > 0:
+        @partial(jax.jit, donate_argnums=(0,),
+                 static_argnames=("flags",))
+        def train_step(state: TrainState, pool_data, pool_labels,
+                       meta_vectors, ech_idx, starts, rng, flags):
+            data, labels = _gather_crops(pool_data, pool_labels, ech_idx,
+                                         starts, window)
+            meta = _gather_meta_crops(*meta_vectors, ech_idx, starts,
+                                      window, flags)
+            return base(state, data, labels, meta, rng)
+
+        return train_step
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, pool_data, pool_labels, ech_idx,
@@ -261,15 +274,29 @@ def make_eval_step_pooled(model: UNet, config: dict):
     host path including its short-echogram recentering asymmetry).
 
     Signature: (params, batch_stats, hist, pool_data, pool_labels,
-    ech_idx, starts, seabed_row, overlap=0, with_loss=True)."""
-    from ..data.device_pool import _gather_crops
+    ech_idx, starts, seabed_row, overlap=0, with_loss=True); metadata
+    runs take (…, pool_labels, meta_vectors, ech_idx, …, flags) with the
+    meta maps computed on device like make_train_step_pooled."""
+    from ..data.device_pool import _gather_crops, _gather_meta_crops
     from ..data.meta_channels import get_in_channels
-    if get_in_channels(config.get("meta_channels")) != 0:
-        raise ValueError(
-            "pooled validation does not support metadata channels "
-            "(use the host path)")
     window = tuple(config["patch_size"])
     base = make_eval_step(model, config)  # inlined when traced below
+
+    if get_in_channels(config.get("meta_channels")) > 0:
+        @partial(jax.jit,
+                 static_argnames=("overlap", "with_loss", "flags"))
+        def eval_step(params, batch_stats, hist, pool_data, pool_labels,
+                      meta_vectors, ech_idx, starts, seabed_row, flags,
+                      overlap=0, with_loss=True):
+            data, labels = _gather_crops(pool_data, pool_labels, ech_idx,
+                                         starts, window)
+            meta = _gather_meta_crops(*meta_vectors, ech_idx, starts,
+                                      window, flags)
+            return base(params, batch_stats, hist, data, labels,
+                        seabed_row, meta, overlap=overlap,
+                        with_loss=with_loss)
+
+        return eval_step
 
     @partial(jax.jit, static_argnames=("overlap", "with_loss"))
     def eval_step(params, batch_stats, hist, pool_data, pool_labels,

@@ -56,17 +56,33 @@ class SegPipeUNet:
         self.pool_val = None
         self._eval_step_pooled = None
 
+    def _check_pool_meta(self, pool):
+        """A meta-channel config needs a pool built WITH meta_channels
+        (per-echogram meta vectors resident in HBM) — catching the
+        mismatch here beats an opaque jit signature error at step time."""
+        from ..data.meta_channels import get_in_channels
+        if get_in_channels(self.config.get("meta_channels")) > 0 and \
+                getattr(pool, "meta_vectors", None) is None:
+            raise ValueError(
+                "config enables meta_channels but the sample pool was "
+                "built without them; pass meta_channels to the pool "
+                "constructor (train.maybe_build_pool does this)")
+
     def attach_pool_val(self, pool):
         """Use an HBM-resident sample pool for VALIDATION batches: the
         periodic validate_model_training passes gather their crops on
         device instead of shipping ~8 MB per test batch (the validation
         loop is test_iter x batch crops every log_step — it dominated the
         full-recipe wall on slow hosts)."""
+        self._check_pool_meta(pool)
         self._eval_step_pooled = engine.make_eval_step_pooled(
             self.model, self.config)
         if len(self.mesh.devices.ravel()) > 1:
             pool.data = replicate_tree(self.mesh, pool.data)
             pool.labels = replicate_tree(self.mesh, pool.labels)
+            if pool.meta_vectors is not None:
+                pool.meta_vectors = replicate_tree(self.mesh,
+                                                   pool.meta_vectors)
         self.pool_val = pool
         return self
 
@@ -75,11 +91,15 @@ class SegPipeUNet:
         (echogram, start) coordinates, crops gather on device inside the
         train step (data/device_pool.py; the reference ships every crop
         through DataLoader workers instead, train.py:73-79)."""
+        self._check_pool_meta(pool)
         self._train_step_pooled = engine.make_train_step_pooled(
             self.model, self.config)
         if len(self.mesh.devices.ravel()) > 1:
             pool.data = replicate_tree(self.mesh, pool.data)
             pool.labels = replicate_tree(self.mesh, pool.labels)
+            if pool.meta_vectors is not None:
+                pool.meta_vectors = replicate_tree(self.mesh,
+                                                   pool.meta_vectors)
         self.pool = pool
         return self
 
@@ -210,9 +230,15 @@ class SegPipeUNet:
                     raise ValueError(
                         "pooled batch (has 'ech_idx') but attach_pool() "
                         "was never called on this SegPipeUNet")
-                self.state, loss = self._train_step_pooled(
-                    self.state, self.pool.data, self.pool.labels,
-                    batch["ech_idx"], batch["starts"], sub)
+                if self.pool.meta_vectors is not None:
+                    self.state, loss = self._train_step_pooled(
+                        self.state, self.pool.data, self.pool.labels,
+                        self.pool.meta_vectors, batch["ech_idx"],
+                        batch["starts"], sub, flags=self.pool.meta_flags)
+                else:
+                    self.state, loss = self._train_step_pooled(
+                        self.state, self.pool.data, self.pool.labels,
+                        batch["ech_idx"], batch["starts"], sub)
             elif "meta" in batch:
                 self.state, loss = self._train_step(
                     self.state, batch["data"], batch["labels"],
@@ -269,11 +295,20 @@ class SegPipeUNet:
                         "pooled validation batch (has 'ech_idx') but "
                         "attach_pool_val() was never called on this "
                         "SegPipeUNet")
-                hist, loss = self._eval_step_pooled(
-                    self.state.params, self.state.batch_stats, hist,
-                    self.pool_val.data, self.pool_val.labels,
-                    batch["ech_idx"], batch["starts"],
-                    batch["seabed_row"], overlap=0, with_loss=True)
+                if self.pool_val.meta_vectors is not None:
+                    hist, loss = self._eval_step_pooled(
+                        self.state.params, self.state.batch_stats, hist,
+                        self.pool_val.data, self.pool_val.labels,
+                        self.pool_val.meta_vectors, batch["ech_idx"],
+                        batch["starts"], batch["seabed_row"],
+                        flags=self.pool_val.meta_flags,
+                        overlap=0, with_loss=True)
+                else:
+                    hist, loss = self._eval_step_pooled(
+                        self.state.params, self.state.batch_stats, hist,
+                        self.pool_val.data, self.pool_val.labels,
+                        batch["ech_idx"], batch["starts"],
+                        batch["seabed_row"], overlap=0, with_loss=True)
             else:
                 args = [self.state.params, self.state.batch_stats, hist,
                         batch["data"], batch["labels"],

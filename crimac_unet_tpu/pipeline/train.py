@@ -56,14 +56,23 @@ def maybe_build_pool(config, readers_train, budget_mb=None, role="train"):
     ``use_device_pool``: ``"auto"`` (default) pools whenever the train
     readers fit ``device_pool_budget_mb`` (default 2048); ``True`` forces
     pooling (raises if impossible); ``False`` keeps host crops.  Metadata
-    runs always use host crops (meta channels are host-derived).
+    runs pool too — the meta channel maps are computed ON DEVICE from
+    per-echogram vectors inside the fused step (memmap only, like the
+    reference's meta support; zarr+meta falls back to host crops, where
+    the reader raises the reference's memmap-only error).
     ``role``: 'train' (forced mode raises when over budget) or
     'validation' (always falls back to host crops — the forced train
     pool is already satisfied, and the remaining-budget gate must not
     kill a satisfiable run)."""
     from ..data import device_pool as dp
+    from ..data.meta_channels import get_in_channels
     mode = config.get("use_device_pool", "auto")
-    if not mode or config.get("meta_channels"):
+    if not mode:
+        return None
+    meta = (config.get("meta_channels")
+            if get_in_channels(config.get("meta_channels")) > 0 else None)
+    if meta and readers_train and \
+            readers_train[0].data_format != "memmap":
         return None
     window = tuple(config["patch_size"])
     freqs = sorted(config["frequencies"])
@@ -90,7 +99,7 @@ def maybe_build_pool(config, readers_train, budget_mb=None, role="train"):
     cls = (dp.DeviceSamplePool
            if readers_train[0].data_format == "memmap"
            else dp.ZarrSamplePool)
-    return cls(readers_train, freqs, window)
+    return cls(readers_train, freqs, window, meta_channels=meta)
 
 
 def run_training(config, checkpoint_dir, experiment_name=None,

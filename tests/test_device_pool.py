@@ -233,6 +233,203 @@ def test_pooled_validation_matches_host_crops(pool_and_readers, rng):
     np.testing.assert_allclose(float(l_host), float(l_pool), rtol=1e-6)
 
 
+ALL_META = {"portion_year": True, "portion_day": True, "depth_rel": True,
+            "depth_abs_surface": True, "depth_abs_seabed": True,
+            "time_diff": True}
+
+
+def test_pool_meta_gather_matches_host_crop_meta(pool_and_readers, rng):
+    """The on-device meta computation (_gather_meta_crops over per-echogram
+    vectors) must reproduce the host crop_meta maps (reference
+    batch/dataset.py:288-351) — including the meta grid's offset from the
+    data crop, index clamping, and the window-taller-than-column
+    recentering."""
+    from crimac_unet_tpu.data.device_pool import (DeviceSamplePool,
+                                                  _gather_meta_crops)
+    from crimac_unet_tpu.data.meta_channels import crop_meta
+
+    _, readers = pool_and_readers
+    for window in ([48, 48], [96, 48]):  # [96,48] > H=70: recenter path
+        pool = DeviceSamplePool(readers, [18, 38, 120, 200], window,
+                                meta_channels=ALL_META)
+        assert pool.meta_vectors is not None
+        samples = []
+        for _ in range(12):
+            r = readers[rng.randint(len(readers))]
+            samples.append((r, [rng.randint(-10, r.shape[0] + 10),
+                                rng.randint(-10, r.shape[1] + 10)]))
+        idxs, starts = pool.prepare_batch(samples)
+        got = np.asarray(_gather_meta_crops(
+            *pool.meta_vectors, jnp.asarray(idxs), jnp.asarray(starts),
+            tuple(window), pool.meta_flags))
+        for k, (r, c) in enumerate(samples):
+            want = crop_meta(r, list(c), window, ALL_META)
+            np.testing.assert_allclose(
+                got[k], want, atol=2e-5, rtol=1e-5,
+                err_msg=f"sample {k} window {window}")
+
+
+def test_pooled_train_step_matches_host_path_meta(pool_and_readers):
+    """Pooled training WITH metadata channels (meta maps computed on
+    device) matches the host-crop meta path: same losses and params for
+    the same draws and rng."""
+    from crimac_unet_tpu.data.device_pool import DeviceSamplePool
+    from crimac_unet_tpu.data.meta_channels import crop_meta
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline import engine
+
+    _, readers = pool_and_readers
+    window = [48, 48]
+    config = {"patch_size": window, "frequencies": [18, 38, 120, 200],
+              "lr": 0.005, "lr_step": 5, "lr_reduction": 0.5,
+              "momentum": 0.95, "depth": 2, "start_filts": 4,
+              "compute_dtype": "float32", "meta_channels": ALL_META}
+    pool = DeviceSamplePool(readers, [18, 38, 120, 200], window,
+                            meta_channels=ALL_META)
+    model = build_unet(config)
+    rng0 = jax.random.PRNGKey(0)
+    s_host = engine.init_train_state(model, config, rng0)
+    s_pool = engine.init_train_state(model, config, rng0)
+    host_step = engine.make_train_step(model, config)
+    pool_step = engine.make_train_step_pooled(model, config)
+
+    rng_np = np.random.RandomState(7)
+    for it in range(3):
+        samples = []
+        for _ in range(4):
+            r = readers[rng_np.randint(len(readers))]
+            samples.append((r, [rng_np.randint(-5, r.shape[0] + 5),
+                                rng_np.randint(-5, r.shape[1] + 5)]))
+        key = jax.random.PRNGKey(200 + it)
+        data = np.stack([r.crop_data(list(c), window, [18, 38, 120, 200])
+                         for r, c in samples])
+        labels = np.stack([r.crop_labels(list(c), window)
+                           for r, c in samples]).astype(np.int32)
+        meta = np.stack([crop_meta(r, list(c), window, ALL_META)
+                         for r, c in samples])
+        s_host, l_host = host_step(s_host, jnp.asarray(data),
+                                   jnp.asarray(labels), jnp.asarray(meta),
+                                   key)
+        idxs, starts = pool.prepare_batch(samples)
+        s_pool, l_pool = pool_step(s_pool, pool.data, pool.labels,
+                                   pool.meta_vectors, jnp.asarray(idxs),
+                                   jnp.asarray(starts), key,
+                                   flags=pool.meta_flags)
+        np.testing.assert_allclose(float(l_host), float(l_pool),
+                                   rtol=1e-5, err_msg=f"iter {it}")
+    flat_h = jax.tree_util.tree_leaves(s_host.params)
+    flat_p = jax.tree_util.tree_leaves(s_pool.params)
+    for a, b in zip(flat_h, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_pooled_validation_matches_host_crops_meta(pool_and_readers, rng):
+    """Pooled validation WITH metadata channels: PR histogram totals must
+    match the host meta path exactly, bin placement within the f16
+    quantization of the tiny f32-vs-f64 meta rounding, loss to 1e-5."""
+    from crimac_unet_tpu.data.dataset import seabed_patch_row
+    from crimac_unet_tpu.data.device_pool import DeviceSamplePool
+    from crimac_unet_tpu.data.meta_channels import crop_meta
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.ops import metrics as M
+    from crimac_unet_tpu.pipeline import engine
+
+    _, readers = pool_and_readers
+    window = [48, 48]
+    config = {"patch_size": window, "frequencies": [18, 38, 120, 200],
+              "lr": 0.005, "lr_step": 1000, "lr_reduction": 0.5,
+              "momentum": 0.95, "depth": 2, "start_filts": 4,
+              "batch_size": 6, "meta_channels": ALL_META}
+    pool = DeviceSamplePool(readers, [18, 38, 120, 200], window,
+                            meta_channels=ALL_META)
+    model = build_unet(config)
+    state = engine.init_train_state(model, config, jax.random.PRNGKey(2))
+    eval_host = engine.make_eval_step(model, config)
+    eval_pooled = engine.make_eval_step_pooled(model, config)
+
+    samples = []
+    for _ in range(6):
+        r = readers[rng.randint(len(readers))]
+        samples.append((r, [rng.randint(0, r.shape[0]),
+                            rng.randint(-5, r.shape[1] + 5)]))
+    data = np.stack([r.crop_data(list(c), window, [18, 38, 120, 200])
+                     for r, c in samples])
+    labels = np.stack([r.crop_labels(list(c), window).astype(np.int32)
+                       for r, c in samples])
+    seabed = np.stack([seabed_patch_row(r, c, window) for r, c in samples])
+    meta = np.stack([crop_meta(r, list(c), window, ALL_META)
+                     for r, c in samples])
+    h_host, l_host = eval_host(
+        state.params, state.batch_stats, M.new_histogram(),
+        jnp.asarray(data), jnp.asarray(labels), jnp.asarray(seabed),
+        jnp.asarray(meta), overlap=0, with_loss=True)
+
+    idxs, starts = pool.prepare_batch(samples)
+    h_pool, l_pool = eval_pooled(
+        state.params, state.batch_stats, M.new_histogram(),
+        pool.data, pool.labels, pool.meta_vectors, jnp.asarray(idxs),
+        jnp.asarray(starts), jnp.asarray(seabed), flags=pool.meta_flags,
+        overlap=0, with_loss=True)
+
+    hh, hp = np.asarray(h_host, np.int64), np.asarray(h_pool, np.int64)
+    # identical pixel selection (the label chain sees identical inputs)
+    np.testing.assert_array_equal(hh.sum(axis=1), hp.sum(axis=1))
+    # probabilities may land one f16 bin apart where the ~1e-7 f32-vs-f64
+    # meta rounding crosses a bin edge — bound the total displacement
+    assert np.abs(hh - hp).sum() <= 64, np.abs(hh - hp).sum()
+    np.testing.assert_allclose(float(l_host), float(l_pool), rtol=1e-5)
+
+
+def test_run_training_pooled_meta_end_to_end(tmp_path):
+    """run_training with meta_channels + use_device_pool: the pool engages
+    (it used to be forced to host crops), carries meta vectors, and trains
+    with best/last checkpoints."""
+    import os
+    from crimac_unet_tpu.pipeline.train import run_training
+
+    make_survey_dir(tmp_path / "m", year=2017, n_echograms=1, H=80, W=160,
+                    seed=43)
+    make_survey_dir(tmp_path / "m", year=2016, n_echograms=1, H=80, W=160,
+                    seed=44)
+    config = {
+        "frequencies": [18, 38, 120, 200], "data_mode": "memm",
+        "path_to_echograms": str(tmp_path / "m"),
+        "patch_size": [32, 32], "loss_type": "CE", "batch_size": 2,
+        "lr": 0.005, "lr_reduction": 0.5, "momentum": 0.95,
+        "iterations": 2, "test_iter": 2, "log_step": 2, "lr_step": 2,
+        "num_workers": 1, "partition_train": "selected surveys",
+        "train_surveys": [2017], "validation_surveys": [2016],
+        "partition_predict": "all surveys", "evaluation_surveys": [],
+        "save_prediction_surveys": [], "eval_mode": "all",
+        "patch_overlap": 4, "random_seed": 10, "depth": 2,
+        "start_filts": 4, "use_device_pool": True,
+        "meta_channels": ALL_META,
+    }
+    segpipe = run_training(config, str(tmp_path / "ckpt"), progress=False)
+    assert segpipe.pool is not None and \
+        segpipe.pool.meta_vectors is not None
+    assert segpipe.pool_val is not None and \
+        segpipe.pool_val.meta_vectors is not None
+    assert np.isfinite(segpipe.best_F1_val)
+    assert os.path.isfile(tmp_path / "ckpt" / "best.msgpack")
+
+
+def test_zarr_pool_rejects_meta_channels(tmp_path):
+    """Metadata channels are memmap-only (reference dataset.py:245-252) —
+    a zarr pool with meta must fail loudly at construction."""
+    from crimac_unet_tpu.data.device_pool import ZarrSamplePool
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=60, W=80,
+                          seed=3)
+    reader = DataReaderZarr(sv)
+    with pytest.raises(ValueError, match="memmap-only"):
+        ZarrSamplePool([reader], [18, 38, 120, 200], [32, 32],
+                       meta_channels=ALL_META)
+
+
 def test_run_training_engages_validation_pool(tmp_path):
     """run_training builds + uses the validation pool (coordinate batches
     with seabed strips) alongside the train pool."""

@@ -14,7 +14,11 @@ serves any batch size.
 
 Input contract: NHWC patches ``(batch, *patch_size,
 len(frequencies))``, frequency channels in ascending order (the reader
-contract); the input DTYPE follows the config's ``transfer_dtype`` —
+contract); metadata models (``meta_channels`` / ``late_meta_inject``)
+export as TWO-input artifacts with a second float32 NHWC meta input of
+``get_in_channels`` channels (build it with the live runner's meta laws,
+inference.py ``_build_meta_inputs``); the acoustic input DTYPE follows
+the config's ``transfer_dtype`` —
 float32 raw sv (export default: exact), bfloat16 raw sv (the live
 runner's default h2d quantization, <=0.02 dB), or uint8 host-computed
 dB codes (the serving preset; quantize with
@@ -50,7 +54,8 @@ _MAGIC = b"CRIMACX1"
 def make_serving_forward(model, variables, config):
     """(fn, folded_variables): the serving forward closed over nothing.
 
-    ``fn(variables, x)`` maps NHWC input patches to softmax
+    ``fn(variables, x)`` — or ``fn(variables, x, meta)`` for metadata
+    models — maps NHWC input patches to softmax
     probabilities with the exact predict-path semantics
     (pipeline/inference.py ``_net_db_input``: raw-sv inputs are scrubbed
     and dB-transformed; uint8 inputs — ``transfer_dtype: uint8``, the
@@ -62,17 +67,16 @@ def make_serving_forward(model, variables, config):
     live GriddedRunner would put on device.
     """
     # mirror the runner's gate (inference.py: get_in_channels(...) > 0):
-    # an all-false meta_channels dict is a plain no-meta model and must
-    # export; a late_meta_inject model needs the meta input even if the
-    # channel dict is empty
+    # an all-false meta_channels dict is a plain no-meta model
     from ..data.meta_channels import get_in_channels, validate_meta_channels
     validate_meta_channels(config.get("meta_channels"))
-    if (get_in_channels(config.get("meta_channels")) > 0
-            or config.get("late_meta_inject")):
+    n_meta = get_in_channels(config.get("meta_channels"))
+    late = bool(config.get("late_meta_inject"))
+    if late and n_meta == 0:
         raise ValueError(
-            "export does not support metadata-input runs: the late-meta "
-            "model takes a separate metadata input; export the base "
-            "model or serve through GriddedRunner")
+            "late_meta_inject with zero metadata channels cannot export "
+            "(the model demands a meta input the config never produces — "
+            "the live runner rejects this combination too)")
     from ..models.fold_bn import fold_for_serving
     model, folded = fold_for_serving(model, variables, config)
     od = str(config.get("output_dtype", "float16"))
@@ -88,20 +92,42 @@ def make_serving_forward(model, variables, config):
         raise ValueError(f"output_dtype must be 'float16' or 'uint8', "
                          f"got {od!r}")
 
-    def fn(variables, x):
-        # ONE shared input transform with the live predict/eval paths
-        # (scrub + dB for raw sv; dequantize for uint8 dB codes)
-        from .inference import _net_db_input, _quantize_prob_u8
-        d = _net_db_input(x, use_meta=False)
-        logits = model.apply(variables, d, train=False)
+    def _tail(logits):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if od == "uint8":
             # the serving preset's d2h probability quantization — ONE
             # shared law with the live path (inference._quantize_prob_u8):
             # codes round(p*255), dequant = code/255, half the output
             # bytes, |dprob| <= 1/510 (DIVERGENCES.md "uint8 output codes")
+            from .inference import _quantize_prob_u8
             return _quantize_prob_u8(probs)
         return probs
+
+    if n_meta > 0:
+        # metadata artifact: TWO inputs — acoustic patches in
+        # transfer_dtype plus float32 NHWC meta channels (the live path
+        # never quantizes meta).  The host builds meta exactly like the
+        # live runner (inference._build_meta_inputs laws).
+        def fn(variables, x, meta):
+            from .inference import _net_db_input
+            d = _net_db_input(x, use_meta=True)
+            if late:
+                logits = model.apply(variables, d, meta=meta, train=False)
+            else:
+                logits = model.apply(
+                    variables, jnp.concatenate([d, meta], axis=-1),
+                    train=False)
+            return _tail(logits)
+
+        return fn, folded
+
+    def fn(variables, x):
+        # ONE shared input transform with the live predict/eval paths
+        # (scrub + dB for raw sv; dequantize for uint8 dB codes)
+        from .inference import _net_db_input
+        d = _net_db_input(x, use_meta=False)
+        logits = model.apply(variables, d, train=False)
+        return _tail(logits)
 
     return fn, folded
 
@@ -131,6 +157,8 @@ def export_predictor(model, variables, config, *, batch=None,
     """
     from jax import export as jexport
 
+    from ..data.meta_channels import get_in_channels
+
     fn, folded = make_serving_forward(model, variables, config)
     wh, ww = (int(s) for s in config["patch_size"])
     n_ch = len(config["frequencies"])
@@ -140,7 +168,10 @@ def export_predictor(model, variables, config, *, batch=None,
         b = int(batch)
     x_spec = jax.ShapeDtypeStruct((b, wh, ww, n_ch),
                                   _export_input_dtype(config))
-    return _export(fn, folded, x_spec, platforms)
+    n_meta = get_in_channels(config.get("meta_channels"))
+    specs = (x_spec,) if n_meta == 0 else \
+        (x_spec, jax.ShapeDtypeStruct((b, wh, ww, n_meta), jnp.float32))
+    return _export(fn, folded, specs, platforms)
 
 
 def export_slab_predictor(model, variables, config, *, platforms=None):
@@ -156,6 +187,8 @@ def export_slab_predictor(model, variables, config, *, platforms=None):
     """
     from jax import export as jexport
 
+    from ..data.meta_channels import get_in_channels
+
     fn, folded = make_serving_forward(model, variables, config)
     # pooling alignment comes from the MODEL's depth (the quantity the
     # slab path itself pads to, inference.py _predict_slab), not the
@@ -167,16 +200,21 @@ def export_slab_predictor(model, variables, config, *, platforms=None):
     b, h, w = jexport.symbolic_shape(f"b, {align}*h, {align}*w")
     x_spec = jax.ShapeDtypeStruct((b, h, w, n_ch),
                                   _export_input_dtype(config))
-    return _export(fn, folded, x_spec, platforms)
+    n_meta = get_in_channels(config.get("meta_channels"))
+    specs = (x_spec,) if n_meta == 0 else \
+        (x_spec, jax.ShapeDtypeStruct((b, h, w, n_meta), jnp.float32))
+    return _export(fn, folded, specs, platforms)
 
 
-def _export(fn, folded, x_spec, platforms):
-    """Shared lower/export tail for both artifact flavors."""
+def _export(fn, folded, specs, platforms):
+    """Shared lower/export tail for both artifact flavors; ``specs`` is
+    the tuple of input ShapeDtypeStructs (acoustic patches, and the
+    float32 meta channels for metadata artifacts)."""
     from jax import export as jexport
 
-    jitted = jax.jit(lambda x: fn(folded, x))
+    jitted = jax.jit(lambda *xs: fn(folded, *xs))
     platforms = tuple(platforms) if platforms is not None else None
-    return jexport.export(jitted, platforms=platforms)(x_spec)
+    return jexport.export(jitted, platforms=platforms)(*specs)
 
 
 def save_exported(exported, path) -> None:

@@ -80,19 +80,56 @@ def test_fixed_batch_rejects_other_sizes(model_and_vars, tmp_path):
         predict(_raw_patches(3))
 
 
-def test_meta_channels_rejected(model_and_vars):
+META6 = {"portion_year": True, "portion_day": True, "time_diff": True,
+         "depth_rel": True, "depth_abs_surface": True,
+         "depth_abs_seabed": True}
+
+
+@pytest.mark.parametrize("late", [False, True])
+def test_meta_artifact_matches_live_forward(tmp_path, late):
+    """Metadata models export as TWO-input artifacts (acoustic patches +
+    float32 meta channels), early-concat and late-MLP alike; the artifact
+    must equal the serving fn bit-for-bit and serve symbolic batches."""
+    from crimac_unet_tpu.data.meta_channels import get_in_channels
+
+    cfg = dict(CFG, meta_channels=META6, late_meta_inject=late)
+    model = build_unet(cfg)
+    M = get_in_channels(META6)
+    if late:
+        variables = model.init(jax.random.PRNGKey(2),
+                               jnp.zeros((1, 32, 32, 4)),
+                               meta=jnp.zeros((1, 32, 32, M)),
+                               train=False)
+    else:
+        variables = model.init(jax.random.PRNGKey(2),
+                               jnp.zeros((1, 32, 32, 4 + M)), train=False)
+    fn, folded = make_serving_forward(model, variables, cfg)
+    exported = export_predictor(model, variables, cfg)
+    path = tmp_path / "meta.stablehlo"
+    save_exported(exported, path)
+    predict = load_predictor(path)
+    rng = np.random.RandomState(9)
+    for b in (1, 3):
+        x = _raw_patches(b, seed=b)
+        meta = rng.standard_normal((b, 32, 32, M)).astype(np.float32)
+        got = np.asarray(predict(x, meta))
+        want = np.asarray(jax.jit(
+            lambda x, m: fn(folded, x, m))(x, meta))
+        assert got.shape == (b, 32, 32, 3)
+        np.testing.assert_array_equal(got, want)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-3)
+
+
+def test_meta_config_errors_rejected(model_and_vars):
     model, variables = model_and_vars
-    meta = {"portion_year": True, "portion_day": False, "time_diff": False,
-            "depth_rel": False, "depth_abs_surface": False,
-            "depth_abs_seabed": False}
-    with pytest.raises(ValueError, match="metadata-input"):
-        export_predictor(model, variables, dict(CFG, meta_channels=meta))
     # a partial dict is a config error, caught by the shared validator
     with pytest.raises(ValueError, match="meta_channels keys"):
         export_predictor(model, variables,
                          dict(CFG, meta_channels={"portion_year": True}))
-    # late-meta models need the extra input even with no channel dict
-    with pytest.raises(ValueError, match="metadata-input"):
+    # late-meta with zero channels: the model demands an input the
+    # config never produces
+    with pytest.raises(ValueError, match="zero metadata channels"):
         export_predictor(model, variables,
                          dict(CFG, late_meta_inject=True))
 

@@ -58,15 +58,22 @@ class SegPipeUNet:
 
     def _check_pool_meta(self, pool):
         """A meta-channel config needs a pool built WITH meta_channels
-        (per-echogram meta vectors resident in HBM) — catching the
-        mismatch here beats an opaque jit signature error at step time."""
+        (per-echogram meta vectors resident in HBM), and vice versa —
+        catching either mismatch here beats an opaque jit signature
+        error at step time."""
         from ..data.meta_channels import get_in_channels
-        if get_in_channels(self.config.get("meta_channels")) > 0 and \
-                getattr(pool, "meta_vectors", None) is None:
+        cfg_meta = get_in_channels(self.config.get("meta_channels")) > 0
+        pool_meta = getattr(pool, "meta_vectors", None) is not None
+        if cfg_meta and not pool_meta:
             raise ValueError(
                 "config enables meta_channels but the sample pool was "
                 "built without them; pass meta_channels to the pool "
                 "constructor (train.maybe_build_pool does this)")
+        if pool_meta and not cfg_meta:
+            raise ValueError(
+                "the sample pool carries meta_channels but the config "
+                "does not enable them; rebuild the pool without "
+                "meta_channels (or enable them in the config)")
 
     def attach_pool_val(self, pool):
         """Use an HBM-resident sample pool for VALIDATION batches: the

@@ -73,6 +73,17 @@ def maybe_build_pool(config, readers_train, budget_mb=None, role="train"):
             if get_in_channels(config.get("meta_channels")) > 0 else None)
     if meta and readers_train and \
             readers_train[0].data_format != "memmap":
+        if mode is True and role == "train":
+            # forced mode promises 'raises if impossible' (see the budget
+            # branch below) — zarr meta cannot pool, and silently training
+            # at the ~9x-slower host-crop rate would hide the broken force
+            raise ValueError(
+                "use_device_pool: true with meta_channels on zarr surveys "
+                "cannot pool (metadata channels are memmap-only, reference "
+                "dataset.py:245-252); set use_device_pool: auto/false or "
+                "drop meta_channels")
+        print(f"{role} device pool disabled: meta_channels on zarr "
+              "surveys use host crops (metadata is memmap-only)")
         return None
     window = tuple(config["patch_size"])
     freqs = sorted(config["frequencies"])

@@ -415,6 +415,49 @@ def test_run_training_pooled_meta_end_to_end(tmp_path):
     assert os.path.isfile(tmp_path / "ckpt" / "best.msgpack")
 
 
+def test_attach_pool_meta_mismatch_raises(pool_and_readers):
+    """Either direction of a config/pool meta mismatch fails loudly at
+    attach time, not as a jit signature error at the first step."""
+    from crimac_unet_tpu.data.device_pool import DeviceSamplePool
+    from crimac_unet_tpu.pipeline.segpipe import SegPipeUNet
+
+    _, readers = pool_and_readers
+    base = {"frequencies": [18, 38, 120, 200], "patch_size": [48, 48],
+            "loss_type": "CE", "batch_size": 2, "lr": 0.005,
+            "lr_step": 1000, "lr_reduction": 0.5, "momentum": 0.95,
+            "eval_mode": "all",
+            "random_seed": 1, "depth": 2, "start_filts": 4}
+    plain = DeviceSamplePool(readers, [18, 38, 120, 200], [48, 48])
+    meta_pool = DeviceSamplePool(readers, [18, 38, 120, 200], [48, 48],
+                                 meta_channels=ALL_META)
+    sp_meta = SegPipeUNet(dict(base, meta_channels=ALL_META))
+    with pytest.raises(ValueError, match="built without"):
+        sp_meta.attach_pool(plain)
+    sp_plain = SegPipeUNet(dict(base))
+    with pytest.raises(ValueError, match="does not enable"):
+        sp_plain.attach_pool(meta_pool)
+
+
+def test_forced_pool_zarr_meta_raises(tmp_path):
+    """use_device_pool: true + meta_channels on zarr surveys cannot pool
+    (meta is memmap-only) — forced mode raises instead of silently
+    training on host crops."""
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.pipeline.train import maybe_build_pool
+
+    sv = make_zarr_survey(tmp_path, year=2017, n_echograms=1, H=60, W=80,
+                          seed=5)
+    readers = [DataReaderZarr(sv)]
+    cfg = {"patch_size": [32, 32], "frequencies": [18, 38, 120, 200],
+           "meta_channels": ALL_META, "use_device_pool": True}
+    with pytest.raises(ValueError, match="memmap-only"):
+        maybe_build_pool(cfg, readers)
+    # auto mode falls back loudly (prints) but returns None
+    assert maybe_build_pool(dict(cfg, use_device_pool="auto"),
+                            readers) is None
+
+
 def test_zarr_pool_rejects_meta_channels(tmp_path):
     """Metadata channels are memmap-only (reference dataset.py:245-252) —
     a zarr pool with meta must fail loudly at construction."""

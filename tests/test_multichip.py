@@ -241,10 +241,12 @@ def test_slab_mode_ping_axis_sharding_parity(tmp_path):
     np.testing.assert_allclose(outs[1], outs[8], atol=2e-5)
 
 
-def test_slab_mode_meta_channels_sharded_parity(tmp_path):
-    """Sequence-parallel slab inference WITH metadata channels: the meta
-    slab is sharded along the same ping axis as the data slab; 8-device
-    outputs must match single-device."""
+@pytest.mark.parametrize("late", [False, True])
+def test_slab_mode_meta_channels_sharded_parity(tmp_path, late):
+    """Sequence-parallel slab inference WITH metadata channels (early
+    concat AND the late-MLP injection, whose separate meta tensor gets
+    its own ping-axis sharding constraint): 8-device outputs must match
+    single-device."""
     import jax
     import jax.numpy as jnp
     from crimac_unet_tpu.data.fixtures import make_survey_dir
@@ -264,11 +266,15 @@ def test_slab_mode_meta_channels_sharded_parity(tmp_path):
     cfg = {"patch_size": [32, 32], "patch_overlap": 4,
            "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
            "depth": 2, "start_filts": 4, "infer_mode": "slab",
-           "meta_channels": meta}
+           "meta_channels": meta, "late_meta_inject": late}
     model = build_unet(cfg)
     M = get_in_channels(meta)
-    v = model.init(jax.random.PRNGKey(21), jnp.zeros((1, 32, 32, 4 + M)),
-                   train=False)
+    if late:
+        v = model.init(jax.random.PRNGKey(21), jnp.zeros((1, 32, 32, 4)),
+                       meta=jnp.zeros((1, 32, 32, M)), train=False)
+    else:
+        v = model.init(jax.random.PRNGKey(21),
+                       jnp.zeros((1, 32, 32, 4 + M)), train=False)
     outs = {}
     for n_dev in (1, 8):
         runner = GriddedRunner(model, v, dict(cfg, mesh_devices=n_dev))

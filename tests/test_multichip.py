@@ -161,6 +161,41 @@ def test_multidevice_training_loss_parity(tmp_path):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_multidevice_pooled_meta_training_loss_parity(tmp_path):
+    """Pooled METADATA training over the 8-device mesh (meta vectors
+    replicated alongside the pool canvases, meta maps computed on each
+    device's shard of the batch) must reproduce the single-device loss
+    trajectory and final parameters."""
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    from crimac_unet_tpu.pipeline.train import run_training
+
+    make_survey_dir(tmp_path / "memm", year=2017, n_echograms=2, H=80,
+                    W=200, seed=25)
+    make_survey_dir(tmp_path / "memm", year=2016, n_echograms=1, H=80,
+                    W=200, seed=26)
+    meta = {"portion_year": True, "portion_day": True, "depth_rel": True,
+            "depth_abs_surface": True, "depth_abs_seabed": True,
+            "time_diff": True}
+    logs, pipes = {}, {}
+    for n in (1, 8):
+        cfg = dict(_train_cfg(tmp_path / "memm", n, mesh_devices=n),
+                   meta_channels=meta, use_device_pool=True)
+        log = _CaptureLogger()
+        pipes[n] = run_training(cfg, tmp_path / f"mckpt{n}", logger=log,
+                                progress=False)
+        logs[n] = log
+        assert pipes[n].pool is not None
+        assert pipes[n].pool.meta_vectors is not None
+    l1, l8 = logs[1].series("train/loss"), logs[8].series("train/loss")
+    assert len(l1) == len(l8) == 4
+    np.testing.assert_allclose(l1, l8, rtol=1e-3, atol=1e-4)
+    p1 = jax.tree_util.tree_leaves(pipes[1].state.params)
+    p8 = jax.tree_util.tree_leaves(pipes[8].state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_init_distributed_single_host_noop(monkeypatch):
     """Without coordinator config, init_distributed must not touch the
     runtime (single-host no-op)."""

@@ -93,6 +93,25 @@ def test_fast_train_preset_is_the_rescaled_reference_recipe():
     assert fast["lr"] == base["lr"] * scale
 
 
+def test_meta_train_preset_differs_only_in_meta_channels():
+    """config_meta_train.yaml: the baseline recipe with the six metadata
+    channel families enabled (early injection) — nothing else may drift."""
+    base = load_yaml_config(CONFIGS / "config_baseline.yaml")
+    meta = load_yaml_config(CONFIGS / "config_meta_train.yaml")
+    assert REFERENCE_KEYS <= set(meta)
+    diff = {k for k in set(base) | set(meta) if base.get(k) != meta.get(k)}
+    assert diff == {"meta_channels"}, diff
+    from crimac_unet_tpu.data.meta_channels import (META_CHANNEL_KEYS,
+                                                    get_in_channels,
+                                                    validate_meta_channels)
+    validate_meta_channels(meta["meta_channels"])
+    assert set(meta["meta_channels"]) == META_CHANNEL_KEYS
+    assert all(meta["meta_channels"].values())
+    assert get_in_channels(meta["meta_channels"]) == 7
+    assert meta["late_meta_inject"] is False
+    assert meta["data_mode"] == "memm"  # metadata is memmap-only
+
+
 def test_yaml_roundtrip_keys_are_plain_scalars():
     """Presets must survive yaml.safe_load/safe_dump untouched (the CLI
     writes merged configs back out for experiment provenance)."""

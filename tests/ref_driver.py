@@ -55,6 +55,20 @@ import types
 REFERENCE = "/root/reference/crimac_unet"
 
 
+def reference_available():
+    """True when the executed-parity harness can run: the reference
+    checkout is present and torch is importable.  The parity test
+    modules skip themselves otherwise, so the suite stays runnable on
+    machines without the (read-only, environment-provided) reference."""
+    if not os.path.isdir(REFERENCE):
+        return False
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def install_stubs():
     """Stub modules the reference imports at module scope (zarr-stack
     dependencies, absent here).  ``xarray`` gets a FUNCTIONAL eager stub

@@ -77,7 +77,7 @@ def test_flax_to_torch_roundtrip(tmp_path):
     round-trips bit-for-bit including the key set, so models trained
     here deploy back into the reference pipeline."""
     import numpy as np
-    import torch
+    torch = pytest.importorskip("torch")
 
     import jax
     import jax.numpy as jnp
@@ -136,6 +136,5 @@ def test_flax_to_torch_roundtrip(tmp_path):
     assert set(sd.keys()) == want_keys
 
     # folded (serving) params are rejected with a clear error
-    import pytest
     with pytest.raises(ValueError, match="batch_stats"):
         flax_to_torch_state_dict({"params": variables["params"]})

@@ -202,7 +202,7 @@ def test_transpose_conv_init_matches_torch_convention():
     (weight.size(1) — a torch quirk), NOT in_channels*k^2; our upconv
     kernel/bias init must use the same bound or from-scratch upsampling
     layers start sqrt(2) small (review finding r3)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     import jax
     import jax.numpy as jnp

@@ -42,6 +42,12 @@ from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
                                                 evaluate_reader,
                                                 save_reader_predictions_memm)
 
+import ref_driver
+
+pytestmark = pytest.mark.skipif(
+    not ref_driver.reference_available(),
+    reason="executed-parity harness needs /root/reference and torch")
+
 REPO = Path(__file__).resolve().parent.parent
 DEPTH, START_FILTS = 2, 8
 PATCH, OVERLAP = [64, 64], 8

@@ -38,6 +38,12 @@ from crimac_unet_tpu.data.memmap_reader import Echogram
 from crimac_unet_tpu.data.preprocess import echograms_to_zarr_survey
 from crimac_unet_tpu.data.zarrlite import ZGroup
 
+import ref_driver
+
+pytestmark = pytest.mark.skipif(
+    not ref_driver.reference_available(),
+    reason="executed-parity harness needs /root/reference and torch")
+
 REPO = Path(__file__).resolve().parent.parent
 YEAR = 2017
 # get_echograms' default minimum_shape=256 filter (data_reader.py:1166)

@@ -221,8 +221,7 @@ def consolidate_metadata(root) -> dict:
     # probe the three fixed metadata names per DIRECTORY instead of
     # listing the whole tree: a production store holds 10^5+ chunk files
     # and rglob would materialize every one to find ~a dozen JSON files
-    import os as _os
-    for dirpath, dirnames, _filenames in _os.walk(root):
+    for dirpath, dirnames, _filenames in os.walk(root):
         dirnames.sort()
         d = Path(dirpath)
         prefix = d.relative_to(root).as_posix()
@@ -615,6 +614,26 @@ class ZArray:
     def resize(self, new_shape) -> None:
         old_shape = self.shape
         new_shape = tuple(int(s) for s in new_shape)
+        if any(n > o for n, o in zip(new_shape, old_shape)):
+            # GROW: before exposing the larger shape, unlink any chunk
+            # files fully outside the committed shape — leftovers from a
+            # shrink interrupted between its .zarray commit and its
+            # unlink loop (the one crash window in this method).  Done
+            # while they are still out-of-bounds garbage, so a crash here
+            # leaves the old shape committed and the next grow retries.
+            import itertools
+            # no max(1, ...) floor on keep: a zero-length committed dim
+            # owns NO chunks, so even chunk 0 is stale (e.g. a crash after
+            # a resume truncation to start_ping=0 committed shape 0)
+            keep = [-(-o // c) for o, c in zip(old_shape, self.chunks)]
+            new_grid = [max(1, -(-n // c)) for n, c in zip(new_shape,
+                                                           self.chunks)]
+            for cidx in itertools.product(*(range(g) for g in new_grid)):
+                if all(ci < k for ci, k in zip(cidx, keep)):
+                    continue
+                p = self.path / self._chunk_key(cidx)
+                if p.is_file():
+                    p.unlink()
         self.meta["shape"] = list(new_shape)
         self.shape = new_shape
         self._write_meta()
@@ -695,6 +714,11 @@ class ZGroup:
             else:
                 raise FileExistsError(str(path))
         path.mkdir(parents=True)
+        # creating a group inside a consolidated tree makes any enclosing
+        # .zmetadata snapshot stale (it lacks the new child) — drop it
+        # before the child becomes visible, same invariant as
+        # ZArray._write_meta
+        _invalidate_consolidated(path.parent)
         # atomic like every other metadata write in this module: a crash
         # mid-create must not leave a torn .zgroup/.zattrs that poisons
         # the next resume attempt

@@ -639,7 +639,10 @@ def save_detections_csv(inventory: list, save_path) -> None:
                          "endpingtime": at(tv, x1),
                          "score": d["score"],
                          "n_pixels": d["n_pixels"]})
-    pd.DataFrame(rows, columns=DETECTION_CSV_COLUMNS).to_csv(save_path)
+    # index=False: the documented schema is exactly DETECTION_CSV_COLUMNS —
+    # a pandas index column would shift positional readers by one
+    pd.DataFrame(rows, columns=DETECTION_CSV_COLUMNS).to_csv(save_path,
+                                                             index=False)
 
 
 def save_school_metrics(metrics: dict, save_path) -> None:
@@ -667,7 +670,7 @@ def save_school_metrics(metrics: dict, save_path) -> None:
     df = pd.DataFrame(rows)
     df["prob_threshold"] = metrics.get("prob_threshold", np.nan)
     df["min_area"] = metrics.get("min_area", np.nan)
-    df.to_csv(save_path)
+    df.to_csv(save_path, index=False)
 
 
 def main(argv=None):

@@ -94,7 +94,7 @@ def test_cli_train_evaluate_save_predict(workdir):
     school_csvs = list((wd / "metrics").rglob("2017_school_eval.csv"))
     assert school_csvs
     import pandas as pd
-    df = pd.read_csv(school_csvs[0], index_col=0)
+    df = pd.read_csv(school_csvs[0])
     assert "AP" in df.columns and len(df) >= 2
 
     (wd / "preds").mkdir(exist_ok=True)

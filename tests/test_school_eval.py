@@ -224,7 +224,7 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
             assert len(m[key]) == len(DEFAULT_IOU_THRESHOLDS)
 
     import pandas as pd
-    df = pd.read_csv(out_csv, index_col=0)
+    df = pd.read_csv(out_csv)
     # per category: |thresholds| rows + 1 summary; + 1 overall mAP row
     assert len(df) == 2 * (len(DEFAULT_IOU_THRESHOLDS) + 1) + 1
     assert {"category", "iou_threshold", "AP", "recall", "precision",
@@ -236,7 +236,7 @@ def test_school_eval_survey_end_to_end(tmp_path, zarr_survey):
     # detection inventory CSV: one row per detection, objects-CSV naming
     # incl. physical coordinates (meters / ping_time)
     from crimac_unet_tpu.pipeline.school_eval import DETECTION_CSV_COLUMNS
-    ddf = pd.read_csv(det_csv, index_col=0)
+    ddf = pd.read_csv(det_csv)
     n_dets = sum(m["n_detections"]
                  for m in metrics["categories"].values())
     assert len(ddf) == n_dets

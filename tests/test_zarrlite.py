@@ -489,3 +489,58 @@ def test_out_of_bounds_integer_index_raises(tmp_path):
     assert float(a[10]) == 7.0
     # slices still clamp like numpy
     assert a[10:99].shape == (2,)
+
+
+def test_interrupted_shrink_never_resurfaces_on_grow(tmp_path):
+    """resize-shrink commits the smaller shape BEFORE unlinking the
+    out-of-bounds chunk files; a crash in that window leaves stale chunk
+    files behind.  resize-GROW must treat them as garbage — unlinking
+    anything fully outside the committed shape before exposing the new
+    one — so the regrown region reads as fill, never as pre-shrink data
+    (review finding r3)."""
+    a = ZArray.create(tmp_path / "x", (12,), (4,), np.float32,
+                      fill_value=0.0)
+    a[:] = np.arange(12, dtype=np.float32)
+    # emulate the crash: commit the shrunken shape directly, skipping the
+    # unlink loop (exactly the state a kill after _write_meta leaves)
+    a.meta["shape"] = [4]
+    a.shape = (4,)
+    a._write_meta()
+    b = ZArray.open(tmp_path / "x")
+    assert b.shape == (4,)
+    assert (tmp_path / "x" / "1").is_file()  # the stale leftover
+    b.resize([12])
+    out = b[:]
+    np.testing.assert_array_equal(out[:4], np.arange(4, dtype=np.float32))
+    # stale chunks 1-2 must NOT resurface as the pre-shrink 4..11
+    np.testing.assert_array_equal(out[4:], np.zeros(8, np.float32))
+
+
+def test_interrupted_shrink_to_zero_then_grow(tmp_path):
+    """Same crash window with a shrink to length 0 (the resume
+    truncation to start_ping=0 case): even chunk 0 is stale and must be
+    dropped by the next grow."""
+    a = ZArray.create(tmp_path / "x", (6,), (4,), np.float32,
+                      fill_value=0.0)
+    a[:] = np.arange(6, dtype=np.float32)
+    a.meta["shape"] = [0]
+    a.shape = (0,)
+    a._write_meta()
+    b = ZArray.open(tmp_path / "x")
+    b.resize([6])
+    np.testing.assert_array_equal(b[:], np.zeros(6, np.float32))
+
+
+def test_group_create_invalidates_enclosing_snapshot(tmp_path):
+    """Creating a child group inside a consolidated tree drops the
+    enclosing .zmetadata (it lacks the new child — real-zarr
+    open_consolidated readers would otherwise never see it)."""
+    g = ZGroup.create(tmp_path / "g.zarr")
+    g.create_array("x", (2,), (2,), np.float32, fill_value=0)
+    g.consolidate()
+    zm = tmp_path / "g.zarr" / ".zmetadata"
+    assert zm.is_file()
+    ZGroup.create(tmp_path / "g.zarr" / "sub")
+    assert not zm.is_file()
+    doc = g.consolidate()
+    assert "sub/.zgroup" in doc["metadata"]

@@ -10,7 +10,7 @@ worker forks.
 
 Batch layout: data (B, C, wh, ww) float32 raw sv, labels (B, wh, ww) int32
 raw codes, seabed_row (B, ww) int32 patch-row of seabed+pad (BIG_ROW where
-absent/outside data), centers (B, 2).
+absent/outside data).
 """
 
 from __future__ import annotations
@@ -116,20 +116,20 @@ class RandomPatchDataset:
             samples = [self._draw() for _ in range(batch_size)]
             idxs, starts = self.pool.prepare_batch(
                 [(reader, center) for center, reader in samples])
-            out = {"ech_idx": idxs, "starts": starts,
-                   "centers": np.stack([np.asarray(c)
-                                        for c, _ in samples])}
+            out = {"ech_idx": idxs, "starts": starts}
             if getattr(self, "pool_with_seabed", False):
                 out["seabed_row"] = np.stack(
                     [seabed_patch_row(reader, center, self.window_size)
                      for center, reader in samples])
             return out
         parts = [self.sample() for _ in range(batch_size)]
+        # NOTE: sampler centers (p[3]) are deliberately NOT in the batch:
+        # no train/eval step consumes them, and every batch key is shipped
+        # host->device each step by device_prefetch (review finding r3)
         out = {
             "data": np.stack([p[0] for p in parts]),
             "labels": np.stack([p[1] for p in parts]),
             "seabed_row": np.stack([p[2] for p in parts]),
-            "centers": np.stack([p[3] for p in parts]),
         }
         if self.meta_channels:
             out["meta"] = np.stack([p[4] for p in parts])

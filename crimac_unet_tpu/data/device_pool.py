@@ -189,6 +189,13 @@ class DeviceSamplePool:
         self.meta_flags = ()
         self.meta_vectors = None
         if meta_channels and any(meta_channels.values()):
+            if wh % 2 or ww % 2:
+                # crop_meta (the host path this must stay bit-identical
+                # to) rejects odd windows — mirror the guard here instead
+                # of silently filling a shifted grid
+                raise ValueError(
+                    f"metadata channels require even patch dims, got "
+                    f"{self.window} (see data/meta_channels.crop_meta)")
             self.meta_flags = tuple(k for k in META_ORDER
                                     if meta_channels.get(k))
             self.meta_vectors = _meta_vector_arrays(readers, meta_channels)

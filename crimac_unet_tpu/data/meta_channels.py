@@ -35,9 +35,15 @@ META_CHANNEL_KEYS = set(META_CHANNEL_WEIGHTS)
 
 
 def get_in_channels(meta_channels) -> int:
-    """Number of metadata input channels (reference pipeline.py:413-425)."""
+    """Number of metadata input channels (reference pipeline.py:413-425).
+
+    Validates first: a partial dict (e.g. ``meta_channels:
+    {portion_year: 1}``) used to die with a bare ``KeyError`` from the
+    train wiring before ``validate_meta_channels`` ever ran on that
+    path (review finding r3)."""
     if not meta_channels:
         return 0
+    validate_meta_channels(meta_channels)
     return int(sum(int(meta_channels[k]) * w
                    for k, w in META_CHANNEL_WEIGHTS.items()))
 
@@ -45,6 +51,10 @@ def get_in_channels(meta_channels) -> int:
 def validate_meta_channels(meta_channels) -> None:
     if not meta_channels:
         return
+    if not hasattr(meta_channels, "keys"):
+        raise ValueError(
+            f"meta_channels must be a mapping of the six channel-family "
+            f"flags (or empty), got {type(meta_channels).__name__}")
     # the reference accepts 0/1 ints in the YAML (it only multiplies /
     # truth-tests them) — reject anything else, but don't break
     # reference-era configs that worked upstream
@@ -63,6 +73,14 @@ def crop_meta(echogram, center, window, meta_channels) -> np.ndarray:
         raise ValueError("metadata channels are memmap-only (reference "
                          "dataset.py:245-252)")
     wh, ww = window
+    if wh % 2 or ww % 2:
+        # the reference meta grid arange(c - w//2, c + w//2) yields w-1
+        # elements for odd w (np.stack then fails on mismatched shapes)
+        # while the pooled device path always fills the window — fail
+        # loudly instead of crashing opaquely / diverging silently
+        raise ValueError(
+            f"metadata channels require even patch dims, got {window} "
+            "(reference dataset.py:288-351 arange grid law)")
     # same water-column recenter as crop_data/crop_labels: the reference
     # mutates the SHARED center_location in place before its meta block
     # (dataset.py:260-261), so meta rows must describe the recentered

@@ -57,23 +57,45 @@ class SegPipeUNet:
         self._eval_step_pooled = None
 
     def _check_pool_meta(self, pool):
-        """A meta-channel config needs a pool built WITH meta_channels
-        (per-echogram meta vectors resident in HBM), and vice versa —
-        catching either mismatch here beats an opaque jit signature
-        error at step time."""
-        from ..data.meta_channels import get_in_channels
-        cfg_meta = get_in_channels(self.config.get("meta_channels")) > 0
-        pool_meta = getattr(pool, "meta_vectors", None) is not None
-        if cfg_meta and not pool_meta:
+        """A meta-channel config needs a pool built WITH the SAME
+        meta_channels (per-echogram meta vectors resident in HBM) —
+        catching presence mismatches here beats an opaque jit signature
+        error at step time, and catching flag-SET mismatches prevents
+        silently training on the wrong meta features when the channel
+        counts happen to coincide (review finding r3)."""
+        from ..data.device_pool import META_ORDER
+        cfg = self.config.get("meta_channels") or {}
+        cfg_flags = tuple(k for k in META_ORDER if cfg.get(k))
+        pool_flags = tuple(getattr(pool, "meta_flags", ()) or ())
+        if cfg_flags and not pool_flags:
             raise ValueError(
                 "config enables meta_channels but the sample pool was "
                 "built without them; pass meta_channels to the pool "
                 "constructor (train.maybe_build_pool does this)")
-        if pool_meta and not cfg_meta:
+        if pool_flags and not cfg_flags:
             raise ValueError(
                 "the sample pool carries meta_channels but the config "
                 "does not enable them; rebuild the pool without "
                 "meta_channels (or enable them in the config)")
+        if cfg_flags != pool_flags:
+            raise ValueError(
+                f"meta_channels mismatch: config enables {cfg_flags} but "
+                f"the sample pool was built with {pool_flags}; rebuild "
+                "the pool with the config's meta_channels")
+
+    def _attach(self, pool, step_factory, attr):
+        """Shared pool-attachment: meta guard, pooled step build, and
+        multi-device replication (one copy of the logic for the train and
+        validation roles — they drifted as two near-identical blocks)."""
+        self._check_pool_meta(pool)
+        setattr(self, attr, step_factory(self.model, self.config))
+        if len(self.mesh.devices.ravel()) > 1:
+            pool.data = replicate_tree(self.mesh, pool.data)
+            pool.labels = replicate_tree(self.mesh, pool.labels)
+            if pool.meta_vectors is not None:
+                pool.meta_vectors = replicate_tree(self.mesh,
+                                                   pool.meta_vectors)
+        return pool
 
     def attach_pool_val(self, pool):
         """Use an HBM-resident sample pool for VALIDATION batches: the
@@ -81,16 +103,8 @@ class SegPipeUNet:
         device instead of shipping ~8 MB per test batch (the validation
         loop is test_iter x batch crops every log_step — it dominated the
         full-recipe wall on slow hosts)."""
-        self._check_pool_meta(pool)
-        self._eval_step_pooled = engine.make_eval_step_pooled(
-            self.model, self.config)
-        if len(self.mesh.devices.ravel()) > 1:
-            pool.data = replicate_tree(self.mesh, pool.data)
-            pool.labels = replicate_tree(self.mesh, pool.labels)
-            if pool.meta_vectors is not None:
-                pool.meta_vectors = replicate_tree(self.mesh,
-                                                   pool.meta_vectors)
-        self.pool_val = pool
+        self.pool_val = self._attach(pool, engine.make_eval_step_pooled,
+                                     "_eval_step_pooled")
         return self
 
     def attach_pool(self, pool):
@@ -98,16 +112,8 @@ class SegPipeUNet:
         (echogram, start) coordinates, crops gather on device inside the
         train step (data/device_pool.py; the reference ships every crop
         through DataLoader workers instead, train.py:73-79)."""
-        self._check_pool_meta(pool)
-        self._train_step_pooled = engine.make_train_step_pooled(
-            self.model, self.config)
-        if len(self.mesh.devices.ravel()) > 1:
-            pool.data = replicate_tree(self.mesh, pool.data)
-            pool.labels = replicate_tree(self.mesh, pool.labels)
-            if pool.meta_vectors is not None:
-                pool.meta_vectors = replicate_tree(self.mesh,
-                                                   pool.meta_vectors)
-        self.pool = pool
+        self.pool = self._attach(pool, engine.make_train_step_pooled,
+                                 "_train_step_pooled")
         return self
 
     # ----------------------------------------------------------- lifecycle

@@ -558,3 +558,51 @@ def test_pool_preserves_caller_frequency_order(tmp_path):
     for c, f in enumerate(order):
         want = np.nan_to_num(np.asarray(ech.data_memmaps(f)[0]), nan=0.0)
         np.testing.assert_allclose(got[c], want, rtol=1e-6)
+
+
+def test_attach_pool_meta_flagset_mismatch_raises(pool_and_readers):
+    """Same-COUNT but different-SET meta flags must also fail at attach
+    time: the pooled gather computes maps from the pool's flags while the
+    model is sized from the config's count — coinciding counts would
+    otherwise train silently on the wrong features (review finding r3)."""
+    from crimac_unet_tpu.data.device_pool import DeviceSamplePool
+    from crimac_unet_tpu.pipeline.segpipe import SegPipeUNet
+
+    _, readers = pool_and_readers
+    base = {"frequencies": [18, 38, 120, 200], "patch_size": [48, 48],
+            "loss_type": "CE", "batch_size": 2, "lr": 0.005,
+            "lr_step": 1000, "lr_reduction": 0.5, "momentum": 0.95,
+            "eval_mode": "all",
+            "random_seed": 1, "depth": 2, "start_filts": 4}
+    # both sets count 3 channels: {portion_day(2) + portion_year(1)} vs
+    # {time_diff, depth_rel, depth_abs_surface}
+    flags_a = dict.fromkeys(ALL_META, 0) | {"portion_day": 1,
+                                            "portion_year": 1}
+    flags_b = dict.fromkeys(ALL_META, 0) | {"time_diff": 1, "depth_rel": 1,
+                                            "depth_abs_surface": 1}
+    pool_a = DeviceSamplePool(readers, [18, 38, 120, 200], [48, 48],
+                              meta_channels=flags_a)
+    sp_b = SegPipeUNet(dict(base, meta_channels=flags_b))
+    with pytest.raises(ValueError, match="meta_channels mismatch"):
+        sp_b.attach_pool(pool_a)
+
+
+def test_meta_guards_partial_dict_and_odd_window(pool_and_readers):
+    """get_in_channels rejects partial flag dicts with the validator's
+    message (not a bare KeyError), and odd patch dims fail loudly in both
+    the host crop path and the pool constructor (the reference arange
+    grid law only fills even windows)."""
+    from crimac_unet_tpu.data.device_pool import DeviceSamplePool
+    from crimac_unet_tpu.data.meta_channels import (crop_meta,
+                                                    get_in_channels)
+
+    _, readers = pool_and_readers
+    with pytest.raises(ValueError, match="keys must be"):
+        get_in_channels({"portion_year": 1})
+    with pytest.raises(ValueError, match="must be a mapping"):
+        get_in_channels(["portion_year"])
+    with pytest.raises(ValueError, match="even patch dims"):
+        crop_meta(readers[0], [24, 24], (47, 48), ALL_META)
+    with pytest.raises(ValueError, match="even patch dims"):
+        DeviceSamplePool(readers, [18, 38, 120, 200], [48, 47],
+                         meta_channels=ALL_META)

@@ -30,1630 +30,30 @@ Parity notes (derived from the reference call stacks, SURVEY.md §3.2/3.3):
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from ..constants import LABEL_BOUNDARY_VAL, SEABED_PAD
-from ..ops import data_ops, label_ops, metrics
-from ..ops.label_ops import BIG_ROW
-from ..ops.patches import grid_dims, make_grid_starts
-from ..ops.stitch import stitch_patches
-from ..utils.general import PhaseTimer
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _unpack_bits(packed, n_cols: int):
-    """Device-side inverse of ``np.packbits(mask, axis=1)`` (big-endian
-    bit order): (H, ceil(n/8)) uint8 -> (H, n_cols) bool."""
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
-    return (bits.reshape(packed.shape[0], -1)[:, :n_cols]) != 0
-
-
-# transfer_dtype='uint8': dB codes per the [-75, 0] clip range.  code =
-# round((dB + 75) * 255/75); dequant = code * 75/255 - 75 (exact -75/0 at
-# the endpoints, <=75/255/2 = 0.147 dB quantization error between).
-DB_U8_SCALE = 255.0 / 75.0
-
-# output_dtype='uint8' d2h codes: code -> float16(code / 255), the value
-# written to the prediction store.  One 256-entry table keeps the
-# dequantization a single fancy-index on the host drain path.
-_U8_PROB_DEQUANT = (np.arange(256, dtype=np.float32)
-                    / np.float32(255.0)).astype(np.float16)
-
-
-def _quantize_prob_u8(probs):
-    """The output_dtype='uint8' quantization law, shared by the live d2h
-    path (_mask_output) and the AOT artifact (pipeline/export.py) so the
-    two cannot drift: codes ``round(p * 255)`` — softmax outputs are
-    finite in [0, 1] so the round-then-cast is exact and masked pixels
-    (0.0) map to code 0; dequant = code / 255 (``_U8_PROB_DEQUANT``)."""
-    return jnp.round(probs * 255.0).astype(jnp.uint8)
-
-
-def _quantize_db_u8(x):
-    """Host-side dB transform + clip + 8-bit quantization
-    (transfer_dtype='uint8' serving mode).
-
-    Matches the device chain remove_nan_inf -> db_with_limits exactly for
-    non-finite sv: scrub to 0 FIRST (like the device's isfinite scrub —
-    doing it after the log would let +inf slip through the clip as 0 dB
-    full-signal), then dB(1e-10) = -100 -> clipped -75 -> code 0.  One
-    documented divergence: NEGATIVE sv (possible in noise-subtracted
-    recordings) yields NaN through the exact chain's log10 and propagates
-    NaN into the network; uint8 codes cannot carry NaN, so negatives
-    clamp to code 0 (-75 dB) instead (DIVERGENCES.md)."""
-    x = np.where(np.isfinite(x), x, np.float32(0.0))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        d = (10.0 * np.log10(x + 1e-10)).astype(np.float32, copy=False)
-    np.clip(d, -75.0, 0.0, out=d)        # negatives' NaN survives clip ...
-    d = np.where(np.isfinite(d), d, -75.0)  # ... scrub it to the floor
-    d += 75.0
-    d *= DB_U8_SCALE
-    d += 0.5                             # round-half-up via the trunc cast
-    return d.astype(np.uint8)
-
-
-def _net_db_input(x, use_meta: bool):
-    """Device-side network-input transform shared by the predict (patch +
-    slab) and eval paths so the three cannot drift: uint8 arrays hold
-    host-computed dB codes (_quantize_db_u8 — dequantize only; the scaled
-    meta variant reduces to code/255 exactly), anything else holds raw sv
-    (scrub non-finite to 0, then db_with_limits[_scaled]).  dtype is
-    static at trace time, so each jit program compiles exactly one
-    branch."""
-    if x.dtype == jnp.uint8:
-        x = x.astype(jnp.float32)
-        return x / 255.0 if use_meta else x / DB_U8_SCALE - 75.0
-    x = x.astype(jnp.float32)
-    x = jnp.where(jnp.isfinite(x), x, 0.0)
-    return data_ops.db_with_limits_scaled(x) if use_meta \
-        else data_ops.db_with_limits(x)
-
-
-def _convert_labels_host(labels):
-    """Host mirror of the device label-conversion step: the float32 eval
-    path casts the gathered label patch ``astype(int32)`` (truncation)
-    and then applies ops.label_ops.convert_label_indexing(...,
-    mark_unused_species=True) — raw species codes {0, 27, 1} -> {0, 1, 2},
-    other positive codes -> LABEL_UNUSED_SPECIES, the rest ->
-    LABEL_IGNORE_VAL.  This mirrors BOTH steps exactly (incl. the
-    truncation of fractional codes: 27.5 -> 27 -> SANDEEL, -0.5 -> 0 ->
-    BACKGROUND); non-finite values — undefined through an int32 cast —
-    map deterministically to LABEL_IGNORE_VAL (zarr slabs are
-    nan_to_num'd to BOUNDARY == IGNORE before reaching here anyway).
-    Quantized-transfer eval converts the label slab here and ships int8
-    (4x fewer label bytes than float32; every converted value fits
-    int8); equality with the device chain is pinned in
-    tests/test_eval_parity.py."""
-    from ..constants import (BACKGROUND, LABEL_IGNORE_VAL,
-                             LABEL_UNUSED_SPECIES, OTHER, RAW_OTHER,
-                             RAW_SANDEEL, SANDEEL)
-    if np.issubdtype(labels.dtype, np.floating):
-        labels = np.where(np.isfinite(labels), labels,
-                          float(LABEL_IGNORE_VAL))
-    li = labels.astype(np.int32)  # device-equal truncation
-    out = np.full(li.shape, LABEL_IGNORE_VAL, np.int8)
-    out[li == 0] = BACKGROUND
-    out[li == RAW_SANDEEL] = SANDEEL
-    out[li == RAW_OTHER] = OTHER
-    unused = (li > 0) & (li != RAW_SANDEEL) & (li != RAW_OTHER)
-    out[unused] = LABEL_UNUSED_SPECIES
-    return out
-
-
-def _fill_hwc_slab(reader, frequencies, data_slab, slab_x0, slab_x1,
-                   slab_y1, row_off, x_off):
-    """Read survey columns [slab_x0, slab_x1) x rows [0, slab_y1) for all
-    ``frequencies`` and write them into ``data_slab`` (an (Hp, Wp, C)
-    HWC-layout host array) at (row_off, x_off).  Shared by the predict and
-    eval slab builders so their device layouts cannot diverge."""
-    w = slab_x1 - slab_x0
-    if w <= 0:
-        return
-    region = np.s_[row_off:row_off + slab_y1, x_off:x_off + w, :]
-    if reader.data_format == "zarr":
-        # single-pass native decode+scatter straight into the HWC slab
-        # (no intermediate (C, ping, range) buffer, no transpose pass)
-        reader.read_data_into(slab_x0, w, 0, slab_y1, frequencies,
-                              data_slab, region)
-    else:
-        # per-channel strided assignment: one pass, no stacked temporary
-        for c, m in enumerate(reader.data_memmaps(frequencies)):
-            data_slab[row_off:row_off + slab_y1, x_off:x_off + w, c] = \
-                m[:slab_y1, slab_x0:slab_x1]
-
-
-class GriddedRunner:
-    """Shared device programs for gridded predict/eval over one model."""
-
-    def __init__(self, model, variables, config):
-        from ..data.meta_channels import (get_in_channels,
-                                          validate_meta_channels)
-        from ..models.fold_bn import fold_for_serving
-        # serving optimization: fold BatchNorm (a frozen per-channel
-        # affine at inference) into the conv kernels/biases — removes
-        # every BN op from the forward. Default on; disable with
-        # fold_bn: false for A/B checks. ONE policy shared with the AOT
-        # export (models/fold_bn.fold_for_serving) so live serving and
-        # exported artifacts cannot diverge.
-        self.model, served = fold_for_serving(model, variables, config)
-        self.params = served["params"]
-        self.batch_stats = served.get("batch_stats", {})
-        self.window = tuple(config["patch_size"])       # (wh, ww)
-        self.overlap = int(config["patch_overlap"])
-        self.frequencies = sorted(config["frequencies"])
-        self.fwd_batch = int(config.get("fwd_batch", 32))
-        self.meta_channels = config.get("meta_channels") or None
-        self.pipeline_depth = int(config.get("pipeline_depth", 3))
-        # h2d slab quantization: 'bfloat16' (default; halves transfer
-        # bytes, <=0.02 dB data perturbation), 'float32' (exact), or
-        # 'uint8' (serving mode, predict AND eval: the host applies the
-        # dB transform and ships 8-bit dB codes — 4x fewer data bytes
-        # than float32, <=0.147 dB perturbation; the eval label chain
-        # stays bit-exact via host-packed predicates, DIVERGENCES.md)
-        self.transfer_dtype = str(config.get("transfer_dtype", "bfloat16"))
-        if self.transfer_dtype not in ("bfloat16", "float32", "uint8"):
-            raise ValueError(f"transfer_dtype must be 'bfloat16', "
-                             f"'float32' or 'uint8', "
-                             f"got {self.transfer_dtype!r}")
-        # d2h probability quantization: 'float16' (default — the exact
-        # on-disk dtype comes back from the device) or 'uint8' (serving
-        # mode: the device emits codes round(p * 255) and the host
-        # dequantizes to float16 before the zarr write — halves d2h
-        # bytes, |dprob| <= 1/510 + f16 rounding; pixels the f16 path
-        # stores as subnormal-tiny probabilities land on code 0, so the
-        # stored zero set grows by p < 1/510 pixels.  The write MASK
-        # itself is unchanged — save_labels uses the device keep mask,
-        # not `pred != 0`.)  See DIVERGENCES.md "uint8 output codes".
-        self.output_dtype = str(config.get("output_dtype", "float16"))
-        if self.output_dtype not in ("float16", "uint8"):
-            raise ValueError(f"output_dtype must be 'float16' or 'uint8', "
-                             f"got {self.output_dtype!r}")
-        # 'patch' (default, bit-parity with the reference's window
-        # formulation) or 'slab' (fully-convolutional whole-chunk
-        # forward; faster, no per-patch padding artifacts — see
-        # _predict_slab and DIVERGENCES.md)
-        self.infer_mode = str(config.get("infer_mode", "patch"))
-        # static_grid: compile ONE predict program for every chunk of a
-        # survey.  The reference grid (gridded.py:121-163) re-derives the
-        # grid height from each chunk's max seabed, so surveys with varying
-        # bathymetry trigger one XLA compile per distinct height — each a
-        # multi-minute round trip on remote-compile setups.  With
-        # static_grid the grid is padded to the survey-max height (and the
-        # tail chunk to full-chunk width) and a dynamic row cutoff in
-        # _mask_output discards the pad rows.  In patch mode outputs stay
-        # BIT-IDENTICAL to the per-chunk formulation (live patches read the
-        # same slab values; tests/test_inference_parity.py).  In slab mode
-        # the fully-convolutional forward's context at the per-chunk grid's
-        # bottom/right edge changes (zero rows w/ bias propagation vs conv
-        # zero-padding at the array edge), so kept pixels within ~RF of
-        # those edges move by f16-level amounts — masks stay identical and
-        # the interior is exact.  The trade is pad FLOPs for compiles;
-        # patches_processed counts the padded grid (the pad forwards are
-        # real device work).
-        self.static_grid = bool(config.get("static_grid", False))
-        if self.infer_mode not in ("patch", "slab"):
-            raise ValueError(f"infer_mode must be 'patch' or 'slab', "
-                             f"got {self.infer_mode!r}")
-        validate_meta_channels(self.meta_channels)
-        self.use_meta = get_in_channels(self.meta_channels) > 0
-        self.late_meta = bool(config.get("late_meta_inject", False))
-        self.timer = PhaseTimer()
-        self.patches_processed = 0  # forward-pass patch count (for MFU)
-        wh, ww = self.window
-        self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
-        if self.infer_mode == "slab":
-            # metadata channels are supported fully convolutionally: the
-            # per-pixel families (time_diff, depth_*) use the exact patch
-            # meta law, and the per-patch-constant families are evaluated
-            # at each pixel's own column (portion_day divergence documented
-            # in DIVERGENCES.md; see _build_meta_slab_full)
-            # patch-interior agreement with patch mode requires the slab's
-            # pooling grid to line up with every patch's pooling grid:
-            # stride and overlap must be multiples of 2**(depth-1).  The
-            # baseline geometry (patch 256, overlap 20 -> stride 216,
-            # alignment 16) is misaligned, so slab outputs differ at every
-            # pixel (small, see DIVERGENCES.md), not just near borders.
-            div = 2 ** (self.model.depth - 1)
-            if self.stride[0] % div or self.stride[1] % div or \
-                    self.overlap % div:
-                import warnings
-                warnings.warn(
-                    f"infer_mode='slab' with stride {self.stride} / overlap "
-                    f"{self.overlap} not multiples of 2**(depth-1)={div}: "
-                    "the slab pooling grid is misaligned with the patch "
-                    "grid, so outputs diverge (slightly) from patch mode at "
-                    "every pixel, not only near patch borders "
-                    "(see DIVERGENCES.md)", stacklevel=2)
-
-        # multi-chip: shard the patch batch over a 1-D data mesh; params
-        # replicated (set mesh_devices > 1 or 0 = all)
-        self.mesh = None
-        n_dev = int(config.get("mesh_devices", 1) or len(jax.devices()))
-        if n_dev > 1 and len(jax.devices()) > 1:
-            from ..parallel.mesh import get_mesh, replicated
-            self.mesh = get_mesh(n_dev)
-            repl = replicated(self.mesh)
-            self.params = jax.device_put(self.params, repl)
-            self.batch_stats = jax.device_put(self.batch_stats, repl)
-            # pad forward batches to a multiple of the mesh size
-            n = len(self.mesh.devices.ravel())
-            self.fwd_batch = _round_up(self.fwd_batch, n)
-
-    @property
-    def variables(self):
-        return {"params": self.params, "batch_stats": self.batch_stats}
-
-    def _sub_batch_shape(self, N: int) -> tuple[int, int, int]:
-        """Split N patches into ``nb`` sub-batches of size ``B``
-        (padded total ``Np = nb*B``), minimizing padding waste subject to
-        an 8-patch granularity.
-
-        ``nb = ceil(N/fwd_batch)`` then ``B = ceil(N/nb)`` rounded up to
-        8 (and to the mesh size): a 33-patch grid runs as 2x24 (15 pad)
-        instead of 2x32 (31 pad).  The granularity is empirical, not a
-        correctness constraint: measured on v5e, the fused program at
-        B=32 beats the zero-padding B=25 version in absolute wall
-        (53.2 ms vs 56.0 ms for the same 25 useful patches) — XLA tiles
-        the off-multiple batch shapes worse than it pays for the padded
-        patches.  ``fwd_batch`` stays a hard cap (it bounds peak
-        activation memory): the mesh size is a correctness constraint,
-        but the 8-granularity is applied only when it fits under the cap.
-        """
-        hard = 1
-        if self.mesh is not None:
-            hard = len(self.mesh.devices.ravel())
-        nb = max(1, -(-N // max(self.fwd_batch, 1)))
-        B = _round_up(-(-N // nb), hard)
-        soft = _round_up(B, _round_up(8, hard))
-        if soft <= max(self.fwd_batch, B):
-            B = soft
-        return B, nb * B, nb
-
-    # ------------------------------------------------------------ forward
-    def _shard(self, x):
-        """Constrain a patch batch to the data mesh (no-op single device);
-        XLA inserts the redistribution and runs the U-Net data-parallel
-        over ICI."""
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("data")))
-
-    def _shard_nb(self, x):
-        """Constrain a pre-batched (nb, B, ...) array so the SUB-BATCH axis
-        is sharded over the data mesh.  Applied to the patch *indices*
-        before the gather, this makes each device gather its own patches
-        from the replicated slab — no post-gather redistribute (VERDICT r1
-        weak #5: the old flat gather forced an ICI all-to-all per forward
-        batch)."""
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        spec = (None, "data") + (None,) * (x.ndim - 2)
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P(*spec)))
-
-    def _forward_probs(self, variables, patches_nhwc, meta_nhwc):
-        """(nb, B, wh, ww, C) -> (nb, B, wh, ww, 3) softmax probabilities.
-
-        ``variables`` is threaded as an explicit argument (not closed over)
-        so the compiled executables don't embed the 31M parameters and a
-        new checkpoint doesn't force a recompile."""
-        def one(args):
-            batch, meta = args
-            logits = self.model.apply(variables, self._shard(batch),
-                                      meta=self._shard(meta), train=False)
-            return jax.nn.softmax(logits, axis=-1)
-        return jax.lax.map(one, (patches_nhwc, meta_nhwc))
-
-    def _forward_probs_nometa(self, variables, patches_nhwc):
-        def one(batch):
-            logits = self.model.apply(variables, self._shard(batch),
-                                      train=False)
-            return jax.nn.softmax(logits, axis=-1)
-        return jax.lax.map(one, patches_nhwc)
-
-    def _gather_meta(self, meta_slab, consts, y0s, x0s):
-        """(N, M, wh, ww) metadata patches: per-patch constant channels
-        (portion_year/day) broadcast + per-pixel channels gathered from the
-        meta slab (time_diff, depth_*) — reference channel order
-        (dataset.py:288-351)."""
-        wh, ww = self.window
-        N = y0s.shape[0]
-        parts = []
-        if consts.shape[1] > 0:
-            parts.append(jnp.broadcast_to(
-                consts[:, :, None, None], (N, consts.shape[1], wh, ww)))
-        if meta_slab.shape[0] > 0:
-            Ms = meta_slab.shape[0]
-
-            def g(y0, x0):
-                return jax.lax.dynamic_slice(meta_slab, (0, y0, x0),
-                                             (Ms, wh, ww))
-            parts.append(jax.vmap(g)(y0s, x0s))
-        return jnp.concatenate(parts, axis=1)
-
-    # ------------------------------------------------- predict chunk (jit)
-    @partial(jax.jit, static_argnames=("self", "R", "C",
-                                       "border_zero", "use_meta"))
-    def _predict_patches(self, variables, data_slab, y0s, x0s, border_slab,
-                         meta_slab, consts, R, C, border_zero,
-                         use_meta=False):
-        """Gather+preprocess patches and forward them; returns stitched
-        (Hs, Ws, 2) [sandeel, other] probabilities in grid coords.
-
-        Multi-chip layout: patch indices are padded + reshaped to
-        (nb, fwd_batch) and the fwd_batch axis is sharded BEFORE the
-        gather.  The slab is replicated, so each device gathers only its
-        own patches and the preprocessing + U-Net run fully sharded with
-        no cross-device movement; the single collective in the program is
-        the all-gather of the (much smaller) probability maps feeding the
-        replicated stitch (asserted on the compiled HLO in
-        tests/test_multichip.py)."""
-        wh, ww = self.window
-        Cf = data_slab.shape[-1]  # slab arrives (Hp, Wp, C): HWC layout
-        N = y0s.shape[0]
-
-        B, Np, nb = self._sub_batch_shape(N)
-        y0r = self._shard_nb(jnp.pad(y0s, (0, Np - N)).reshape(nb, B))
-        x0r = self._shard_nb(jnp.pad(x0s, (0, Np - N)).reshape(nb, B))
-
-        # the slab lives in HWC so each gathered patch is already NHWC —
-        # the old CHW slab forced a full (nb,B,wh,ww,C) device relayout
-        # between the gather and the convs, and the forward alone measures
-        # 60% MFU while the fused chunk sat at ~45 TFLOP/s: the relayout
-        # was a big slice of the non-conv half of the program
-        def gather(y0, x0):
-            return jax.lax.dynamic_slice(data_slab, (y0, x0, 0),
-                                         (wh, ww, Cf))
-        patches = jax.vmap(jax.vmap(gather))(y0r, x0r)  # (nb,B,wh,ww,C)
-        patches = self._shard_nb(patches)
-        # uint8 slabs hold host-computed dB codes (dequantize only);
-        # f32/bf16 slabs hold raw sv (scrub + dB transform in float32) —
-        # ONE shared transform with the slab-predict and eval paths
-        d = _net_db_input(patches, use_meta)
-        if border_zero:
-            def gatherb(y0, x0):
-                return jax.lax.dynamic_slice(border_slab, (y0, x0), (wh, ww))
-            border = jax.vmap(jax.vmap(gatherb))(y0r, x0r)
-            d = jnp.where(border[:, :, :, :, None], 0.0, d)
-        x = d                                           # NHWC sub-batches
-        meta = None
-        if use_meta:
-            consts_r = jnp.pad(consts, ((0, Np - N), (0, 0))).reshape(
-                nb, B, -1)
-            gm = jax.vmap(partial(self._gather_meta, meta_slab))
-            meta = self._shard_nb(gm(consts_r, y0r, x0r)).transpose(
-                0, 1, 3, 4, 2)
-            if not self.late_meta:
-                x = jnp.concatenate([x, meta], axis=-1)
-                meta = None
-        if meta is not None:
-            probs = self._forward_probs(variables, x, meta)
-        else:
-            probs = self._forward_probs_nometa(variables, x)
-        sel = probs.reshape(Np, wh, ww, 3)[:N][..., jnp.array([1, 2])]
-        return stitch_patches(sel, R, C, self.overlap)
-
-    @partial(jax.jit, static_argnames=("self", "R", "C", "border_zero",
-                                       "use_meta"))
-    def _predict_slab(self, variables, data_slab, border_slab, meta_full,
-                      R, C, border_zero, use_meta=False):
-        """Fully-convolutional whole-slab forward — the opt-in
-        ``infer_mode: slab`` alternative to the patch pipeline.
-
-        The U-Net is translation-invariant modulo pooling alignment, so
-        one forward over the (padded) chunk slab covers every pixel the
-        patch grid covers with ~1.9x fewer FLOPs (no overlap recompute),
-        no gather and no stitch, and WITHOUT the reference's per-patch
-        zero-padding artifacts (patch-mode convs see artificial zeros up
-        to ~RF/2 px inside every patch border; slab mode sees real data
-        everywhere except true survey edges).  Measured on v5e: 22.8 ms
-        vs the patch pipeline's 28.2 ms per 1000-ping chunk.
-
-        DIVERGENCE (documented in DIVERGENCES.md): outputs differ from
-        the reference's patch-window formulation.  When stride and
-        overlap are multiples of ``2**(depth-1)`` (pooling alignment),
-        the divergence is confined to ~RF/2 px of patch borders — interior
-        pixels agree to float tolerance (tests/test_inference_parity.py).
-        With the baseline geometry (stride 216, overlap 20, depth 5 ->
-        alignment 16) the pooling grids are misaligned and outputs differ
-        (slightly) at EVERY pixel; __init__ warns in that case.  Default
-        stays ``patch`` for bit-level reference parity."""
-        sh, sw = self.stride
-        o = self.overlap
-        Hp, Wp, Cf = data_slab.shape
-        div = 2 ** (self.model.depth - 1)  # pooling alignment
-        n_dev = 1 if self.mesh is None else len(self.mesh.devices.ravel())
-        H16 = _round_up(Hp, div)
-        W16 = _round_up(Wp, div * n_dev)  # even per-device ping shards
-        x = _net_db_input(data_slab, use_meta)
-        if border_zero:
-            # patch mode zeroes only the acoustic channels at borders (the
-            # reference's set_data_border_value runs before meta concat) —
-            # mirror that: meta channels stay untouched
-            x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
-        meta = None
-        if use_meta:
-            if self.late_meta:
-                meta = jnp.pad(meta_full,
-                               ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
-            else:
-                x = jnp.concatenate([x, meta_full], axis=-1)
-        x = jnp.pad(x, ((0, H16 - Hp), (0, W16 - Wp), (0, 0)))[None]
-        if self.mesh is not None:
-            # sequence parallelism over the survey's ping axis (the
-            # reference's "long context", SURVEY.md §5): shard W across
-            # the mesh and let GSPMD insert the conv halo exchanges
-            # (collective-permutes of the 1-px conv borders and the
-            # pooling/upsampling boundaries) — no manual halos
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            x = jax.lax.with_sharding_constraint(
-                x, NamedSharding(self.mesh, P(None, None, "data", None)))
-            if meta is not None:
-                meta = jax.lax.with_sharding_constraint(
-                    meta, NamedSharding(self.mesh, P(None, None, "data",
-                                                     None)))
-        if meta is not None:
-            logits = self.model.apply(variables, x, meta=meta,
-                                      train=False)[0]
-        else:
-            logits = self.model.apply(variables, x, train=False)[0]
-        probs = jax.nn.softmax(logits, axis=-1)
-        return probs[o:o + R * sh, o:o + C * sw][..., jnp.array([1, 2])]
-
-    @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
-                                       "zarr_pad", "chunk_w"))
-    def _mask_output(self, stitched, lab_fin, lab_zero, data_slab, seabed,
-                     row_cut, n_range, n_pings, zarr_pad, chunk_w,
-                     svf_packed=None):
-        """Crop stitched grid output to chunk extent, apply write masks,
-        emit float16 (the on-disk dtype).
-
-        The label slab itself never reaches the device: the write mask
-        only consults two predicates of it — ``isfinite(label)`` and
-        ``label == 0`` — so the host packs those into two uint8 bitmasks
-        (``np.packbits`` along pings, 1 bit/px instead of 16) and they are
-        unpacked here.  Both predicates are evaluated on the float32 host
-        labels, so this is bit-identical to shipping the labels (and 8x
-        fewer h2d bytes — the tunnel/PCIe link is the e2e wall).
-
-        The sv-finiteness half of the write mask (save_predict.py:41-65 via
-        remove_nan_inf on the preload slab) is read from channel 0 of the
-        ``data_slab`` already on device — survey ping ``s + j`` lives at
-        slab column ``overlap + j`` — instead of shipping a second copy of
-        the raw sv over PCIe/tunnel.  ``chunk_w`` bounds the columns whose
-        sv-finiteness is consulted: the real chunk width normally (grid
-        columns beyond it are never written by the caller, matching the
-        old fill=finite behavior), or the padded grid width under
-        static_grid, where it is pinned so the tail chunk shares the
-        compiled program — pad columns then read zero-filled (finite) slab
-        data but carry NaN labels, so ``keep`` stays False there and the
-        caller crops them on the host.
-
-        The seabed exclusion is patch-band dependent: the reference zarr
-        reader shifts the *sliced* bottom mask down by SEABED_PAD
-        (data_reader.py:841-846), so a patch whose top row ``sy0`` lies
-        below the seabed masks from ``max(seabed, sy0) + pad``; the memmap
-        reader clamps instead to ``max(seabed + pad, sy0)``
-        (data_reader.py:407-431), which within a patch interior reduces to
-        ``seabed + pad``.
-        """
-        Hs, Ws, _ = stitched.shape
-        img = jnp.zeros((n_range, n_pings, 2), jnp.float32)
-        h, w = min(Hs, n_range), min(Ws, n_pings)
-        img = img.at[:h, :w, :].set(stitched[:h, :w, :].astype(jnp.float32))
-        rows = jnp.arange(n_range)[:, None]
-        sh = self.stride[0]
-        if zarr_pad:
-            band_top = jnp.clip((rows // sh) * sh - self.overlap, 0, None)
-            thresh = jnp.maximum(seabed[None, :], band_top) + SEABED_PAD
-        else:
-            thresh = seabed[None, :] + SEABED_PAD
-        below = rows >= thresh
-        o = self.overlap
-        w2 = min(chunk_w, n_pings)
-        if svf_packed is not None and svf_packed.shape[0] > 0:
-            # transfer_dtype='uint8': sv codes cannot carry NaN, so the
-            # host packs channel-0 finiteness alongside the label bits
-            sv_fin = _unpack_bits(svf_packed, n_pings)
-        else:
-            sv_fin = jnp.ones((n_range, n_pings), bool)
-            sv_fin = sv_fin.at[:, :w2].set(
-                jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
-        keep = (_unpack_bits(lab_fin, n_pings) & sv_fin
-                & ~(below & _unpack_bits(lab_zero, n_pings)))
-        # row_cut (dynamic scalar): the per-chunk reference grid's bottom
-        # data row.  Under static_grid the stitched output carries pad rows
-        # below it (the survey-max grid); the reference per-chunk grid never
-        # writes them, so they are discarded here to keep outputs
-        # bit-identical.  Without static_grid, row_cut == n_range and this
-        # is the identity.
-        keep = keep & (rows < row_cut)
-        img = jnp.where(keep[:, :, None], img, 0.0)
-        # the bool mask is returned alongside so save_labels can apply
-        # the EXACT exclusions — reconstructing it from `pred != 0` on
-        # the host misclassifies kept pixels whose f16 probabilities
-        # underflow to 0 (review finding r3); it is only transferred
-        # when labels are exported
-        out = img.transpose(2, 0, 1)
-        if self.output_dtype == "uint8":
-            # d2h quantization (shared law with the AOT artifact); the
-            # host dequantizes via _U8_PROB_DEQUANT before the zarr write
-            return _quantize_prob_u8(out), keep
-        return out.astype(jnp.float16), keep
-
-    # ---------------------------------------------------- eval chunk (jit)
-    @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
-                                       "zarr_pad", "use_meta"))
-    def _eval_patches(self, variables, hist, data_slab, label_slab, sb_pad,
-                      keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
-                      patch_y0_data, col_valid, use_keep, border_zero,
-                      zarr_pad, use_meta=False):
-        """Per-patch test label chain + forward + PR histogram update.
-
-        label_slab is in the same padded grid coordinates as data_slab;
-        sb_pad (Ws,) is the padded seabed vector (absolute data row of
-        seabed, BIG where absent); patch_y0_data (N,) the data row of each
-        patch's first pixel; col_valid (N,) 1 for real grid patches, 0 for
-        the virtual pad columns appended to keep every column group the
-        same compiled shape (their pixels are force-ignored — the reference
-        grid has no such patches).
-
-        Under a quantized transfer (transfer_dtype bfloat16/uint8 — the
-        label slab arrives pre-converted int8, which is the trace-static
-        signal) the refine threshold predicate rides in ``thr_slab``
-        (np.packbits rows, host-computed from the exact float32 sv), so
-        the label chain stays bit-identical to the float32 path — only
-        the network input is quantized (same contract as the predict
-        path's bf16/uint8 slabs and packed write-mask predicates).
-        """
-        from ..constants import LABEL_IGNORE_VAL
-        wh, ww = self.window
-        Cf = data_slab.shape[-1]  # slab arrives (Hp, Wp, C): HWC layout
-        N = y0s.shape[0]
-
-        # pre-shard the patch indices in (nb, fwd_batch) layout (same
-        # scheme as _predict_patches) and lax.scan the sub-batches with
-        # the PR histogram as carry: memory stays bounded at one
-        # sub-batch of patches, and each device gathers + evaluates only
-        # its own shard — no redistribute.  Index pads carry col_valid=0
-        # so padded patches contribute nothing.
-        B, Np, nb = self._sub_batch_shape(N)
-
-        def pad1(a):
-            return jnp.pad(a, (0, Np - N)).reshape(nb, B)
-        y0r = self._shard_nb(pad1(y0s))
-        x0r = self._shard_nb(pad1(x0s))
-        py0r = pad1(patch_y0_data)
-        cvr = pad1(col_valid)
-        consts_r = jnp.pad(consts, ((0, Np - N), (0, 0))).reshape(nb, B, -1)
-
-        def gather3(y0, x0):
-            # HWC slab -> NHWC patches straight off the gather (no device
-            # relayout before the convs; same rationale as the predict path)
-            return jax.lax.dynamic_slice(data_slab, (y0, x0, 0),
-                                         (wh, ww, Cf))
-
-        def gather2(slab, y0, x0):
-            return jax.lax.dynamic_slice(slab, (y0, x0), (wh, ww))
-
-        # quantized transfer (pre-converted int8 label slab is the
-        # trace-static signal): unpack the packed refine-threshold
-        # predicate rows ONCE per column group (8x fewer h2d bytes than a
-        # byte-per-pixel slab); patches then gather from the bool slab
-        use_thr = label_slab.dtype == jnp.int8
-        if use_thr:
-            if thr_slab.shape[0] <= 1:
-                raise ValueError(
-                    "int8 (pre-converted) label slab without a threshold "
-                    "predicate slab — quantized-transfer eval must ship "
-                    "both (pipeline bug)")
-            thr_bool = _unpack_bits(thr_slab, data_slab.shape[1])
-
-        def body(hist, inp):
-            y0b, x0b, py0b, cvb, consts_b = inp
-            data = self._shard(jax.vmap(gather3)(y0b, x0b))
-            if not use_thr:
-                # float32 (exact) mode: refine consumes the scrubbed raw
-                # sv directly — eval reads crops through get_crop_* which
-                # scrub non-finite data BEFORE any transform
-                # (dataset.py:275-277, :404), so refine sees zeros and
-                # remove_nan_inf never marks labels in the eval paths.
-                # (Quantized modes ship the refine predicate in thr_slab
-                # instead, and _net_db_input scrubs for the network.)
-                data = jnp.where(jnp.isfinite(data), data, 0.0)
-            labels = jax.vmap(gather2, in_axes=(None, 0, 0))(
-                label_slab, y0b, x0b).astype(jnp.int32)
-
-            def gather_sb(x0):
-                return jax.lax.dynamic_slice(sb_pad, (x0,), (ww,))
-            sb_abs = jax.vmap(gather_sb)(x0b)      # absolute data rows
-            sy0 = jnp.maximum(py0b, 0)[:, None]
-            if zarr_pad:
-                # zarr: max(seabed, patch_top) + pad
-                # (data_reader.py:841-846)
-                thresh = jnp.maximum(sb_abs, sy0) + SEABED_PAD
-            else:
-                # memmap: max(seabed + pad, patch_top)
-                # (data_reader.py:407-431)
-                thresh = jnp.maximum(sb_abs + SEABED_PAD, sy0)
-            sb_rows = thresh - py0b[:, None]
-            sb_rows = jnp.clip(sb_rows, -(10 ** 6), BIG_ROW).astype(
-                jnp.int32)
-
-            # label test chain (transforms.py:78-92).  Quantized transfer
-            # (use_thr): labels arrive ALREADY converted int8 on the host
-            # (_convert_labels_host — elementwise mapping, bit-exact) and
-            # the exact (float32-computed) refine threshold predicate is
-            # gathered from the unpacked bit rows
-            thr = None
-            if use_thr:
-                lab = labels
-                thr = jax.vmap(gather2, in_axes=(None, 0, 0))(
-                    thr_bool, y0b, x0b)
-            else:
-                lab = label_ops.convert_label_indexing(
-                    labels, mark_unused_species=True)
-            lab = label_ops.refine_label_boundary(data, lab,
-                                                  threshold_freq_idx=-1,
-                                                  channels_last=True,
-                                                  threshold_mask=thr)
-            lab = label_ops.mask_label_seabed(lab, sb_rows)
-            lab = label_ops.mask_label_overlap(lab, self.overlap)
-            if use_keep:
-                keep = jax.vmap(gather2, in_axes=(None, 0, 0))(
-                    keep_slab, y0b, x0b)
-                lab = jnp.where(keep > 0, lab, -1)  # reference ignore=-1
-            # padded patches contribute nothing (after the keep override,
-            # which would otherwise turn them into -1 negatives)
-            lab = jnp.where(cvb[:, None, None] > 0, lab, LABEL_IGNORE_VAL)
-
-            d = _net_db_input(data, use_meta)
-            if border_zero:
-                d = data_ops.set_data_border_value(d, lab,
-                                                   channels_last=True)
-            x = d
-            meta = None
-            if use_meta:
-                meta = self._shard(self._gather_meta(
-                    meta_slab, consts_b, y0b, x0b).transpose(0, 2, 3, 1))
-                if not self.late_meta:  # early inject: extra input bands
-                    x = jnp.concatenate([x, meta], axis=-1)
-                    meta = None
-            logits = self.model.apply(variables, self._shard(x), meta=meta,
-                                      train=False)
-            probs = jax.nn.softmax(logits, axis=-1)
-            # under a mesh the scatter formulation keeps the histogram
-            # update local to each device's shard; the (TPU-default) sort
-            # would globally sort the sharded key array and reintroduce
-            # the cross-device redistribution this path is designed to
-            # avoid (tests/test_multichip.py asserts the HLO)
-            impl = "scatter" if self.mesh is not None else None
-            return metrics.update_pr_histogram(hist, probs[..., 1], lab,
-                                               impl=impl), 0
-
-        hist, _ = jax.lax.scan(body, hist, (y0r, x0r, py0r, cvr, consts_r))
-        return hist
-
-
-def grid_center_cols(x0_data, ww):
-    """Patch-center ping coordinates from crop-origin ping coordinates —
-    the exact inverse of :func:`utils.grids.crop_bounds` on the ping
-    axis for BOTH window parities (origin = center - (ww+1)//2 + 1, so
-    center = origin - 1 + (ww+1)//2).  Pinned against crop_bounds in
-    tests/test_properties.py."""
-    return np.asarray(x0_data) - 1 + (ww + 1) // 2
-
-
-def _build_meta_inputs(runner, reader, Hp, Wp, row0_data, col0_data,
-                       centers_x):
-    """Host construction of metadata inputs for the gridded device programs
-    (memmap-only, like the reference): per-pixel channels as a slab in
-    padded grid coordinates + per-patch constant channels.
-
-    The reference meta grid is offset (-1, -1) relative to the data crop
-    (``arange(center - w//2, ...)`` without the +1 shift,
-    dataset.py:306-345), hence the ``- 1`` below.
-    """
-    if reader.data_format != "memmap":
-        raise ValueError(
-            "metadata channels are memmap-only (reference "
-            "dataset.py:245-252)")
-    mc = runner.meta_channels
-    wh = runner.window[0]
-    n_pings = reader.shape[1]
-    rows = np.arange(Hp, dtype=np.float64) + row0_data - 1
-    cols = np.arange(Wp) + col0_data - 1
-    cc = np.clip(cols, 0, n_pings - 1)
-    centers_x = np.asarray(centers_x)
-
-    consts_parts = []
-    if mc.get("portion_year"):
-        consts_parts.append(np.full(len(centers_x),
-                                    reader.portion_of_year_scalar))
-    if mc.get("portion_day"):
-        idx = np.clip(centers_x, 0, reader.portion_of_day_vector.size - 1)
-        pd = reader.portion_of_day_vector[idx]
-        consts_parts.append(np.sin(2 * np.pi * pd))
-        consts_parts.append(np.cos(2 * np.pi * pd))
-    consts = (np.stack(consts_parts, axis=1) if consts_parts
-              else np.zeros((len(centers_x), 0)))
-
-    slab_parts = []
-    if mc.get("time_diff"):
-        slab_parts.append(np.broadcast_to(
-            reader.time_vector_diff[cc][None, :], (Hp, Wp)))
-    if any(mc.get(k) for k in ("depth_rel", "depth_abs_surface",
-                               "depth_abs_seabed")):
-        sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.float64)
-        sbc = sb[cc]
-        if mc.get("depth_rel"):
-            slab_parts.append(rows[:, None] / sbc[None, :])
-        if mc.get("depth_abs_surface"):
-            slab_parts.append(np.broadcast_to(rows[:, None] / wh, (Hp, Wp)))
-        if mc.get("depth_abs_seabed"):
-            slab_parts.append((sbc[None, :] - rows[:, None]) / wh)
-    meta_slab = (np.stack(slab_parts).astype(np.float32) if slab_parts
-                 else np.zeros((0, Hp, Wp), np.float32))
-    return meta_slab, consts.astype(np.float32)
-
-
-def _build_meta_slab_full(runner, reader, Hp, Wp, row0_data, col0_data):
-    """(Hp, Wp, M) metadata channels for the fully-convolutional slab
-    forward (``infer_mode: slab`` + ``meta_channels``), channel order
-    matching the patch path (reference dataset.py:288-351): portion_year,
-    portion_day sin/cos, time_diff, depth_rel, depth_abs_surface,
-    depth_abs_seabed.
-
-    The per-pixel families (time_diff, depth_*) use EXACTLY the patch
-    meta law (_build_meta_inputs), so their values per survey pixel are
-    identical to patch mode.  The per-patch-constant families differ by
-    construction — the slab forward has no patches, so each column
-    carries its own ping's portion_day instead of the owning patch
-    center's (portion_year is a survey scalar either way).  The
-    divergence is bounded by the within-patch time-of-day drift (a few
-    minutes over a 256-ping patch) and is documented in DIVERGENCES.md.
-    """
-    mc = runner.meta_channels
-    per_pixel, _ = _build_meta_inputs(runner, reader, Hp, Wp, row0_data,
-                                      col0_data, np.zeros(0, np.int64))
-    # same clipped column mapping (incl. the reference's -1 meta-grid
-    # offset) as the per-pixel families, so all channels stay aligned
-    cols = np.arange(Wp) + col0_data - 1
-    cc = np.clip(cols, 0, reader.shape[1] - 1)
-    parts = []
-    if mc.get("portion_year"):
-        parts.append(np.full((Hp, Wp), reader.portion_of_year_scalar,
-                             np.float32))
-    if mc.get("portion_day"):
-        pd = reader.portion_of_day_vector[cc]
-        for f in (np.sin, np.cos):
-            parts.append(np.broadcast_to(
-                f(2 * np.pi * pd)[None, :].astype(np.float32), (Hp, Wp)))
-    consts_full = (np.stack(parts) if parts
-                   else np.zeros((0, Hp, Wp), np.float32))
-    full = np.concatenate([consts_full, per_pixel], axis=0)
-    return np.ascontiguousarray(full.transpose(1, 2, 0)).astype(np.float32)
-
-
-# ============================================================== PREDICTION
-def _grid_extent_rows(n_range: int, seabed, known, wh: int, o: int) -> int:
-    """Reference grid height (patch-grid rows) for one seabed vector: range
-    capped at max seabed + 50, pings WITHOUT a seabed estimate counting as
-    full water column (gridded.py:121-163; review finding r3 — raw zeros
-    must not collapse the grid).  The single source of the extent law for
-    predict_reader, evaluate_reader and the static-grid helpers."""
-    sb_eff = np.where(known, seabed, n_range)
-    end_range = int(min(max(sb_eff.max() + 50, 1), n_range))
-    return grid_dims(0, end_range, wh, o)
-
-
-def static_grid_shape_for_reader(reader, window, overlap: int,
-                                 preload_n_pings: int, start_ping: int = 0):
-    """(grid rows, grid cols) of one reader's static (survey-max) predict
-    grid: rows from the reader-max seabed, cols from its widest
-    preload split.  Survey-level callers predicting several readers under
-    ``static_grid`` take the elementwise max over readers and pass it as
-    ``fixed_R``/``fixed_C`` so the whole survey shares ONE compiled predict
-    program.  Seabed reads hit the reader-level caches (seabed.npy /
-    ``_seabed_vec``), so calling this ahead of predict_reader costs no
-    extra I/O."""
-    wh, ww = window
-    is_zarr = reader.data_format == "zarr"
-    n_pings = reader.shape[0] if is_zarr else reader.shape[1]
-    from ..utils.preload_split import get_data_split
-    chunk = preload_n_pings if preload_n_pings > 0 else 5000
-    splits = get_data_split([[start_ping, n_pings]], chunk)
-    if not len(splits):
-        return 0, 0
-    R = grid_height_for_reader(reader, wh, overlap,
-                               start_ping=int(splits[0][0]))
-    C = max(grid_dims(int(a), int(b), ww, overlap) for a, b in splits)
-    return R, C
-
-
-def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
-                   start_ping=0, progress=False, save_labels=False,
-                   fixed_R=None, fixed_C=None):
-    """Yield (chunk_start, chunk_end, (2, n_range, w) float16 predictions,
-    labels-or-None) for one reader, reproducing save_predict's chunked
-    sliding window (save_predict.py:137-219).  ``save_labels`` additionally
-    emits the masked raw label map per chunk (the reference's save_labels
-    config option, unwired in its snapshot — see DIVERGENCES.md).
-
-    ``fixed_R``/``fixed_C`` (static_grid, multi-reader surveys): compile
-    the grid at least this tall/wide so every reader of the survey shares
-    one program (see ``static_grid_shape_for_reader``); outputs stay
-    bit-identical — pad rows/columns are discarded on device/host exactly
-    like this reader's own static pad.  (Semantically bit-identical:
-    live patches see the same math on the same values, asserted bit-level
-    on CPU.  On TPU hardware a chunk whose compiled sub-batch shape
-    changes under padding tiles its convs differently, shifting
-    probabilities at f16-ulp level — measured max |dprob| 2.9e-3 with
-    write masks identical, scripts/static_grid_tpu.py.)"""
-    wh, ww = runner.window
-    o = runner.overlap
-    sh, sw = runner.stride
-    is_zarr = reader.data_format == "zarr"
-    if is_zarr:
-        n_pings, n_range = reader.shape
-    else:
-        n_range, n_pings = reader.shape
-
-    from ..utils.preload_split import get_data_split
-    chunk = preload_n_pings if preload_n_pings > 0 else 5000
-    splits = get_data_split([[start_ping, n_pings]], chunk)
-
-    seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
-    seabed_has = np.asarray(reader.seabed_known(0, n_pings))
-
-    # static_grid: one compiled shape for every chunk — grid height from
-    # the survey-max seabed, grid width from the widest chunk; prepare()
-    # keeps the per-chunk reference grid (R_ref/C_ref) for the slab fill
-    # extents and the dynamic row cutoff, so outputs are bit-identical
-    static = bool(getattr(runner, "static_grid", False))
-    R_fix = C_fix = 0
-    if static and len(splits):
-        R_fix, C_fix = static_grid_shape_for_reader(
-            reader, runner.window, o, preload_n_pings, start_ping)
-        R_fix = max(R_fix, int(fixed_R or 0))
-        C_fix = max(C_fix, int(fixed_C or 0))
-
-    it = splits
-    if progress:
-        from tqdm import tqdm
-        it = tqdm(splits, desc="Predicting ...")
-
-    # software pipeline: device dispatch is async; keep `pipeline_depth`
-    # chunks in flight and only synchronize (d2h) that many chunks behind,
-    # so the (async-started) transfer of chunk k overlaps compute of
-    # chunks k+1..k+depth.  Each pending chunk holds one small float16
-    # output (~4 MB at 1000x1000) on device — depth 3 is noise against
-    # v5e HBM and rides out the tunnel's latency swings better than 2.
-    pending: list = []
-    pipeline_depth = int(getattr(runner, "pipeline_depth", 3))
-
-    def _drain(entry):
-        s0, e0, dev_out, dev_keep, lab = entry
-        # non-overlapping attribution: time the wait-for-compute separately
-        # from the actual transfer (VERDICT r1: the old d2h timer conflated
-        # the two, making throughput unexplainable)
-        runner.timer.start("device_wait")
-        dev_out = jax.block_until_ready(dev_out)
-        runner.timer.stop("device_wait")
-        runner.timer.start("d2h")
-        # the device buffer only carries the grid-covered rows (everything
-        # below is identically zero); rebuild full range on the host —
-        # cuts d2h bytes by the below-grid fraction (large for deep surveys)
-        part = np.asarray(dev_out)[:, :, :e0 - s0]
-        host = np.zeros((2, n_range, e0 - s0), np.float16)
-        # static_grid multi-reader surveys: the device buffer may carry
-        # survey-max pad rows below this reader's range; they are
-        # identically zero (>= row_cut) and cropped here
-        nr_out = min(part.shape[1], n_range)
-        part = part[:, :nr_out, :]
-        if part.dtype == np.uint8:
-            # output_dtype='uint8': dequantize the d2h codes to the f16
-            # store values (code 0 -> 0.0, so masked pixels stay 0) —
-            # AFTER the row crop, so static-grid pad rows never pay it
-            part = _U8_PROB_DEQUANT[part]
-        host[:, :nr_out, :] = part
-        runner.timer.stop("d2h")
-        if lab is not None:
-            # masked label export (save_labels): raw categorical labels
-            # with the EXACT prediction exclusions — the device-computed
-            # write mask, not `pred != 0` (f16 probabilities can
-            # underflow to 0 inside the mask)
-            nr = nr_out
-            keep = np.asarray(dev_keep)[:nr, :e0 - s0]
-            # float32, NOT f16: the export carries RAW category codes
-            # (4-digit LSSS codes like 6009 exceed f16's 2048 exact-int
-            # range and would silently round)
-            lab_full = np.zeros((n_range, e0 - s0), np.float32)
-            lab_full[:nr] = np.where(
-                keep, np.nan_to_num(lab[:nr, :e0 - s0], nan=0.0), 0.0)
-            lab = lab_full
-        return s0, e0, host, lab
-
-    def prepare(s, e):
-        """Host-side slab construction for one chunk (runs in a prefetch
-        thread, overlapped with device compute of the previous chunk)."""
-        s, e = int(s), int(e)
-        w = e - s
-        runner.timer.start("host_slab")
-        sb_chunk = seabed_full[s:e]
-        # R_ref/C_ref: the reference's per-chunk grid (extent law shared
-        # with evaluate_reader via _grid_extent_rows).  Every data-bearing
-        # extent below (slab fill, label read, row cutoff) derives from
-        # them; under static_grid only the COMPILED shapes (R, C) grow to
-        # the survey-wide fixed grid, with the pad rows/columns reading
-        # zeros/NaN and discarded on device — outputs stay bit-identical.
-        R_ref = _grid_extent_rows(n_range, sb_chunk, seabed_has[s:e], wh, o)
-        C_ref = grid_dims(s, e, ww, o)
-        row_cut = min(R_ref * sh, n_range)
-        R = max(R_fix, R_ref) if static else R_ref
-        C = max(C_fix, C_ref) if static else C_ref
-
-        Hp = R * sh + 2 * o
-        Wp = C * sw + 2 * o
-
-        # data slab extents: reference preload (dataset.py:175-184) for
-        # zarr; unclipped survey reads for memmap
-        if is_zarr:
-            first_center = s - o - 1 + ww // 2
-            last_center = s + (C_ref - 1) * sw - o - 1 + ww // 2
-            slab_x0 = max(0, first_center - ww // 2)
-            slab_x1 = min(n_pings, last_center + ww // 2)
-        else:
-            slab_x0 = max(0, s - o)
-            slab_x1 = min(n_pings, s + C_ref * sw + o)
-        # fill to the REFERENCE grid's bottom data row even when the
-        # compiled grid is taller (static_grid): slab-mode convolutions
-        # read context below the kept rows, so filling deeper would
-        # perturb kept outputs near the cutoff
-        slab_y1 = min(n_range, R_ref * sh + o)
-
-        # patches only ever read data columns [s - o, s + C_ref*sw + o);
-        # clip the preload extents to that window (the reference's wider
-        # slab columns are unreachable by any live patch, and static-grid
-        # pad columns must read zeros, not data the reference never saw)
-        slab_x0 = max(slab_x0, s - o)
-        slab_x1 = min(slab_x1, s + C_ref * sw + o)
-
-        # HWC layout: gathered patches come out NHWC with no device
-        # relayout between the gather and the convs
-        data_slab = np.zeros((Hp, Wp, len(runner.frequencies)), np.float32)
-        x_off = o + (slab_x0 - s)
-        _fill_hwc_slab(reader, runner.frequencies, data_slab, slab_x0,
-                       slab_x1, slab_y1, o, x_off)
-
-        border_slab = np.zeros((1, 1), np.float32)
-        border_zero = not is_zarr
-        if border_zero:
-            # memm test transform zeroes dB data outside the data extent
-            # (transforms.py:57-64); boundary-ness is geometric
-            bs = np.ones((Hp, Wp), np.float32)
-            bs[o:o + slab_y1, x_off:x_off + (slab_x1 - slab_x0)] = 0.0
-            border_slab = bs
-
-        # chunk-level mask inputs — only rows [0, nr) (the grid-covered
-        # range) ever reach the device or the save_labels export; reading
-        # the full range axis wasted ~(1 - nr/n_range) of the label I/O
-        # and Blosc decode on deep recordings with shallow seabeds.
-        # Under static_grid nr is pinned to the compiled grid height: a
-        # per-reader min(..., n_range) would re-specialize _mask_output on
-        # every distinct echogram height in a multi-reader survey — one
-        # remote compile per reader, the exact churn static_grid exists to
-        # remove.  Rows beyond n_range stay NaN-labelled (keep=False) and
-        # are >= row_cut anyway; _drain crops them before host assembly.
-        nr = R * sh if static else min(R * sh, n_range)
-        label_pad = np.full((nr, C * sw), np.nan, np.float32)
-        # labels are only consulted for rows the reference grid keeps
-        # ([0, row_cut)); static-grid pad rows stay NaN — never read from
-        # disk — and are discarded by the device row cutoff anyway
-        if is_zarr:
-            lab = reader.get_label_slice(s, w, 0, row_cut)
-            label_pad[:row_cut, :w] = lab.T
-        else:
-            label_pad[:row_cut, :w] = np.asarray(
-                reader.label_memmap()[:row_cut, s:e]).astype(np.float32)
-        # raw-ch0 finiteness over the chunk (nan => excluded from write via
-        # remove_nan_inf label marking in the preload path,
-        # remove_nan_inf.py:22-33) is read on device from channel 0 of
-        # the data slab inside _mask_output — no separate sv transfer
-        sb_vec = np.full(C * sw, BIG_ROW, np.int64)
-        sb_vec[:w] = np.where(seabed_has[s:e], sb_chunk, BIG_ROW)
-
-        y0s, x0s = make_grid_starts(R, C, sh, sw, o, o, o)
-        meta_slab = np.zeros((0, 1, 1), np.float32)
-        consts = np.zeros((len(y0s), 0), np.float32)
-        meta_full = np.zeros((1, 1, 0), np.float32)
-        if runner.use_meta:
-            if runner.infer_mode == "slab":
-                meta_full = _build_meta_slab_full(
-                    runner, reader, Hp, Wp, -o, s - o)
-            else:
-                centers_x = grid_center_cols(
-                    s + np.tile(np.arange(C) * sw, R) - o, ww)
-                meta_slab, consts = _build_meta_inputs(
-                    runner, reader, Hp, Wp, -o, s - o, centers_x)
-        runner.timer.stop("host_slab")
-
-        # h2d from the prefetch thread (device_put is async), in bfloat16
-        # by default: halves tunnel/PCIe bytes, and every consumer is
-        # exactness-safe — the data slab feeds the bf16 U-Net after a
-        # device-side dB transform (<=0.02 dB perturbation).
-        # `transfer_dtype: float32` disables the quantization entirely
-        # (used by the reference-parity harness, where the last f16 ulp
-        # of the output probabilities matters).
-        # Labels never ship at all: the write mask consults only
-        # isfinite(label) and label==0, so those predicates are packed to
-        # 1 bit/px here (computed on the exact float32 host labels —
-        # bit-identical under every transfer_dtype) and unpacked on
-        # device (_unpack_bits); 16x fewer label bytes than bf16.
-        runner.timer.start("h2d_dispatch")
-        import ml_dtypes
-        if runner.transfer_dtype == "uint8":
-            # serving mode: dB-transform + 8-bit-quantize on the host (4x
-            # fewer slab bytes than float32); channel-0 finiteness rides
-            # as a packed bitmask since uint8 codes cannot carry NaN
-            w2m = min(C * sw if static else w, C * sw)
-            svf = np.ones((nr, C * sw), bool)
-            svf[:, :w2m] = np.isfinite(data_slab[o:o + nr, o:o + w2m, 0])
-            svf_packed = np.packbits(svf, axis=1)
-            slab_xfer = _quantize_db_u8(data_slab)
-        else:
-            svf_packed = None
-            xfer = np.dtype(runner.transfer_dtype) \
-                if runner.transfer_dtype != "bfloat16" \
-                else ml_dtypes.bfloat16
-            slab_xfer = data_slab.astype(xfer)
-        dev = dict(
-            data_slab=jax.device_put(slab_xfer),
-            border_slab=jax.device_put(border_slab),
-            svf_packed=(None if svf_packed is None
-                        else jax.device_put(svf_packed)),
-            lab_fin=jax.device_put(np.packbits(
-                np.isfinite(label_pad), axis=1)),
-            lab_zero=jax.device_put(np.packbits(label_pad == 0, axis=1)),
-            sb_vec=jax.device_put(sb_vec),
-            row_cut=jax.device_put(np.int32(row_cut)),
-            y0s=jax.device_put(y0s), x0s=jax.device_put(x0s),
-            meta_slab=jax.device_put(meta_slab),
-            consts=jax.device_put(consts),
-            meta_full=jax.device_put(meta_full))
-        runner.timer.stop("h2d_dispatch")
-        return (s, e, w, R, C, nr, border_zero, dev,
-                label_pad if save_labels else None)
-
-    import collections
-    from concurrent.futures import ThreadPoolExecutor
-    executor = ThreadPoolExecutor(max_workers=2)
-    try:
-        futs = collections.deque(executor.submit(prepare, *sp)
-                                 for sp in splits[:2])
-        n_submitted = len(futs)
-
-        for idx, _ in enumerate(it):
-            (s, e, w, R, C, nr, border_zero, dev, lab_host) = \
-                futs.popleft().result()
-            if n_submitted < len(splits):
-                futs.append(executor.submit(prepare, *splits[n_submitted]))
-                n_submitted += 1
-
-            if runner.infer_mode != "slab":
-                # MFU counter: slab mode forwards ONE whole-slab conv
-                # (~1.9x fewer FLOPs), not R*C patches — counting the
-                # grid here would overstate slab-mode utilization
-                runner.patches_processed += int(dev["y0s"].shape[0])
-            runner.timer.start("device_chunk")
-            if runner.infer_mode == "slab":
-                stitched = runner._predict_slab(
-                    runner.variables, dev["data_slab"],
-                    dev["border_slab"], dev["meta_full"], R, C,
-                    border_zero, runner.use_meta)
-            else:
-                stitched = runner._predict_patches(
-                    runner.variables,
-                    dev["data_slab"], dev["y0s"], dev["x0s"],
-                    dev["border_slab"], dev["meta_slab"], dev["consts"],
-                    R, C, border_zero, runner.use_meta)
-            # under static_grid chunk_w is pinned to the grid width so the
-            # tail chunk shares the same compiled program; its pad columns
-            # carry NaN labels (keep=False) and are cropped on the host
-            out, keep_dev = runner._mask_output(
-                stitched, dev["lab_fin"], dev["lab_zero"], dev["data_slab"],
-                dev["sb_vec"], dev["row_cut"], nr, C * sw, is_zarr,
-                C * sw if static else w, dev["svf_packed"])
-            runner.timer.stop("device_chunk")
-            # start the d2h copy as soon as compute finishes (overlaps the
-            # next chunk's device work; _drain only synchronizes).  The
-            # keep mask is only transferred when labels are exported.
-            try:
-                out.copy_to_host_async()
-                if lab_host is not None:
-                    keep_dev.copy_to_host_async()
-            except Exception:
-                pass
-            pending.append((s, e, out, keep_dev, lab_host))
-            if len(pending) >= pipeline_depth:
-                yield _drain(pending.pop(0))
-
-        for entry in pending:
-            yield _drain(entry)
-    finally:
-        # deterministic teardown: generator.close() (early abandonment)
-        # must not leave prefetch threads staging chunks in the background
-        executor.shutdown(wait=True, cancel_futures=True)
-
-
-def _ping_chunk(preload_n_pings: int) -> int:
-    """On-disk ping_time chunk width for prediction stores: follows
-    preload_n_pings, capped at the reference's 1000-ping contract.  Any
-    non-positive value means 'use the default chunking' — predict_reader
-    treats <=0 as the 5000-ping default, and a raw max(1, ...) turned
-    -1 into pathological 1-ping chunk files (review finding r3)."""
-    return min(1000, preload_n_pings) if preload_n_pings > 0 else 1000
-
-
-def save_survey_predictions_zarr(runner, reader, target_dname,
-                                 preload_n_pings=1000, resume_writing=False,
-                                 model_name="model", progress=False,
-                                 save_labels=False, fixed_R=None,
-                                 fixed_C=None):
-    """Write chunked predictions to a ``<name>_pred.zarr`` store with the
-    reference's on-disk contract (save_predict.py:87-134): annotation array
-    (category [27, 1], ping_time, range) float16, full-range chunks,
-    append along ping_time, resume from the existing ping count.
-    ``save_labels`` adds a masked (ping_time, range) ``labels`` array.
-    ``fixed_R``/``fixed_C``: survey-level static grid (see predict_reader)."""
-    import os
-    import shutil
-
-    from ..data.zarrlite import ZGroup
-
-    n_pings, n_range = reader.shape if reader.data_format == "zarr" else \
-        (reader.shape[1], reader.shape[0])
-
-    if not resume_writing:
-        if os.path.isdir(target_dname):
-            shutil.rmtree(target_dname)
-        start_ping = 0
-        group = None
-    elif not os.path.isdir(target_dname):
-        # resume over a survey whose previous run died mid-survey: later
-        # readers have no store yet — treat each as a fresh start (the
-        # memmap path and the reference's append writer both do; raising
-        # here made survey-level resume impossible after a crash)
-        start_ping = 0
-        group = None
-    else:
-        group = ZGroup.open(target_dname)
-        # save_labels must match the existing store: creating "labels"
-        # mid-stream would misalign its rows with ping_time by
-        # start_ping, and dropping it would strand a stale array
-        if save_labels and "labels" not in group:
-            raise ValueError(
-                f"Cannot resume {target_dname} with save_labels=True: the "
-                "existing store has no 'labels' array (it was written "
-                "without save_labels)")
-        if not save_labels and "labels" in group:
-            raise ValueError(
-                f"Cannot resume {target_dname} with save_labels=False: the "
-                "existing store has a 'labels' array that would fall "
-                "behind ping_time; pass save_labels=True")
-        if save_labels and "labels" in group and \
-                group["labels"].dtype == np.float16:
-            # appends cast to the stored dtype: resuming a pre-f32 store
-            # would silently round 4-digit category codes again
-            raise ValueError(
-                f"Cannot resume {target_dname}: its 'labels' array is "
-                "float16 (written by an older version; codes above 2048 "
-                "round silently) — re-run without resume_writing to "
-                "rewrite the store at float32")
-        # resume from the joint commit point: a crash between the
-        # annotation append and the ping_time append leaves the arrays at
-        # different lengths — truncate whichever ran ahead (zarrlite's
-        # append is itself data-before-shape crash-consistent, so shapes
-        # are trustworthy high-water marks)
-        start_ping = min(group["annotation"].shape[1],
-                         group["ping_time"].shape[0])
-        if save_labels and "labels" in group:
-            start_ping = min(start_ping, group["labels"].shape[0])
-        if group["annotation"].shape[1] != start_ping:
-            shp = list(group["annotation"].shape)
-            shp[1] = start_ping
-            group["annotation"].resize(shp)
-        if group["ping_time"].shape[0] != start_ping:
-            group["ping_time"].resize([start_ping])
-        if save_labels and "labels" in group and \
-                group["labels"].shape[0] != start_ping:
-            shp = list(group["labels"].shape)
-            shp[0] = start_ping
-            group["labels"].resize(shp)
-
-    def write_chunk(s, e, out, lab):
-        nonlocal group
-        runner.timer.start("zarr_write")
-        pred = out.transpose(0, 2, 1)  # -> (category, ping, range)
-        if group is None:
-            group = ZGroup.create(
-                target_dname,
-                attrs={"description": f"{model_name} predictions"})
-            group.create_array(
-                "annotation", (2, 0, n_range),
-                (1, _ping_chunk(preload_n_pings), n_range),
-                np.float16, fill_value=0, dims=["category", "ping_time",
-                                                "range"],
-                # reference output codec: Blosc zstd-3 BITSHUFFLE
-                # (save_predict.py:128); zlib when blosc is unavailable
-                compressor="blosc-zstd")
-            group.create_array("category", (2,), (2,), np.int64,
-                               fill_value=None, compressor=None,
-                               dims=["category"])[:] = np.array([27, 1])
-            group.create_array("range", (n_range,), (n_range,), np.float64,
-                               fill_value=None, compressor=None,
-                               dims=["range"])[:] = \
-                np.asarray(reader.range_vector)
-            tv = np.asarray(reader.time_vector)
-            group.create_array("ping_time", (0,), (8192,), tv.dtype,
-                               fill_value=None, compressor=None,
-                               dims=["ping_time"])
-        if save_labels and "labels" not in group:
-            group.create_array(
-                "labels", (0, n_range),
-                (_ping_chunk(preload_n_pings), n_range),
-                # f32: raw category codes (this export's values — the
-                # reference's own save_labels path is dead code, so the
-                # semantics are ours) include 4-digit LSSS codes that
-                # exceed f16's exact-integer range
-                np.float32, fill_value=0, dims=["ping_time", "range"],
-                compressor="blosc-zstd")
-        group["annotation"].append(pred, axis=1)
-        if save_labels and lab is not None:
-            group["labels"].append(lab.T, axis=0)
-        group["ping_time"].append(np.asarray(reader.time_vector[s:e]),
-                                  axis=0)
-        runner.timer.stop("zarr_write")
-
-    # one ordered writer thread: the Blosc encode + file appends of chunk k
-    # overlap the device/tunnel work of chunk k+1.  Ordering (appends MUST
-    # be sequential along ping_time) is preserved by the single consumer;
-    # crash-consistency is unchanged — write_chunk runs identically,
-    # just off-thread.  A writer failure propagates on the next submit or
-    # at drain, before any out-of-order append could happen.
-    from concurrent.futures import ThreadPoolExecutor
-    writer = ThreadPoolExecutor(max_workers=1)
-    pending_write = None
-    try:
-        for s, e, out, lab in predict_reader(runner, reader,
-                                             preload_n_pings, start_ping,
-                                             progress,
-                                             save_labels=save_labels,
-                                             fixed_R=fixed_R,
-                                             fixed_C=fixed_C):
-            if pending_write is not None:
-                pending_write.result()  # re-raises writer errors in order
-            pending_write = writer.submit(write_chunk, s, e, out, lab)
-        if pending_write is not None:
-            pending_write.result()
-    finally:
-        writer.shutdown(wait=True)
-    # complete write session -> snapshot consolidated metadata, as the
-    # reference ecosystem's xarray-written stores carry (real-zarr
-    # consumers open_consolidated); any append during the run dropped a
-    # pre-existing snapshot, so a crash never leaves a stale one
-    if group is not None:
-        group.consolidate()
-    return target_dname
-
-
-def save_reader_predictions_memm(runner, reader, target_dname,
-                                 preload_n_pings=1000, resume_writing=False,
-                                 progress=False, fixed_R=None, fixed_C=None):
-    """Memmap variant: accumulate into one (2, n_range, n_pings) array and
-    save as .npy (save_predict.py:222-265; skips existing files when
-    resuming).  ``fixed_R``/``fixed_C``: survey-level static grid (see
-    predict_reader) — memm surveys run one file per echogram, so without
-    them static_grid still compiled one program per echogram."""
-    import os
-    if resume_writing and os.path.isfile(target_dname):
-        return target_dname
-    n_range, n_pings = reader.shape
-    out = np.zeros((2, n_range, n_pings), np.float16)
-    for s, e, chunk, _ in predict_reader(runner, reader, preload_n_pings, 0,
-                                         progress, fixed_R=fixed_R,
-                                         fixed_C=fixed_C):
-        out[:, :, s:e] = chunk
-    np.save(target_dname, out)
-    return target_dname
-
-
-# ================================================================== EVAL
-def grid_height_for_reader(reader, wh: int, o: int,
-                           start_ping: int = 0) -> int:
-    """Reference grid height (patch-grid rows) for one reader — the same
-    extent law evaluate_reader/predict_reader use (gridded.py:121-163,
-    range capped at max seabed + 50; unknown seabed = full water column).
-    Callers evaluating several readers under ``static_grid`` take the max
-    over readers and pass it as ``fixed_R`` so every reader shares one
-    compiled eval program.  ``start_ping`` restricts the seabed scan to
-    the pings a prediction starting there can cover."""
-    is_zarr = reader.data_format == "zarr"
-    if is_zarr:
-        n_pings, n_range = reader.shape
-    else:
-        n_range, n_pings = reader.shape
-    sb = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
-    has = np.asarray(reader.seabed_known(0, n_pings))
-    return _grid_extent_rows(n_range, sb[start_ping:], has[start_ping:],
-                             wh, o)
-
-
-def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
-                    extend_size=20, chunk_cols=8, progress=False,
-                    fixed_R=None):
-    """Accumulate the PR histogram over a full reader's sliding-window grid
-    (evaluate.py:39-117 + validate_model_testing pipeline.py:343-376).
-
-    Software-pipelined like predict_reader: a prefetch thread builds the
-    next column group's host slabs while the device evaluates the current
-    one, and the grid is padded to a whole number of ``chunk_cols`` groups
-    so every group compiles to the SAME program (the unpadded tail used to
-    trigger one extra XLA compile per reader).  Pad columns lie beyond the
-    survey: their labels stay BOUNDARY -> IGNORE, contributing nothing to
-    the histogram.
-
-    Returns a HOST int64 histogram: each column group accumulates on
-    device in int32 (bounded: one group is a few Mpx) and is drained —
-    one group behind, preserving overlap — into a 64-bit accumulator, so
-    production-scale surveys (1e9+ below-seabed negatives land in bin 0)
-    cannot wrap the counters.  ``hist`` may be the int32 device array or
-    a previous int64 return value (survey loops chain readers).
-
-    ``fixed_R`` (static_grid): evaluate on a grid padded to ``fixed_R``
-    rows instead of this reader's own height — multi-reader surveys then
-    share ONE compiled program.  Pad-row patches are force-ignored through
-    the same live-patch flag as the pad columns, so the histogram is
-    EXACTLY the per-reader one (asserted in tests/test_eval_parity.py)."""
-    wh, ww = runner.window
-    o = runner.overlap
-    sh, sw = runner.stride
-    is_zarr = reader.data_format == "zarr"
-    if is_zarr:
-        n_pings, n_range = reader.shape
-    else:
-        n_range, n_pings = reader.shape
-
-    seabed_full = np.asarray(reader.get_seabed(0, n_pings)).astype(np.int64)
-    seabed_has = np.asarray(reader.seabed_known(0, n_pings))
-    sb_abs = np.where(seabed_has, seabed_full, BIG_ROW).astype(np.int64)
-
-    R_ref = _grid_extent_rows(n_range, seabed_full, seabed_has, wh, o)
-    R = max(R_ref, int(fixed_R)) if fixed_R else R_ref
-    C_total = grid_dims(0, n_pings, ww, o)
-
-    # pad to whole groups: one compiled shape for every group
-    C_pad = _round_up(C_total, chunk_cols)
-    col_groups = [(j, j + chunk_cols) for j in range(0, C_pad, chunk_cols)]
-
-    keep_global = None
-    keep_pad = (0, 0)
-    if eval_mode in ("region", "trace"):
-        # padded frame covering every CONSULTED slab pixel, including
-        # out-of-survey grid margins (the reference masks those too — see
-        # _build_keep_mask quirk notes).  Per-axis pads: rows only need
-        # ~overlap while the column axis needs up to a whole pad column
-        # group — a single symmetric pad would inflate the survey-size
-        # allocation ~2.6x at soak scale (review finding r3).  The row pad
-        # follows the REFERENCE grid R_ref, not the fixed_R-padded R:
-        # pad-row patches are force-ignored, so their keep values are
-        # never read, and sizing the frame by a deeper sibling reader's
-        # grid would add tens of MB of dead host allocation per shallow
-        # reader at soak scale (review finding r3 continuation)
-        keep_pad = (max(o, R_ref * sh + o - n_range, 0),
-                    max(o, C_pad * sw + o - n_pings, 0))
-        keep_global = _build_keep_mask(reader, eval_mode, extend_size,
-                                       n_range, n_pings, pad=keep_pad)
-    use_keep = keep_global is not None
-
-    def prepare(j0, j1):
-        """Host slab construction for columns [j0, j1) (prefetch thread)."""
-        Cc = j1 - j0
-        # slab covers all patches of the group: x in
-        # [j0*sw - o, (j1-1)*sw - o + ww)
-        want_x0 = j0 * sw - o
-        want_x1 = (j1 - 1) * sw - o + ww
-        slab_x0 = max(0, min(want_x0, n_pings))
-        slab_x1 = min(n_pings, want_x1)
-        Hp = R * sh + 2 * o
-        Wp = Cc * sw + 2 * o
-        sw_w = max(slab_x1 - slab_x0, 0)
-
-        runner.timer.start("eval_host_slab")
-        # HWC layout, matching the predict slab (NHWC patches off the
-        # gather with no device relayout)
-        data_slab = np.zeros((Hp, Wp, len(runner.frequencies)), np.float32)
-        label_slab = np.full((Hp, Wp), float(LABEL_BOUNDARY_VAL),
-                             np.float32)
-        keep_slab = np.zeros((1, 1), np.bool_)
-        # fill (and read labels) only to the REFERENCE grid's bottom row:
-        # fixed_R pad rows are force-ignored, so their slab content is
-        # never consulted — no extra I/O for the static grid
-        slab_y1 = min(n_range, R_ref * sh + o)
-        x_off = slab_x0 - want_x0
-
-        if sw_w > 0:
-            _fill_hwc_slab(reader, runner.frequencies, data_slab, slab_x0,
-                           slab_x1, slab_y1, o, x_off)
-            if is_zarr:
-                lab = reader.get_label_slice(slab_x0, sw_w, 0, slab_y1)
-                lab = np.nan_to_num(lab.T, nan=LABEL_BOUNDARY_VAL)
-            else:
-                lab = np.asarray(reader.label_memmap()[:slab_y1,
-                                                       slab_x0:slab_x1])
-            label_slab[o:o + slab_y1, x_off:x_off + sw_w] = lab
-
-        if use_keep:
-            # slab row i <-> survey row i - o, slab col j <-> want_x0 + j.
-            # The padded keep frame only spans the REFERENCE grid's rows
-            # (pad-row patches under fixed_R are force-ignored, so rows
-            # below Hp_ref are never consulted — zero-fill them instead of
-            # growing the survey-size frame)
-            pr, pc = keep_pad
-            Hp_ref = min(R_ref * sh + 2 * o, Hp)
-            keep_slab = np.zeros((Hp, Wp), np.bool_)
-            keep_slab[:Hp_ref] = keep_global[
-                pr - o:pr - o + Hp_ref, pc + want_x0:pc + want_x0 + Wp]
-
-        sb_pad = np.full(Wp, BIG_ROW, np.int64)
-        if sw_w > 0:
-            sb_pad[x_off:x_off + sw_w] = sb_abs[slab_x0:slab_x1]
-
-        y0s, x0s = make_grid_starts(R, Cc, sh, sw, o, o, o)
-        patch_y0_data = (np.repeat(np.arange(R) * sh, Cc) - o).astype(
-            np.int32)
-        # live-patch flag: pad COLUMNS (beyond the survey) and pad ROWS
-        # (fixed_R > reference grid) are both force-ignored in
-        # _eval_patches AFTER the region/trace keep override — the
-        # reference grid has no such patches
-        col_ok = np.tile((np.arange(j0, j1) < C_total), R)
-        row_ok = np.repeat(np.arange(R) < R_ref, Cc)
-        col_valid = (col_ok & row_ok).astype(np.int32)
-
-        meta_slab = np.zeros((0, 1, 1), np.float32)
-        consts = np.zeros((len(y0s), 0), np.float32)
-        if runner.use_meta:
-            centers_x = grid_center_cols(
-                np.tile(np.arange(j0, j1) * sw, R) - o, ww)
-            meta_slab, consts = _build_meta_inputs(
-                runner, reader, Hp, Wp, -o, want_x0, centers_x)
-
-        # transfer_dtype quantization (same knob as the predict path).
-        # refine_label_boundary compares raw sv against the 1e-7/1e-4
-        # thresholds, and quantized rounding could flip pixels at the
-        # threshold edge — so under bfloat16/uint8 the exact predicate is
-        # computed HERE from the float32 sv and rides as a bool slab
-        # (thr_slab): the label chain stays bit-identical to float32 and
-        # only the network input quantizes (<=0.02 dB bf16 / <=0.147 dB u8).
-        thr_slab = np.zeros((1, 1), np.uint8)
-        if runner.transfer_dtype != "float32":
-            from ..ops.label_ops import (REFINE_THRESHOLD_HI,
-                                         REFINE_THRESHOLD_LO)
-            ch = data_slab[..., -1]  # threshold channel (200 kHz)
-            # packed rows: 8x fewer h2d bytes than a byte-per-pixel slab
-            # (unpacked once on device, _eval_patches)
-            thr_slab = np.packbits((ch > REFINE_THRESHOLD_LO)
-                                   & (ch < REFINE_THRESHOLD_HI), axis=1)
-            # labels ship pre-converted int8 (4x fewer bytes; the mapping
-            # mirrors the device chain exactly — _convert_labels_host)
-            label_slab = _convert_labels_host(label_slab)
-            if runner.transfer_dtype == "uint8":
-                data_slab = _quantize_db_u8(data_slab)
-            else:
-                import ml_dtypes
-                data_slab = data_slab.astype(ml_dtypes.bfloat16)
-        runner.timer.stop("eval_host_slab")
-        # h2d from the prefetch thread (device_put is async) so transfers
-        # overlap the previous group's device work
-        runner.timer.start("eval_h2d_dispatch")
-        dev = tuple(jax.device_put(a) for a in (
-            data_slab, label_slab, sb_pad, keep_slab, thr_slab, meta_slab,
-            consts, y0s, x0s, patch_y0_data, col_valid))
-        runner.timer.stop("eval_h2d_dispatch")
-        return dev
-
-    it = col_groups
-    if progress:
-        from tqdm import tqdm
-        it = tqdm(col_groups, desc="Evaluating ...")
-
-    from concurrent.futures import ThreadPoolExecutor
-    executor = ThreadPoolExecutor(max_workers=1)
-    try:
-        fut = executor.submit(prepare, *col_groups[0]) if col_groups \
-            else None
-
-        # reference asymmetry: memm eval zeroes dB data at the boundary
-        # (define_data_transform_test), zarr eval does not (evaluate.py:47)
-        border_zero = not is_zarr
-        hist_host = np.zeros((2, metrics.N_F16_BINS), np.int64)
-        hist_host += np.asarray(hist).astype(np.int64)  # incoming carry
-        pending_hist = None
-        for idx, _ in enumerate(it):
-            (data_slab, label_slab, sb_pad, keep_slab, thr_slab, meta_slab,
-             consts, y0s, x0s, patch_y0_data, col_valid) = fut.result()
-            if idx + 1 < len(col_groups):
-                fut = executor.submit(prepare, *col_groups[idx + 1])
-            runner.timer.start("eval_device_chunk")
-            group_hist = runner._eval_patches(
-                runner.variables,
-                metrics.new_histogram(), data_slab, label_slab, sb_pad,
-                keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
-                patch_y0_data, col_valid, use_keep, border_zero, is_zarr,
-                runner.use_meta)
-            runner.timer.stop("eval_device_chunk")
-            # drain one group behind so the d2h overlaps the next group
-            if pending_hist is not None:
-                hist_host += np.asarray(pending_hist).astype(np.int64)
-            pending_hist = group_hist
-        if pending_hist is not None:
-            hist_host += np.asarray(pending_hist).astype(np.int64)
-    finally:
-        executor.shutdown(wait=True, cancel_futures=True)
-    return hist_host
-
-
-def _build_keep_mask(reader, eval_mode, extend_size, n_range, n_pings,
-                     pad=0):
-    """Keep mask from extended school bboxes (extend_label_masks.py:35-98):
-    region = bbox +- extend in both axes; trace = full water column for
-    pings within extend of a school.  ``pad`` is an int or a per-axis
-    ``(row_pad, col_pad)``; returns a
-    ``(n_range + 2*row_pad, n_pings + 2*col_pad)`` bool array where
-    survey pixel ``(y, x)`` lives at index ``(y + row_pad, x + col_pad)``
-    — the pad rows/cols
-    carry the mask for OUT-OF-SURVEY grid pixels, which the reference
-    does mask (see below).
-
-    REFERENCE QUIRKS kept for bit parity (verified against the actual
-    reference pipeline in tests/test_reference_parity.py):
-
-    * off-by-one: the reference's mask transform computes the crop origin
-      as ``center - shape//2`` (extend_label_masks.py:64) while the
-      data/label crops use ``center - shape//2 + 1`` (utils/np.py
-      getGrid), so its keep mask lands one pixel DOWN-RIGHT of the
-      annotations it targets.  Reproduced by painting every extended
-      bbox shifted by +1 in both axes (trace keeps rows [1, n_range+1)).
-    * no survey clamp: the reference clamps bbox painting to each CROP,
-      not to the survey (extend_label_masks.py:90-95), so out-of-survey
-      grid pixels inside an extended bbox keep their boundary label
-      (-> ignored) instead of becoming counted ``-1`` negatives.
-      Reproduced by painting unclamped into the padded frame.
-
-    bool dtype: the dense survey-size mask is the eval path's one big
-    host allocation (a 50k-ping survey would be ~200 MB at float32 vs
-    ~50 MB bool), and every consumer only tests truthiness."""
-    pr, pc = (pad, pad) if np.isscalar(pad) else pad
-    keep = np.zeros((n_range + 2 * pr, n_pings + 2 * pc),
-                    dtype=np.bool_)
-    bboxes = reader.get_object_bounding_boxes()  # (n, 4) y0 y1 x0 x1
-    for (y0, y1, x0, x1) in bboxes:
-        if eval_mode == "region":
-            ry0, ry1 = y0 - extend_size, y1 + extend_size
-        else:
-            ry0, ry1 = 0, n_range
-        rx0, rx1 = x0 - extend_size, x1 + extend_size
-        keep[max(ry0 + 1 + pr, 0):max(ry1 + 1 + pr, 0),
-             max(rx0 + 1 + pc, 0):max(rx1 + 1 + pc, 0)] = True
-    return keep
+# Stable import facade: the implementation is split across
+# infer_common.py (quantization laws, slab/grid helpers),
+# runner.py (GriddedRunner device programs + metadata builders),
+# predict.py (chunked predict loop + zarr/memmap writers) and
+# eval_gridded.py (PR-histogram eval loop + keep masks).  Every name the
+# tests, scripts and downstream modules historically imported from
+# ``pipeline.inference`` is re-exported here unchanged.
+from .infer_common import (DB_U8_SCALE, _U8_PROB_DEQUANT,  # noqa: F401
+                           _convert_labels_host, _fill_hwc_slab,
+                           _grid_extent_rows, _net_db_input,
+                           _quantize_db_u8, _quantize_prob_u8, _round_up,
+                           _unpack_bits, grid_center_cols,
+                           grid_height_for_reader)
+from .runner import (GriddedRunner, _build_meta_inputs,  # noqa: F401
+                     _build_meta_slab_full)
+from .predict import (_ping_chunk, predict_reader,  # noqa: F401
+                      save_reader_predictions_memm,
+                      save_survey_predictions_zarr,
+                      static_grid_shape_for_reader)
+from .eval_gridded import _build_keep_mask, evaluate_reader  # noqa: F401
+
+__all__ = [
+    "DB_U8_SCALE", "GriddedRunner", "evaluate_reader",
+    "grid_center_cols", "grid_height_for_reader", "predict_reader",
+    "save_reader_predictions_memm", "save_survey_predictions_zarr",
+    "static_grid_shape_for_reader",
+]

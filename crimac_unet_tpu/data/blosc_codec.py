@@ -147,6 +147,18 @@ def _load_chunkio():
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.c_void_p, ctypes.c_int]
+            if hasattr(lib, "cio_batch_decompress_scatter_cvt"):
+                lib.cio_batch_decompress_scatter_cvt.restype = \
+                    ctypes.c_int64
+                lib.cio_batch_decompress_scatter_cvt.argtypes = [
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_void_p, ctypes.c_int]
             lib.cio_version()  # smoke call
             _chunkio = lib
         except Exception:
@@ -289,8 +301,20 @@ def scatter_available() -> bool:
     return lib is not None and hasattr(lib, "cio_batch_decompress_scatter")
 
 
+CVT_F32_BF16 = 1  # chunkio cvt code: float32 source -> bfloat16 dest
+
+
+def scatter_cvt_available() -> bool:
+    """Whether the CONVERTING decompress+scatter (float32 chunks written
+    as bfloat16, chunkio cvt=1) exists in the loaded library."""
+    lib = _load_chunkio()
+    return lib is not None and hasattr(lib,
+                                       "cio_batch_decompress_scatter_cvt")
+
+
 def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
-                             dst, dst_offsets, dst_strides, fill_bytes):
+                             dst, dst_offsets, dst_strides, fill_bytes,
+                             cvt=0):
     """Decode N frames and scatter each frame's sub-box straight into a
     strided destination array (one native pass: no intermediate chunk
     buffer, no separate place/transpose copies).  Returns True when the
@@ -303,10 +327,14 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
     dst_offsets   (N,) int64 BYTE offset of each box's first element
                   relative to dst's data pointer
     dst_strides   (ndim,) int64 BYTE strides of dst, in CHUNK axis order
-    fill_bytes    itemsize bytes used for missing chunks
+    fill_bytes    DESTINATION-itemsize bytes used for missing chunks
+    cvt           0 = same-dtype scatter; CVT_F32_BF16 = decode float32
+                  chunks, write bfloat16 (``itemsize`` is then the
+                  DESTINATION itemsize, 2)
     """
     lib = _load_chunkio()
-    if lib is None or not hasattr(lib, "cio_batch_decompress_scatter"):
+    entry = "cio_batch_decompress_scatter" + ("_cvt" if cvt else "")
+    if lib is None or not hasattr(lib, entry):
         return False
     n = len(frames)
     if n == 0:
@@ -325,13 +353,22 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
     offs = np.ascontiguousarray(dst_offsets, dtype=np.int64)
     strides = (ctypes.c_int64 * ndim)(*dst_strides)
     fill = ctypes.create_string_buffer(bytes(fill_bytes), itemsize)
-    failed = lib.cio_batch_decompress_scatter(
-        n, srcs, src_sizes, ndim, shape_arr, itemsize,
-        b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        dst.ctypes.data,
-        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        strides, fill, 0)
+    if cvt:
+        failed = lib.cio_batch_decompress_scatter_cvt(
+            n, srcs, src_sizes, ndim, shape_arr, cvt,
+            b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dst.ctypes.data,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            strides, fill, 0)
+    else:
+        failed = lib.cio_batch_decompress_scatter(
+            n, srcs, src_sizes, ndim, shape_arr, itemsize,
+            b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dst.ctypes.data,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            strides, fill, 0)
     if failed:
         raise ValueError(f"blosc scatter decompress: {failed} chunk(s) "
                          "failed to decode")

@@ -530,8 +530,23 @@ class ZArray:
             raise ValueError("read_into dst_index must be basic slicing "
                              "(a view of dst)")
 
+        cvt = 0
+        dtype_ok = dst.dtype == self.dtype
+        if not dtype_ok and self.dtype == np.float32:
+            # converting scatter: float32 store decoded straight into a
+            # bfloat16 slab (round-to-nearest-even in native code) — the
+            # predict hot path's transfer_dtype, skipping the separate
+            # float32 slab + astype pass entirely
+            try:
+                import ml_dtypes
+                if dst.dtype == ml_dtypes.bfloat16 \
+                        and blosc_codec.scatter_cvt_available():
+                    cvt = blosc_codec.CVT_F32_BF16
+                    dtype_ok = True
+            except ImportError:
+                pass
         native_ok = ((self.compressor or {}).get("id") == "blosc"
-                     and dst.dtype == self.dtype and ndim <= 4
+                     and dtype_ok and ndim <= 4
                      and self.dtype != np.dtype(object)
                      and blosc_codec.scatter_available())
         if native_ok:
@@ -557,12 +572,12 @@ class ZArray:
                     frames.append(None)
             fill = np.asarray(
                 self.fill_value if self.fill_value is not None else 0,
-                dtype=self.dtype).tobytes()
+                dtype=self.dtype).astype(dst.dtype).tobytes()
             boxes_arr = np.array(boxes, dtype=np.int64)  # (n, 2, ndim)
             if blosc_codec.batch_decompress_scatter(
-                    frames, self.chunks, self.dtype.itemsize, boxes_arr,
+                    frames, self.chunks, dst.dtype.itemsize, boxes_arr,
                     dst, np.array(offs, dtype=np.int64), dst_strides,
-                    fill):
+                    fill, cvt=cvt):
                 return
         # fallback: materialize + transpose (still one batch decompress)
         dview[...] = np.transpose(self[tuple(sel)], axes)

@@ -249,7 +249,169 @@ static void cio_fill_box(char* dst, int ndim, int64_t itemsize,
   }
 }
 
+// ------------------------------------------------------------------ cvt
+// Converting scatter: decode float32 chunks, write a converted dtype.
+// cvt codes exposed on the C ABI:
+//   1: float32 -> bfloat16, round-to-nearest-even, NaN/Inf preserved
+//      (bit-compatible with ml_dtypes' astype for all finite values;
+//      NaNs quieted with payload truncated — only NaN-ness is consumed
+//      downstream, by the device-side isfinite scrub/write mask).
+// Saves the separate 20 MB/chunk float32 slab pass + numpy astype on
+// the predict hot path (VERDICT r4: single-CPU host is the e2e wall).
+
+static inline uint16_t f32_bits_to_bf16(uint32_t u) {
+  if ((u & 0x7FFFFFFFu) > 0x7F800000u)          // NaN: quiet, keep sign
+    return (uint16_t)((u >> 16) | 0x0040u);
+  return (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+}
+
+// Cache-blocked 2-D strided transpose-copy with f32 -> bf16 conversion
+// (the conversion twin of tiled_copy_2d; the scatter's hot case is the
+// (ping, range) -> (range, ping) relayout where the destination stride
+// of the inner run is a whole slab row — untiled, every element is a
+// cache miss).
+static void tiled_copy_2d_f32_bf16(const char* src, char* dst, int64_t n0,
+                                   int64_t n1, int64_t ss0, int64_t ss1,
+                                   int64_t ds0, int64_t ds1) {
+  const int64_t B = 32;
+  for (int64_t i0 = 0; i0 < n0; i0 += B) {
+    const int64_t m0 = (i0 + B < n0) ? i0 + B : n0;
+    for (int64_t j0 = 0; j0 < n1; j0 += B) {
+      const int64_t m1 = (j0 + B < n1) ? j0 + B : n1;
+      for (int64_t i = i0; i < m0; ++i) {
+        const char* s = src + i * ss0 + j0 * ss1;
+        char* p = dst + i * ds0 + j0 * ds1;
+        for (int64_t j = j0; j < m1; ++j) {
+          *(uint16_t*)p = f32_bits_to_bf16(*(const uint32_t*)s);
+          s += ss1;
+          p += ds1;
+        }
+      }
+    }
+  }
+}
+
+static void cio_scatter_box_f32_bf16(const char* src, char* dst, int ndim,
+                                     const int64_t* chunk_shape,
+                                     const int64_t* b0, const int64_t* b1,
+                                     const int64_t* dst_strides) {
+  int64_t sstr[CIO_MAX_DIMS];
+  int64_t acc = 4;
+  for (int d = ndim - 1; d >= 0; --d) {
+    sstr[d] = acc;
+    acc *= chunk_shape[d];
+  }
+  const int last = ndim - 1;
+  const int64_t n_last = b1[last] - b0[last];
+  if (n_last <= 0) return;
+  for (int d = 0; d < ndim; ++d)
+    if (b1[d] - b0[d] <= 0) return;
+
+  // 2-D specialization (mirrors cio_scatter_box): exactly two dims with
+  // extent > 1 and a strided destination -> cache-blocked tiles
+  {
+    int wide[CIO_MAX_DIMS];
+    int n_wide = 0;
+    for (int d = 0; d < ndim; ++d)
+      if (b1[d] - b0[d] > 1) {
+        if (n_wide < CIO_MAX_DIMS) wide[n_wide] = d;
+        ++n_wide;
+      }
+    if (n_wide == 2) {
+      const int d0 = wide[0], d1 = wide[1];
+      const char* s = src;
+      for (int d = 0; d < ndim; ++d) s += b0[d] * sstr[d];
+      tiled_copy_2d_f32_bf16(s, dst, b1[d0] - b0[d0], b1[d1] - b0[d1],
+                             sstr[d0], sstr[d1], dst_strides[d0],
+                             dst_strides[d1]);
+      return;
+    }
+  }
+
+  int64_t idx[CIO_MAX_DIMS];
+  for (int d = 0; d < ndim; ++d) idx[d] = b0[d];
+  const int64_t ds_last = dst_strides[last];
+  for (;;) {
+    const char* s = src;
+    char* p = dst;
+    for (int d = 0; d < ndim; ++d) {
+      s += idx[d] * sstr[d];
+      p += (idx[d] - b0[d]) * dst_strides[d];
+    }
+    const uint32_t* sp = (const uint32_t*)s;
+    if (ds_last == 2) {
+      uint16_t* pp = (uint16_t*)p;
+      for (int64_t i = 0; i < n_last; ++i) pp[i] = f32_bits_to_bf16(sp[i]);
+    } else {
+      for (int64_t i = 0; i < n_last; ++i)
+        *(uint16_t*)(p + i * ds_last) = f32_bits_to_bf16(sp[i]);
+    }
+    int d = last - 1;
+    for (; d >= 0; --d) {
+      if (++idx[d] < b1[d]) break;
+      idx[d] = b0[d];
+    }
+    if (d < 0) break;
+  }
+}
+
 extern "C" {
+
+// Converting variant of cio_batch_decompress_scatter: source chunks are
+// float32, destination is the converted dtype selected by `cvt` (see
+// table above; only cvt=1 / bf16 currently).  `fill` points at
+// dst_itemsize bytes of the converted fill pattern.  Returns failed
+// chunk count (n on bad args).
+int64_t cio_batch_decompress_scatter_cvt(
+    int64_t n, const void* const* srcs, const int64_t* src_sizes,
+    int ndim, const int64_t* chunk_shape, int cvt,
+    const int64_t* box_start, const int64_t* box_stop,
+    void* dst_base, const int64_t* dst_offsets,
+    const int64_t* dst_strides, const void* fill, int max_threads) {
+  if (ndim <= 0 || ndim > CIO_MAX_DIMS || cvt != 1) return n;
+  const int64_t dst_itemsize = 2;
+  int64_t chunk_bytes = 4;
+  for (int d = 0; d < ndim; ++d) chunk_bytes *= chunk_shape[d];
+
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> failed(0);
+  auto worker = [&]() {
+    std::vector<char> scratch((size_t)chunk_bytes);
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      char* dst = (char*)dst_base + dst_offsets[i];
+      const int64_t* b0 = box_start + i * ndim;
+      const int64_t* b1 = box_stop + i * ndim;
+      if (srcs[i] == nullptr || src_sizes[i] == 0) {
+        cio_fill_box(dst, ndim, dst_itemsize, b0, b1, dst_strides,
+                     (const char*)fill);
+        continue;
+      }
+      int64_t rc = cio_decompress(srcs[i], src_sizes[i], scratch.data(),
+                                  chunk_bytes);
+      if (rc != chunk_bytes) {
+        failed.fetch_add(1);
+        continue;
+      }
+      cio_scatter_box_f32_bf16(scratch.data(), dst, ndim, chunk_shape,
+                               b0, b1, dst_strides);
+    }
+  };
+  int hw = (int)std::thread::hardware_concurrency();
+  if (hw <= 0) hw = 4;
+  if (max_threads > 0 && max_threads < hw) hw = max_threads;
+  if ((int64_t)hw > n) hw = (int)n;
+  if (hw <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(hw);
+    for (int t = 0; t < hw; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return failed.load();
+}
 
 // Returns 0 on full success, else the count of failed chunks.
 int64_t cio_batch_decompress_scatter(

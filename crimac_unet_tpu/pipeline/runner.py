@@ -102,6 +102,13 @@ class GriddedRunner:
         self.late_meta = bool(config.get("late_meta_inject", False))
         self.timer = PhaseTimer()
         self.patches_processed = 0  # forward-pass patch count (for MFU)
+        # device-buffer cache for per-chunk-constant transfer inputs
+        # (grid index vectors, empty meta placeholders): the predict loop
+        # re-shipped identical arrays every chunk, and the tunnel charges
+        # a dispatch fee per device_put (scripts/predict_timeline.py)
+        self._dev_cache: dict = {}
+        import threading as _threading
+        self._dev_cache_lock = _threading.Lock()
         wh, ww = self.window
         self.stride = (wh - 2 * self.overlap, ww - 2 * self.overlap)
         if self.infer_mode == "slab":
@@ -146,6 +153,19 @@ class GriddedRunner:
     def variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
 
+    def _cached_put(self, key, builder):
+        """device_put with a per-runner cache for arrays that are
+        identical across chunks (grid starts, empty meta placeholders,
+        the zarr border stub).  Keyed by semantic identity — callers
+        must include every shape/value-determining parameter in ``key``.
+        Thread-safe (prepare runs on prefetch threads)."""
+        with self._dev_cache_lock:
+            buf = self._dev_cache.get(key)
+            if buf is None:
+                buf = jax.device_put(builder())
+                self._dev_cache[key] = buf
+            return buf
+
     def _sub_batch_shape(self, N: int) -> tuple[int, int, int]:
         """Split N patches into ``nb`` sub-batches of size ``B``
         (padded total ``Np = nb*B``), minimizing padding waste subject to
@@ -171,6 +191,38 @@ class GriddedRunner:
         if soft <= max(self.fwd_batch, B):
             B = soft
         return B, nb * B, nb
+
+    @staticmethod
+    def _pad_slab(slab, H, W=None):
+        """Zero-pad a host-cropped slab back to its full grid extent ON
+        DEVICE.  The host builders only allocate/fill/ship the rows that
+        carry data (``o + slab_y1``) — everything below is identically
+        zero, so padding here is bit-identical to shipping the zeros
+        (tests/test_inference_parity.py) while cutting h2d bytes and the
+        host fill/cast work by the pad fraction (VERDICT r3 #3: the e2e
+        wall is the single-CPU host + tunnel transfer)."""
+        # grow-only: a shipped slab may already cover the requested
+        # extent (e.g. _mask_output needs only o + n_range rows while
+        # the slab carries the full grid height)
+        ph = max(H - slab.shape[0], 0)
+        pw = 0 if W is None else max(W - slab.shape[1], 0)
+        if ph == 0 and pw == 0:
+            return slab
+        pads = ((0, ph), (0, pw)) + ((0, 0),) * (slab.ndim - 2)
+        return jnp.pad(slab, pads)
+
+    @staticmethod
+    def _border_mask(border_ext, H, W):
+        """(H, W) out-of-data-extent mask from the 4-scalar extent vector
+        ``[y0, y1, x0, x1]`` (the data-bearing slab rectangle; memmap
+        border zeroing, transforms.py:57-64).  Built on device from iota
+        comparisons — the old host-built (Hp, Wp) float32 border slab
+        shipped ~5 MB per chunk of pure geometry."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        y0, y1, x0, x1 = (border_ext[0], border_ext[1], border_ext[2],
+                          border_ext[3])
+        return (rows < y0) | (rows >= y1) | (cols < x0) | (cols >= x1)
 
     # ------------------------------------------------------------ forward
     def _shard(self, x):
@@ -255,8 +307,19 @@ class GriddedRunner:
         replicated stitch (asserted on the compiled HLO in
         tests/test_multichip.py)."""
         wh, ww = self.window
-        Cf = data_slab.shape[-1]  # slab arrives (Hp, Wp, C): HWC layout
+        Cf = data_slab.shape[-1]  # slab arrives (Hs<=Hp, Wp, C): HWC layout
         N = y0s.shape[0]
+        sh, sw = self.stride
+        Hp = R * sh + 2 * self.overlap
+        Wp = C * sw + 2 * self.overlap
+        # the host ships only the data-bearing rows; re-grow the zero pad
+        # on device (bit-identical, fewer h2d bytes — see _pad_slab)
+        data_slab = self._pad_slab(data_slab, Hp, Wp)
+        if border_zero and border_slab.ndim == 1:
+            # 4-scalar extent vector instead of a host-built dense slab
+            border_slab = self._border_mask(border_slab, Hp, Wp)
+        elif border_zero:
+            border_slab = self._pad_slab(border_slab, Hp, Wp)
 
         B, Np, nb = self._sub_batch_shape(N)
         y0r = self._shard_nb(jnp.pad(y0s, (0, Np - N)).reshape(nb, B))
@@ -326,7 +389,11 @@ class GriddedRunner:
         stays ``patch`` for bit-level reference parity."""
         sh, sw = self.stride
         o = self.overlap
-        Hp, Wp, Cf = data_slab.shape
+        Hp = R * sh + 2 * o
+        Wp = C * sw + 2 * o
+        # host ships only the data-bearing rows; re-grow the zero pad on
+        # device (values identical — the pad rows were host zeros)
+        data_slab = self._pad_slab(data_slab, Hp, Wp)
         div = 2 ** (self.model.depth - 1)  # pooling alignment
         n_dev = 1 if self.mesh is None else len(self.mesh.devices.ravel())
         H16 = _round_up(Hp, div)
@@ -336,7 +403,11 @@ class GriddedRunner:
             # patch mode zeroes only the acoustic channels at borders (the
             # reference's set_data_border_value runs before meta concat) —
             # mirror that: meta channels stay untouched
-            x = jnp.where(border_slab[:, :, None] > 0, 0.0, x)
+            if border_slab.ndim == 1:
+                bm = self._border_mask(border_slab, Hp, Wp)
+            else:
+                bm = self._pad_slab(border_slab, Hp, Wp) > 0
+            x = jnp.where(bm[:, :, None], 0.0, x)
         meta = None
         if use_meta:
             if self.late_meta:
@@ -368,9 +439,8 @@ class GriddedRunner:
 
     @partial(jax.jit, static_argnames=("self", "n_range", "n_pings",
                                        "zarr_pad", "chunk_w"))
-    def _mask_output(self, stitched, lab_fin, lab_zero, data_slab, seabed,
-                     row_cut, n_range, n_pings, zarr_pad, chunk_w,
-                     svf_packed=None):
+    def _mask_output(self, stitched, lab_bits, data_slab, sb_row,
+                     n_range, n_pings, zarr_pad, chunk_w):
         """Crop stitched grid output to chunk extent, apply write masks,
         emit float16 (the on-disk dtype).
 
@@ -381,6 +451,13 @@ class GriddedRunner:
         unpacked here.  Both predicates are evaluated on the float32 host
         labels, so this is bit-identical to shipping the labels (and 8x
         fewer h2d bytes — the tunnel/PCIe link is the e2e wall).
+        ``lab_bits`` stacks them as one (2-or-3, nr, ceil(W/8)) uint8
+        array — one device_put instead of three; plane 0 = isfinite,
+        plane 1 = (label == 0), optional plane 2 = channel-0 sv
+        finiteness (uint8 transfer mode, whose dB codes cannot carry
+        NaN).  ``sb_row`` is the per-ping seabed row vector with the
+        dynamic ``row_cut`` scalar appended at index [-1] (one put
+        instead of two; the tunnel charges ~0.5-2 ms per dispatch).
 
         The sv-finiteness half of the write mask (save_predict.py:41-65 via
         remove_nan_inf on the preload slab) is read from channel 0 of the
@@ -404,6 +481,7 @@ class GriddedRunner:
         ``seabed + pad``.
         """
         Hs, Ws, _ = stitched.shape
+        seabed, row_cut = sb_row[:-1], sb_row[-1]
         img = jnp.zeros((n_range, n_pings, 2), jnp.float32)
         h, w = min(Hs, n_range), min(Ws, n_pings)
         img = img.at[:h, :w, :].set(stitched[:h, :w, :].astype(jnp.float32))
@@ -417,22 +495,25 @@ class GriddedRunner:
         below = rows >= thresh
         o = self.overlap
         w2 = min(chunk_w, n_pings)
-        if svf_packed is not None and svf_packed.shape[0] > 0:
+        if lab_bits.shape[0] >= 3:
             # transfer_dtype='uint8': sv codes cannot carry NaN, so the
             # host packs channel-0 finiteness alongside the label bits
-            sv_fin = _unpack_bits(svf_packed, n_pings)
+            sv_fin = _unpack_bits(lab_bits[2], n_pings)
         else:
+            # host ships only the data-bearing slab rows; rows below are
+            # zeros (finite) — pad back before the finiteness read
+            data_slab = self._pad_slab(data_slab, o + n_range)
             sv_fin = jnp.ones((n_range, n_pings), bool)
             sv_fin = sv_fin.at[:, :w2].set(
                 jnp.isfinite(data_slab[o:o + n_range, o:o + w2, 0]))
-        keep = (_unpack_bits(lab_fin, n_pings) & sv_fin
-                & ~(below & _unpack_bits(lab_zero, n_pings)))
-        # row_cut (dynamic scalar): the per-chunk reference grid's bottom
-        # data row.  Under static_grid the stitched output carries pad rows
-        # below it (the survey-max grid); the reference per-chunk grid never
-        # writes them, so they are discarded here to keep outputs
-        # bit-identical.  Without static_grid, row_cut == n_range and this
-        # is the identity.
+        keep = (_unpack_bits(lab_bits[0], n_pings) & sv_fin
+                & ~(below & _unpack_bits(lab_bits[1], n_pings)))
+        # row_cut (dynamic scalar, shipped as sb_row[-1]): the per-chunk
+        # reference grid's bottom data row.  Under static_grid the
+        # stitched output carries pad rows below it (the survey-max
+        # grid); the reference per-chunk grid never writes them, so they
+        # are discarded here to keep outputs bit-identical.  Without
+        # static_grid, row_cut == n_range and this is the identity.
         keep = keep & (rows < row_cut)
         img = jnp.where(keep[:, :, None], img, 0.0)
         # the bool mask is returned alongside so save_labels can apply
@@ -449,11 +530,11 @@ class GriddedRunner:
 
     # ---------------------------------------------------- eval chunk (jit)
     @partial(jax.jit, static_argnames=("self", "use_keep", "border_zero",
-                                       "zarr_pad", "use_meta"))
+                                       "zarr_pad", "use_meta", "grid_h"))
     def _eval_patches(self, variables, hist, data_slab, label_slab, sb_pad,
                       keep_slab, thr_slab, meta_slab, consts, y0s, x0s,
                       patch_y0_data, col_valid, use_keep, border_zero,
-                      zarr_pad, use_meta=False):
+                      zarr_pad, use_meta=False, grid_h=None):
         """Per-patch test label chain + forward + PR histogram update.
 
         label_slab is in the same padded grid coordinates as data_slab;
@@ -472,10 +553,22 @@ class GriddedRunner:
         the network input is quantized (same contract as the predict
         path's bf16/uint8 slabs and packed write-mask predicates).
         """
-        from ..constants import LABEL_IGNORE_VAL
+        from ..constants import LABEL_BOUNDARY_VAL, LABEL_IGNORE_VAL
         wh, ww = self.window
-        Cf = data_slab.shape[-1]  # slab arrives (Hp, Wp, C): HWC layout
+        Cf = data_slab.shape[-1]  # slab arrives (Hs<=Hp, Wp, C): HWC layout
         N = y0s.shape[0]
+        if grid_h is not None:
+            # the host ships only the data-bearing slab rows; re-grow the
+            # pad on device with the exact host fill values (data: zeros;
+            # labels: BOUNDARY, or its int8 conversion IGNORE).  keep_slab
+            # ships full — its below-survey rows carry real extended-bbox
+            # values (the reference's no-survey-clamp quirk)
+            data_slab = self._pad_slab(data_slab, grid_h)
+            ph = max(grid_h - label_slab.shape[0], 0)
+            pad_lab = (LABEL_IGNORE_VAL if label_slab.dtype == jnp.int8
+                       else LABEL_BOUNDARY_VAL)
+            label_slab = jnp.pad(label_slab, ((0, ph), (0, 0)),
+                                 constant_values=pad_lab)
 
         # pre-shard the patch indices in (nb, fwd_batch) layout (same
         # scheme as _predict_patches) and lax.scan the sub-batches with
@@ -514,6 +607,9 @@ class GriddedRunner:
                     "predicate slab — quantized-transfer eval must ship "
                     "both (pipeline bug)")
             thr_bool = _unpack_bits(thr_slab, data_slab.shape[1])
+            if grid_h is not None:
+                # pad rows are host zeros: (0 > lo) & (0 < hi) is False
+                thr_bool = self._pad_slab(thr_bool, grid_h)
 
         def body(hist, inp):
             y0b, x0b, py0b, cvb, consts_b = inp

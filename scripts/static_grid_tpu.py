@@ -100,10 +100,10 @@ def run_arm(static: bool):
         return real_pp(variables, data_slab, y0s, x0s, border_slab,
                        meta_slab, consts, R, C, border_zero, use_meta)
 
-    def spy_mo(stitched, label_slab, data_slab, sb_vec, row_cut, nr,
+    def spy_mo(stitched, lab_bits, data_slab, sb_row, nr,
                n_pings, zarr_pad, chunk_w):
         mo_sigs.append((nr, n_pings, chunk_w, stitched.shape))
-        return real_mo(stitched, label_slab, data_slab, sb_vec, row_cut,
+        return real_mo(stitched, lab_bits, data_slab, sb_row,
                        nr, n_pings, zarr_pad, chunk_w)
 
     runner._predict_patches, runner._mask_output = spy_pp, spy_mo

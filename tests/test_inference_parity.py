@@ -640,16 +640,14 @@ def test_static_grid_multi_reader_survey_one_program(tmp_path):
             return real(variables, data_slab, y0s, x0s, border_slab,
                         meta_slab, consts, R, C, border_zero, use_meta)
 
-        def spy_mask(stitched, lab_fin, lab_zero, data_slab, sb_vec,
-                     row_cut, nr, n_pings, zarr_pad, chunk_w,
-                     svf_packed=None):
+        def spy_mask(stitched, lab_bits, data_slab, sb_row,
+                     nr, n_pings, zarr_pad, chunk_w):
             # the full static-arg + input-shape signature _mask_output
             # compiles against — every distinct tuple is one XLA compile
-            mask_sigs.append((nr, n_pings, chunk_w, lab_fin.shape,
+            mask_sigs.append((nr, n_pings, chunk_w, lab_bits.shape,
                               data_slab.shape))
-            return real_mask(stitched, lab_fin, lab_zero, data_slab,
-                             sb_vec, row_cut, nr, n_pings, zarr_pad,
-                             chunk_w, svf_packed)
+            return real_mask(stitched, lab_bits, data_slab, sb_row,
+                             nr, n_pings, zarr_pad, chunk_w)
         runner._predict_patches = spy
         runner._mask_output = spy_mask
         out_dir = tmp_path / f"pred_{static}"

@@ -239,7 +239,7 @@ def test_sharded_eval_no_redistribute(tmp_path):
     lowered = jax.jit(
         real.__wrapped__,
         static_argnames=("self", "use_keep", "border_zero", "zarr_pad",
-                         "use_meta")
+                         "use_meta", "grid_h")
     ).lower(r8, r8.variables, *staged["args"], **staged["kw"])
     hlo = lowered.compile().as_text()
     assert "all-to-all" not in hlo

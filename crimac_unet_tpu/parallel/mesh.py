@@ -56,9 +56,18 @@ def init_distributed(coordinator_address=None, num_processes=None,
 
 
 def get_mesh(n_devices: int = 0) -> Mesh:
-    """1-D data mesh over the first ``n_devices`` devices (0 = all)."""
+    """1-D data mesh over the first ``n_devices`` devices (0 = all).
+
+    Asking for more devices than exist raises instead of silently
+    returning a smaller mesh — a config pinned to 8 chips running on 2
+    would otherwise degrade throughput (and skew any per-device batch
+    math) without a word."""
     devs = jax.devices()
     if n_devices and n_devices > 0:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"get_mesh({n_devices}) but only {len(devs)} device(s) "
+                f"are visible ({devs[0].platform}); use 0 for all")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), axis_names=("data",))
 

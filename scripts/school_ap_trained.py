@@ -28,11 +28,34 @@ def log(msg):
     print(f"[school_ap {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def ensure_big_val_fixture(work):
+    """Statistically meaningful HELD-OUT validation survey (VERDICT r3
+    #4: the r3 measurement fixture carried ~7 ground-truth schools per
+    category, quantizing AP to 1/7-recall steps).  School sizes scale
+    with each echogram's W, so MANY SMALL echograms — not one wide one —
+    is what yields many distinct school components: 14 x (700x400)
+    echograms x 12 schools gives >= 50 per category (recall resolution
+    <= 1/50), same year/naming contract as the r3 fixture."""
+    from pathlib import Path
+
+    from crimac_unet_tpu.data.fixtures import make_survey_dir
+    memm = Path(work) / "memm_bigval"
+    if not (memm / "marker.ok").is_file():
+        make_survey_dir(memm, year=2016, n_echograms=14, H=700, W=400,
+                        seed=77, n_schools=12)
+        (memm / "marker.ok").write_text("ok")
+    return str(memm)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=15000)
     ap.add_argument("--work", default="/tmp/school_ap")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--big-val", action="store_true",
+                    help="evaluate on the >=50-schools-per-category "
+                         "held-out fixture instead of the r3 2-echogram "
+                         "one (AP resolution 1/50 vs 1/7)")
     args = ap.parse_args()
     out = args.out or os.path.join(args.work, "results.json")
     os.makedirs(args.work, exist_ok=True)
@@ -70,8 +93,9 @@ def main():
                  "batch_stats": payload["batch_stats"]}
     cfg = dict(config, fwd_batch=32, compute_dtype="bfloat16")
     runner = GriddedRunner(build_unet(cfg), variables, cfg)
+    val_dir = ensure_big_val_fixture(args.work) if args.big_val else memm
     readers = get_echograms(years=[2016],
-                            path_to_echograms=str(memm),
+                            path_to_echograms=str(val_dir),
                             minimum_shape=50)
     log(f"validation survey: {len(readers)} echograms")
     t0 = time.time()

@@ -331,6 +331,38 @@ def main(cfg):
         torch.save(model.state_dict(),
                    os.path.join(out, "train_after.pt"))
 
+    tj = cfg.get("trajectory_probe")
+    if tj:
+        # a SHORT TRAINING TRAJECTORY (default 50 optimizer steps) of the
+        # real reference loop — same criterion/optimizer as train_probe
+        # but long enough that accumulated FP drift / BN running-stat
+        # conventions would surface (VERDICT r3 #6: "steps match" is not
+        # "training matches").  Batches are NOT saved: the test process
+        # regenerates the identical stream from the same seeded RNG.
+        steps = int(tj.get("steps", 50))
+        model = make_model(depth, sf, tj["ckpt"], seed=43)
+        model.train()
+        optimizer = torch.optim.SGD(model.parameters(), lr=0.01,
+                                    momentum=0.95)
+        criterion = torch.nn.CrossEntropyLoss(
+            weight=torch.tensor([10.0, 300.0, 250.0]))
+        rng = np.random.RandomState(41)
+        losses = []
+        for _ in range(steps):
+            x = rng.randn(4, 4, *patch).astype(np.float32)
+            y = rng.choice([0, 1, 2, -100], size=(4, *patch),
+                           p=[0.5, 0.2, 0.2, 0.1]).astype(np.int64)
+            optimizer.zero_grad()
+            loss = criterion(model(torch.from_numpy(x)),
+                             torch.from_numpy(y))
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss.item()))
+        np.save(os.path.join(out, "traj_losses.npy"),
+                np.array(losses, np.float64))
+        torch.save(model.state_dict(),
+                   os.path.join(out, "traj_after.pt"))
+
     ec = cfg.get("export_check")
     if ec:
         # strict load of OUR exported .pt into the reference's real class

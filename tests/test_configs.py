@@ -48,7 +48,8 @@ def test_serving_preset_differs_only_in_documented_keys():
     serving = load_yaml_config(CONFIGS / "config_serving.yaml")
     assert REFERENCE_KEYS <= set(serving)
     documented = {"infer_mode", "static_grid", "save_labels", "data_mode",
-                  "resume_writing", "transfer_dtype", "output_dtype"}
+                  "resume_writing", "transfer_dtype", "output_dtype",
+                  "alignment_warning"}
     diff = {k for k in set(base) | set(serving)
             if base.get(k) != serving.get(k)}
     assert diff <= documented, diff - documented
@@ -66,6 +67,42 @@ def test_serving_preset_differs_only_in_documented_keys():
     # geometry) is unchanged
     assert serving["patch_size"] == base["patch_size"]
     assert serving["patch_overlap"] == base["patch_overlap"]
+    # the r4 trained-weights tiling A/B (overlap 16 vs 20 at this exact
+    # preset: no accuracy/extent/speed benefit from alignment) lets the
+    # preset opt out of the per-run misalignment warning
+    assert serving["alignment_warning"] is False
+
+
+def test_serving_preset_runner_does_not_warn():
+    """Building the serving-preset runner fires NO misalignment warning
+    (VERDICT r3 #5: the preset paid a warning tax on every run), while a
+    plain slab config at the same tiling still warns — the guard stays
+    for anyone who did not read the A/B."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import GriddedRunner
+
+    serving = load_yaml_config(CONFIGS / "config_serving.yaml")
+    cfg = dict(serving, depth=2, start_filts=4, mesh_devices=1)
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 32, 32, 4)), train=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        GriddedRunner(model, v, cfg)
+    assert not any("misaligned" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # odd overlap: misaligned at ANY depth (the tiny depth-2 model
+        # used here has alignment 2, which the preset's 20/216 satisfies)
+        GriddedRunner(model, v, dict(cfg, alignment_warning=True,
+                                     patch_overlap=5))
+    assert any("misaligned" in str(x.message) for x in w)
 
 
 def test_fast_train_preset_is_the_rescaled_reference_recipe():

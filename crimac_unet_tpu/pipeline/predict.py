@@ -16,7 +16,7 @@ import numpy as np
 from ..ops.label_ops import BIG_ROW
 from ..ops.patches import grid_dims, make_grid_starts
 from .infer_common import (_U8_PROB_DEQUANT, _fill_hwc_slab,
-                           _grid_extent_rows, _quantize_db_u8,
+                           _grid_extent_rows, _quantize_db_u8, _round_up,
                            grid_center_cols, grid_height_for_reader)
 from .runner import GriddedRunner, _build_meta_inputs, _build_meta_slab_full
 
@@ -42,6 +42,33 @@ def static_grid_shape_for_reader(reader, window, overlap: int,
                                start_ping=int(splits[0][0]))
     C = max(grid_dims(int(a), int(b), ww, overlap) for a, b in splits)
     return R, C
+
+
+def _keep_row_bound(fin, zero, sb_vec, row_cut, sh, overlap, zarr_pad,
+                    nr):
+    """Host-side upper bound on the device write mask's last kept row
+    (1 + highest row where any pixel CAN be kept), a SUPERSET of the
+    device law in GriddedRunner._mask_output — it mirrors the
+    label-finiteness / label-zero / seabed-band algebra exactly and only
+    ignores the sv-finiteness term (which can only shrink the kept set).
+    The d2h transfer is then cropped to this bound at DISPATCH time, so
+    the all-zero below-seabed rows never cross the tunnel's slow d2h
+    direction while the copy still overlaps later chunks' host work.
+    Bit-identical outputs: cropped rows are identically zero on device
+    (tests/test_inference_parity.py covers predict bit-parity)."""
+    from ..constants import SEABED_PAD
+    rows = np.arange(nr, dtype=np.int64)
+    if zarr_pad:
+        band_top = np.clip((rows // sh) * sh - overlap, 0, None)
+        thresh = np.maximum(sb_vec[None, :], band_top[:, None]) + SEABED_PAD
+    else:
+        thresh = np.broadcast_to(sb_vec[None, :] + SEABED_PAD,
+                                 (nr, len(sb_vec)))
+    below = rows[:, None] >= thresh
+    keep_sup = fin & ~(below & zero)
+    keep_sup = keep_sup & (rows < row_cut)[:, None]
+    any_row = keep_sup.any(axis=1)
+    return int(np.max(np.where(any_row, rows + 1, 0), initial=0))
 
 
 def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
@@ -114,36 +141,34 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         dev_out = jax.block_until_ready(dev_out)
         runner.timer.stop("device_wait")
         runner.timer.start("d2h")
-        # the device buffer only carries the grid-covered rows (everything
-        # below is identically zero); rebuild full range on the host —
-        # cuts d2h bytes by the below-grid fraction (large for deep surveys)
-        part = np.asarray(dev_out)[:, :, :e0 - s0]
+        # dev_out arrives ALREADY cropped to the host-computed keep-row
+        # bound (the all-zero rows below it never cross the tunnel's
+        # slow d2h direction — _keep_row_bound) and async-copied since
+        # dispatch; rebuild the full range on the host
+        kr = min(dev_out.shape[1], n_range)
         host = np.zeros((2, n_range, e0 - s0), np.float16)
-        # static_grid multi-reader surveys: the device buffer may carry
-        # survey-max pad rows below this reader's range; they are
-        # identically zero (>= row_cut) and cropped here
-        nr_out = min(part.shape[1], n_range)
-        part = part[:, :nr_out, :]
-        if part.dtype == np.uint8:
-            # output_dtype='uint8': dequantize the d2h codes to the f16
-            # store values (code 0 -> 0.0, so masked pixels stay 0) —
-            # AFTER the row crop, so static-grid pad rows never pay it
-            part = _U8_PROB_DEQUANT[part]
-        host[:, :nr_out, :] = part
+        if kr > 0:
+            part = np.asarray(dev_out)[:, :kr, :e0 - s0]
+            if part.dtype == np.uint8:
+                # output_dtype='uint8': dequantize the d2h codes to the
+                # f16 store values (code 0 -> 0.0, masked pixels stay 0)
+                part = _U8_PROB_DEQUANT[part]
+            host[:, :kr, :] = part
         runner.timer.stop("d2h")
         if lab is not None:
             # masked label export (save_labels): raw categorical labels
             # with the EXACT prediction exclusions — the device-computed
             # write mask, not `pred != 0` (f16 probabilities can
-            # underflow to 0 inside the mask)
-            nr = nr_out
-            keep = np.asarray(dev_keep)[:nr, :e0 - s0]
+            # underflow to 0 inside the mask).  Rows at/below the crop
+            # bound have keep identically False (the bound is a superset
+            # of the kept set), so [:kr] covers every exportable pixel.
+            keep = np.asarray(dev_keep)[:kr, :e0 - s0]
             # float32, NOT f16: the export carries RAW category codes
             # (4-digit LSSS codes like 6009 exceed f16's 2048 exact-int
             # range and would silently round)
             lab_full = np.zeros((n_range, e0 - s0), np.float32)
-            lab_full[:nr] = np.where(
-                keep, np.nan_to_num(lab[:nr, :e0 - s0], nan=0.0), 0.0)
+            lab_full[:kr] = np.where(
+                keep, np.nan_to_num(lab[:kr, :e0 - s0], nan=0.0), 0.0)
             lab = lab_full
         return s0, e0, host, lab
 
@@ -347,7 +372,14 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                        else runner._cached_put(("metaf0",),
                                                lambda: meta_full)))
         runner.timer.stop("h2d_dispatch")
-        return (s, e, w, R, C, nr, border_zero, dev,
+        # host-computed d2h crop bound (see _keep_row_bound), bucketed to
+        # 128-row multiples: the device slice compiles one tiny
+        # executable per distinct shape, and an exact per-chunk bound
+        # would churn compiles through the remote-compile tunnel
+        kr = _keep_row_bound(fin_pad, zero_pad, sb_vec, row_cut, sh, o,
+                             is_zarr, nr)
+        kr = min(_round_up(kr, 128), nr)
+        return (s, e, w, R, C, nr, kr, border_zero, dev,
                 label_pad if save_labels else None)
 
     import collections
@@ -359,7 +391,7 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
         n_submitted = len(futs)
 
         for idx, _ in enumerate(it):
-            (s, e, w, R, C, nr, border_zero, dev, lab_host) = \
+            (s, e, w, R, C, nr, kr, border_zero, dev, lab_host) = \
                 futs.popleft().result()
             if n_submitted < len(splits):
                 futs.append(executor.submit(prepare, *splits[n_submitted]))
@@ -389,6 +421,10 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                 stitched, dev["lab_bits"], dev["data_slab"],
                 dev["sb_row"], nr, C * sw, is_zarr,
                 C * sw if static else w)
+            if kr < nr:
+                # lossless d2h crop (host-computed bound, _keep_row_bound):
+                # rows at/below kr are identically zero in `out`
+                out = out[:, :kr, :]
             runner.timer.stop("device_chunk")
             # start the d2h copy as soon as compute finishes (overlaps the
             # next chunk's device work; _drain only synchronizes).  The

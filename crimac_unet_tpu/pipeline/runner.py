@@ -529,7 +529,10 @@ class GriddedRunner:
         # the EXACT exclusions — reconstructing it from `pred != 0` on
         # the host misclassifies kept pixels whose f16 probabilities
         # underflow to 0 (review finding r3); it is only transferred
-        # when labels are exported
+        # when labels are exported.  (The caller additionally crops the
+        # d2h transfer to the host-computed keep-row bound — see
+        # predict.py _keep_row_bound; rows below it are identically zero
+        # here because ``keep`` is False for every pixel of them.)
         out = img.transpose(2, 0, 1)
         if self.output_dtype == "uint8":
             # d2h quantization (shared law with the AOT artifact); the

@@ -859,3 +859,72 @@ def test_output_dtype_uint8(tmp_path):
 
     with pytest.raises(ValueError):
         GriddedRunner(model, v, dict(cfg, output_dtype="int8"))
+
+
+def test_keep_row_bound_is_superset_of_device_mask(tmp_path):
+    """_keep_row_bound (the host-computed d2h crop bound) must bound the
+    device write mask's last kept row on every chunk — the cropped rows
+    are transferred as zeros, so an under-bound would silently drop kept
+    pixels.  Exercised over fixtures with deep and shallow seabeds, both
+    reader formats, and both seabed-band laws (zarr/memm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crimac_unet_tpu.data.fixtures import make_survey_dir, \
+        make_zarr_survey
+    from crimac_unet_tpu.data.memmap_reader import get_echograms
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.models.unet import build_unet
+    from crimac_unet_tpu.pipeline.inference import (GriddedRunner,
+                                                    predict_reader)
+
+    cfg = {"patch_size": [32, 32], "patch_overlap": 4,
+           "frequencies": [18, 38, 120, 200], "fwd_batch": 8,
+           "depth": 2, "start_filts": 4}
+    model = build_unet(cfg)
+    v = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 4)),
+                   train=False)
+
+    readers = []
+    sv = make_zarr_survey(tmp_path / "z", year=2019, n_echograms=1,
+                          H=150, W=200, seed=5, n_schools=5)
+    readers.append(DataReaderZarr(sv))
+    make_survey_dir(tmp_path / "m", year=2017, n_echograms=1, H=150,
+                    W=200, seed=6, n_schools=5)
+    readers.append(get_echograms(years=[2017],
+                                 path_to_echograms=str(tmp_path / "m"),
+                                 minimum_shape=50)[0])
+
+    import crimac_unet_tpu.pipeline.predict as P
+    for reader in readers:
+        runner = GriddedRunner(model, v, cfg)
+        seen = []
+        real = runner._mask_output
+
+        def spy(stitched, lab_bits, data_slab, sb_row, nr, n_pings,
+                zarr_pad, chunk_w):
+            out, keep = real(stitched, lab_bits, data_slab, sb_row, nr,
+                             n_pings, zarr_pad, chunk_w)
+            seen.append(np.asarray(keep))
+            return out, keep
+        runner._mask_output = spy
+
+        bounds = []
+        real_bound = P._keep_row_bound
+
+        def spy_bound(*a, **k):
+            kr = real_bound(*a, **k)
+            bounds.append(kr)
+            return kr
+        P._keep_row_bound = spy_bound
+        try:
+            for _ in predict_reader(runner, reader, 70):
+                pass
+        finally:
+            P._keep_row_bound = real_bound
+        assert len(seen) == len(bounds) and seen
+        for keep, kr in zip(seen, bounds):
+            rows = np.where(keep.any(axis=1))[0]
+            last = int(rows[-1]) + 1 if len(rows) else 0
+            assert last <= kr, (last, kr, reader.name)
+            assert 0 < last  # the fixture must actually keep pixels

@@ -171,7 +171,6 @@ def run_ours(sv_path):
     # round trip each way, recorded so the judge can normalize e2e
     # numbers across tunnel weather
     try:
-        import jax.numpy as _jnp
         _a = np.random.randn(5 * 1024 * 1024 // 4).astype(np.float32)
         t0 = time.time()
         _d = jax.device_put(_a)

@@ -353,22 +353,16 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
     offs = np.ascontiguousarray(dst_offsets, dtype=np.int64)
     strides = (ctypes.c_int64 * ndim)(*dst_strides)
     fill = ctypes.create_string_buffer(bytes(fill_bytes), itemsize)
-    if cvt:
-        failed = lib.cio_batch_decompress_scatter_cvt(
-            n, srcs, src_sizes, ndim, shape_arr, cvt,
-            b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            dst.ctypes.data,
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            strides, fill, 0)
-    else:
-        failed = lib.cio_batch_decompress_scatter(
-            n, srcs, src_sizes, ndim, shape_arr, itemsize,
-            b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            dst.ctypes.data,
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            strides, fill, 0)
+    # the two entry points share every argument except position 6 (the
+    # cvt code vs the plain itemsize) — dispatch through one call so a
+    # future argument change cannot silently diverge the paths
+    failed = getattr(lib, entry)(
+        n, srcs, src_sizes, ndim, shape_arr, cvt if cvt else itemsize,
+        b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        strides, fill, 0)
     if failed:
         raise ValueError(f"blosc scatter decompress: {failed} chunk(s) "
                          "failed to decode")

@@ -200,7 +200,11 @@ def evaluate_reader(runner: GriddedRunner, reader, hist, eval_mode="all",
         live = min(max(C_total - j0, 0), Cc)
         cache = runner._cached_put
         dev = tuple(jax.device_put(a) for a in (
-            data_slab, label_slab, sb_pad, keep_slab, thr_slab)) + (
+            data_slab, label_slab, sb_pad)) + (
+            (jax.device_put(keep_slab) if keep_slab.size > 1
+             else cache(("keep0",), lambda: keep_slab)),
+            (jax.device_put(thr_slab) if thr_slab.size > 1
+             else cache(("thr0",), lambda: thr_slab))) + (
             (jax.device_put(meta_slab) if meta_slab.size
              else cache(("meta0",), lambda: meta_slab)),
             (jax.device_put(consts) if consts.size

@@ -19,7 +19,6 @@ import numpy as np
 from ..constants import SEABED_PAD
 from ..ops import data_ops, label_ops, metrics
 from ..ops.label_ops import BIG_ROW
-from ..ops.patches import make_grid_starts
 from ..ops.stitch import stitch_patches
 from ..utils.general import PhaseTimer
 from .infer_common import (_net_db_input, _quantize_prob_u8, _round_up,
@@ -148,7 +147,11 @@ class GriddedRunner:
         # replicated (set mesh_devices > 1 or 0 = all)
         self.mesh = None
         n_dev = int(config.get("mesh_devices", 1) or len(jax.devices()))
-        if n_dev > 1 and len(jax.devices()) > 1:
+        if n_dev > 1:
+            # get_mesh raises when n_dev exceeds the visible devices —
+            # a config pinned to 8 chips must not silently degrade to
+            # however many happen to be attached (same loud contract as
+            # parallel/mesh.get_mesh)
             from ..parallel.mesh import get_mesh, replicated
             self.mesh = get_mesh(n_dev)
             repl = replicated(self.mesh)

@@ -98,10 +98,6 @@ def main():
     runner._predict_patches = pp
     runner._mask_output = mask
 
-    # also time the host fill / label / cast inside prepare via the
-    # existing PhaseTimer — and np.asarray drains
-    real_asarray = np.asarray
-
     try:
         T0[0] = time.perf_counter()
         t0 = time.perf_counter()

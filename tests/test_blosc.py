@@ -301,3 +301,58 @@ def test_batch_decode_rejects_short_frames(tmp_path):
     dsts = [np.empty(1000, np.float32), np.empty(1000, np.float32)]
     with pytest.raises(ValueError):
         bc.batch_decompress_into([good, short], dsts)
+
+
+def test_converting_scatter_bit_equals_ml_dtypes(tmp_path):
+    """The native f32->bf16 converting scatter (chunkio cvt=1 — the
+    default bfloat16-transfer zarr predict hot path) must be bit-equal
+    to ml_dtypes astype on every value class: normals, denormals,
+    +-Inf, NaN (quieted), FLT_MAX, negative zero — and missing chunks
+    must fill with the CONVERTED fill pattern.  Direct guard: the parity
+    suites exercise this path only symmetrically (both arms converted)
+    or with float32 transfer (path bypassed), so a rounding regression
+    would otherwise ship silently (r4 review finding)."""
+    import numpy as np
+    import pytest
+
+    ml_dtypes = pytest.importorskip("ml_dtypes")
+    from crimac_unet_tpu.data import blosc_codec
+    if not blosc_codec.scatter_cvt_available():
+        pytest.skip("native converting scatter unavailable")
+    from crimac_unet_tpu.data.zarrlite import ZGroup
+
+    rng = np.random.RandomState(0)
+    a = rng.lognormal(-12, 6, (3, 70, 50)).astype(np.float32)
+    a[0, :2, :2] = [[np.nan, np.inf], [-np.inf, -0.0]]
+    a[1, 0, 0] = np.float32(3.4028235e38)      # FLT_MAX
+    a[1, 0, 1] = np.float32(1e-41)             # denormal
+    a[1, 0, 2] = np.float32(-1e-41)
+    # exact round-to-nearest-even tie values around a bf16 ulp boundary
+    a[2, 0, :4] = np.array([1.00390625, 1.001953125, 1.005859375,
+                            2.0000002], np.float32)
+
+    g = ZGroup.create(tmp_path / "t.zarr")
+    arr = g.create_array("sv", a.shape, (2, 32, 32), np.float32,
+                         fill_value=np.nan, compressor="blosc-zstd")
+    arr[:] = a
+    # delete one chunk file -> fill path must produce CONVERTED NaN
+    # (chunk key axes are (category, ping, range) with chunk (2, 32, 32))
+    victim = tmp_path / "t.zarr" / "sv" / "1.1.0"
+    assert victim.is_file()
+    victim.unlink()
+
+    dst = np.zeros((50, 70, 3), ml_dtypes.bfloat16)
+    ZGroup.open(tmp_path / "t.zarr")["sv"].read_into(
+        (slice(0, 3), slice(0, 70), slice(0, 50)), dst, np.s_[:, :, :],
+        axes=(2, 1, 0))
+
+    ref = a.transpose(2, 1, 0).copy()
+    # reproduce the missing chunk's fill on the oracle side: chunk
+    # (1, 1, 0) covers categories [2:3), pings [32:64), ranges [0:32)
+    ref[0:32, 32:64, 2] = np.nan
+    ref16 = ref.astype(ml_dtypes.bfloat16)
+    got, want = dst.view(np.uint16), ref16.view(np.uint16)
+    nan_both = (np.isnan(dst.astype(np.float32))
+                & np.isnan(ref16.astype(np.float32)))
+    mism = ~((got == want) | nan_both)
+    assert not mism.any(), np.argwhere(mism)[:5]

@@ -91,15 +91,18 @@ def test_serving_preset_runner_does_not_warn():
     model = build_unet(cfg)
     v = model.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, 32, 32, 4)), train=False)
+    # odd overlap: misaligned at ANY depth (the tiny depth-2 model used
+    # here has alignment 2, which the preset's own 20/216 satisfies — a
+    # no-warning check at the preset geometry would be vacuous), so BOTH
+    # arms below genuinely exercise the warning predicate and only the
+    # alignment_warning flag differs
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        GriddedRunner(model, v, cfg)
+        GriddedRunner(model, v, dict(cfg, patch_overlap=5))
     assert not any("misaligned" in str(x.message) for x in w), \
         [str(x.message) for x in w]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        # odd overlap: misaligned at ANY depth (the tiny depth-2 model
-        # used here has alignment 2, which the preset's 20/216 satisfies)
         GriddedRunner(model, v, dict(cfg, alignment_warning=True,
                                      patch_overlap=5))
     assert any("misaligned" in str(x.message) for x in w)

@@ -9,12 +9,21 @@ Hypothesis: the NHWC layout puts C=64 in the lane dimension (half of the
 the XLA lowering moves far more than the minimum bytes.  Variants:
 
   v1  blocked NHWC kernel: block (1, TH, W, C), reshape+max in VMEM
-  v2  lane-packed: input viewed (B, H, W*C); W-pairs are adjacent
-      64-lane groups (a 128-lane group = [w even | w odd] channels), so
-      the W-max is one in-register split and the H-max a row-pair max
+  v2  lane-packed: input viewed (B, H, W*C) with a (.., 2, C) lane
+      reshape — REJECTED by Mosaic (arbitrary lane-dim reshapes)
+  v3  lane128: (rows, W*C) viewed (rows, W/2, 128) so each trailing
+      group is exactly one lane tile; W-max is a half-tile slice max,
+      H-max splits the leading dim (both Mosaic-natural)
 
 Each variant is asserted bit-equal to reduce_window, then timed with the
 roofline chain harness (on-device fori_loop, scalar carry).
+
+Status (r4, BASELINE.md thirteenth session follow-up): v1 is bit-equal
+but ~2x slower per byte than XLA's reduce_window; v2 rejected; v3 was
+written after the tunnel's remote-compile helper started returning
+HTTP 500 for ALL pallas compiles (including v1, which had compiled
+earlier the same day), so its verdict is OPEN — re-run this probe on a
+healthy rig before concluding anything about the lane128 formulation.
 
   python scripts/pallas_pool_probe.py [--batch 32]
 """
@@ -65,6 +74,38 @@ def pool_pallas_nhwc(x, tile_h=32):
     )(x)
 
 
+# ------------------------------------------------------------ variant 3
+def _pool_kernel_lane128(x_ref, o_ref):
+    """Mosaic-natural formulation: the flattened (row, W*C) input is
+    viewed as (rows, W/2, 2C) — with C=64 each trailing group is EXACTLY
+    one 128-lane tile, so the W-pair max is a half-tile slice max (no
+    lane reshuffle) and the H-pair max splits the LEADING dim (free)."""
+    x = x_ref[0]                       # (TH, W*C)
+    th, wc = x.shape
+    y = x.reshape(th, wc // 128, 128)  # trailing dim == one lane tile
+    wmax = jnp.maximum(y[:, :, :64], y[:, :, 64:])   # (TH, W/2, 64)
+    z = wmax.reshape(th // 2, 2, (wc // 128) * 64)
+    o_ref[0] = jnp.max(z, axis=1)      # (TH/2, W/2*C)
+
+
+def pool_pallas_lane128(x, tile_h=32):
+    B, H, W, C = x.shape
+    assert C == 64
+    xf = x.reshape(B, H, W * C)
+    out = pl.pallas_call(
+        _pool_kernel_lane128,
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, (W // 2) * C), x.dtype),
+        grid=(B, H // tile_h),
+        in_specs=[pl.BlockSpec((1, tile_h, W * C),
+                               lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile_h // 2, (W // 2) * C),
+                               lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )(xf)
+    return out.reshape(B, H // 2, W // 2, C)
+
+
 # ------------------------------------------------------------ variant 2
 def _pool_kernel_packed(x_ref, o_ref, *, c):
     x = x_ref[0]                       # (TH, W*C) lanes
@@ -111,6 +152,7 @@ def main():
 
     want = np.asarray(pool_rw(x[:2]), np.float32)
     for name, fn in (("pallas nhwc", pool_pallas_nhwc),
+                     ("pallas lane128", pool_pallas_lane128),
                      ("pallas packed", pool_pallas_packed)):
         try:
             got = np.asarray(fn(x[:2]), np.float32)
@@ -124,6 +166,7 @@ def main():
     print(f"  HBM bound {tb*1e3:.3f} ms")
     for name, fn in (("reduce_window (prod)", pool_rw),
                      ("pallas nhwc", pool_pallas_nhwc),
+                     ("pallas lane128", pool_pallas_lane128),
                      ("pallas packed", pool_pallas_packed)):
         try:
             t = chain_time(lambda s, xx, f=fn: f(gate(s, xx)), x,

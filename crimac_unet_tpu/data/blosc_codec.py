@@ -317,8 +317,10 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
                              cvt=0):
     """Decode N frames and scatter each frame's sub-box straight into a
     strided destination array (one native pass: no intermediate chunk
-    buffer, no separate place/transpose copies).  Returns True when the
-    native path ran; False means the caller must use its fallback.
+    buffer, no separate place/transpose copies).  Returns False ONLY when
+    the native entry point is unavailable (caller must use its fallback);
+    raises ValueError when any chunk fails to decode or the native entry
+    rejects the arguments.
 
     frames        list of N bytes or None (None = missing chunk -> fill)
     chunk_shape   logical chunk shape (elements), ndim <= 4
@@ -336,6 +338,11 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
     entry = "cio_batch_decompress_scatter" + ("_cvt" if cvt else "")
     if lib is None or not hasattr(lib, entry):
         return False
+    if cvt == CVT_F32_BF16 and itemsize != 2:
+        # the cvt entry writes 2-byte bf16; a wrong itemsize would build a
+        # wrong-size fill pattern and mis-stride missing-chunk fills
+        raise ValueError(f"cvt=CVT_F32_BF16 requires itemsize=2 "
+                         f"(destination bf16), got {itemsize}")
     n = len(frames)
     if n == 0:
         return True
@@ -363,6 +370,11 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
         dst.ctypes.data,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         strides, fill, 0)
+    if failed < 0:
+        # distinct bad-args sentinel from the native entry (unsupported
+        # cvt code / ndim out of range) — NOT a decode failure
+        raise ValueError(f"blosc scatter decompress: native entry "
+                         f"rejected arguments (ndim={ndim}, cvt={cvt})")
     if failed:
         raise ValueError(f"blosc scatter decompress: {failed} chunk(s) "
                          "failed to decode")

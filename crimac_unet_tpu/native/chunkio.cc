@@ -361,14 +361,15 @@ extern "C" {
 // float32, destination is the converted dtype selected by `cvt` (see
 // table above; only cvt=1 / bf16 currently).  `fill` points at
 // dst_itemsize bytes of the converted fill pattern.  Returns failed
-// chunk count (n on bad args).
+// chunk count; -1 on bad arguments (unsupported cvt code or ndim out of
+// range) so callers can distinguish API misuse from decode failures.
 int64_t cio_batch_decompress_scatter_cvt(
     int64_t n, const void* const* srcs, const int64_t* src_sizes,
     int ndim, const int64_t* chunk_shape, int cvt,
     const int64_t* box_start, const int64_t* box_stop,
     void* dst_base, const int64_t* dst_offsets,
     const int64_t* dst_strides, const void* fill, int max_threads) {
-  if (ndim <= 0 || ndim > CIO_MAX_DIMS || cvt != 1) return n;
+  if (ndim <= 0 || ndim > CIO_MAX_DIMS || cvt != 1) return -1;
   const int64_t dst_itemsize = 2;
   int64_t chunk_bytes = 4;
   for (int d = 0; d < ndim; ++d) chunk_bytes *= chunk_shape[d];
@@ -413,7 +414,8 @@ int64_t cio_batch_decompress_scatter_cvt(
   return failed.load();
 }
 
-// Returns 0 on full success, else the count of failed chunks.
+// Returns 0 on full success, the count of failed chunks on decode
+// errors, or -1 on bad arguments (ndim out of range).
 int64_t cio_batch_decompress_scatter(
     int64_t n, const void* const* srcs, const int64_t* src_sizes,
     int ndim, const int64_t* chunk_shape, int64_t itemsize,
@@ -423,7 +425,7 @@ int64_t cio_batch_decompress_scatter(
     const int64_t* dst_strides,  // ndim (bytes), in CHUNK axis order
     const void* fill,            // itemsize bytes
     int max_threads) {
-  if (ndim <= 0 || ndim > CIO_MAX_DIMS) return n;
+  if (ndim <= 0 || ndim > CIO_MAX_DIMS) return -1;
   int64_t chunk_bytes = itemsize;
   for (int d = 0; d < ndim; ++d) chunk_bytes *= chunk_shape[d];
 

@@ -433,7 +433,11 @@ def predict_reader(runner: GriddedRunner, reader, preload_n_pings=1000,
                 out.copy_to_host_async()
                 if lab_host is not None:
                     keep_dev.copy_to_host_async()
-            except Exception:
+            except AttributeError:
+                # older jax arrays without copy_to_host_async: _drain's
+                # np.asarray still performs the (synchronous) transfer.
+                # Any OTHER error class must surface here, not be
+                # silently deferred to _drain with no context.
                 pass
             pending.append((s, e, out, keep_dev, lab_host))
             if len(pending) >= pipeline_depth:

@@ -356,3 +356,39 @@ def test_converting_scatter_bit_equals_ml_dtypes(tmp_path):
                 & np.isnan(ref16.astype(np.float32)))
     mism = ~((got == want) | nan_both)
     assert not mism.any(), np.argwhere(mism)[:5]
+
+
+def test_scatter_cvt_bad_args_dedicated_error():
+    """API misuse of the converting scatter must raise a DEDICATED error,
+    not masquerade as 'N chunk(s) failed to decode' (r4 advisor finding):
+    (a) the Python wrapper validates itemsize==2 under cvt=CVT_F32_BF16
+    before building a fill pattern; (b) the native entry returns -1 (not
+    n) for an unsupported cvt code / out-of-range ndim, which the wrapper
+    reports as argument rejection."""
+    from crimac_unet_tpu.data import blosc_codec
+    if not blosc_codec.scatter_cvt_available():
+        pytest.skip("native converting scatter unavailable")
+
+    frame = bc.compress(np.zeros(16, np.float32), 4)
+    boxes = np.array([[[0, 0], [4, 4]]], np.int64)
+    dst = np.zeros((4, 4), np.uint16)
+
+    with pytest.raises(ValueError, match="itemsize=2"):
+        bc.batch_decompress_scatter(
+            [frame], (4, 4), 4, boxes, dst, np.zeros(1, np.int64),
+            (8, 2), b"\x00" * 4, cvt=bc.CVT_F32_BF16)
+
+    # native-level bad args (unsupported cvt code), reported distinctly
+    lib = bc._load_chunkio()
+    import ctypes
+    rc = lib.cio_batch_decompress_scatter_cvt(
+        1, (ctypes.c_void_p * 1)(None), (ctypes.c_int64 * 1)(0),
+        2, (ctypes.c_int64 * 2)(4, 4), 99,
+        boxes[:, 0, :].astype(np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        boxes[:, 1, :].astype(np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data, np.zeros(1, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        (ctypes.c_int64 * 2)(8, 2), b"\x00\x00", 0)
+    assert rc == -1

@@ -43,6 +43,13 @@ OVERLAP = 20
 PRELOAD = 1000
 BASELINE_CHUNKS = 1  # chunks measured for the torch baseline
 
+# reference tunnel link rates for the weather-normalized e2e key: the r4
+# wall analysis's median observed rates (BASELINE.md r4 sessions —
+# h2d ~800 MB/s, d2h ~20-40 MB/s through the axon tunnel).  Cross-round
+# comparisons use normalized_e2e_pings_per_sec / device_bound_pings_per_sec
+REF_H2D_MBPS = 800.0
+REF_D2H_MBPS = 40.0
+
 
 def ensure_fixture():
     cache = Path(__file__).resolve().parent / ".bench_cache"
@@ -310,6 +317,44 @@ def run_ours(sv_path):
               f"{extras['device_tflops_per_sec']} TFLOP/s"
               + (f", MFU {dev_mfu:.1%}" if dev_mfu else ""),
               file=sys.stderr)
+
+    # ---- weather-normalized derived metrics (VERDICT r4 #3) ----------
+    # The e2e headline rides the tunnel's 2-30x transfer-rate swings
+    # (r3: 2347 pings/s, r4: 1305 on BETTER device code).  Two derived
+    # keys make rounds comparable:
+    #   device_bound_pings_per_sec  — chunk pings over device-only chunk
+    #       time: the pure-compute ceiling, weather-free.
+    #   normalized_e2e_pings_per_sec — the best e2e pass re-projected to
+    #       REFERENCE link rates using this run's own link probes:
+    #       wall - bytes/measured_rate + bytes/reference_rate, floored
+    #       at the device-bound wall (transfers overlap compute, so the
+    #       subtraction can overshoot).  Reference rates are the r4 wall
+    #       analysis's median tunnel (BASELINE.md): h2d 800 MB/s, d2h
+    #       40 MB/s.  Compare ROUNDS on these keys, not the headline.
+    if dev_s is not None:
+        n_chunks = (N_PINGS + PRELOAD - 1) // PRELOAD
+        extras["device_bound_pings_per_sec"] = round(PRELOAD / dev_s, 1)
+        h2d_rate = extras.get("h2d_mb_per_s")
+        d2h_rate = extras.get("d2h_mb_per_s")
+        if h2d_rate and d2h_rate:
+            itemsize = {"float32": 4, "bfloat16": 2,
+                        "uint8": 1}[runner.transfer_dtype]
+            h2d_bytes = n_chunks * N_RANGE * PRELOAD * len(FREQS) * itemsize
+            out_isz = 1 if runner.output_dtype == "uint8" else 2
+            d2h_bytes = n_chunks * 2 * N_RANGE * PRELOAD * out_isz
+            est_meas = (h2d_bytes / (h2d_rate * 1e6)
+                        + d2h_bytes / (d2h_rate * 1e6))
+            est_ref = h2d_bytes / (REF_H2D_MBPS * 1e6) \
+                + d2h_bytes / (REF_D2H_MBPS * 1e6)
+            norm_wall = max(dt - est_meas + est_ref, n_chunks * dev_s)
+            extras["normalized_e2e_pings_per_sec"] = round(
+                N_PINGS / norm_wall, 1)
+            print(f"# normalized (weather-corrected to h2d "
+                  f"{REF_H2D_MBPS}/d2h {REF_D2H_MBPS} MB/s): "
+                  f"{extras['normalized_e2e_pings_per_sec']} pings/s; "
+                  f"device-bound ceiling "
+                  f"{extras['device_bound_pings_per_sec']} pings/s",
+                  file=sys.stderr)
     return headline_pps, extras
 
 

@@ -435,11 +435,15 @@ def _train_step_time(batch, dtype, steps=10, warmup=3):
 
     for _ in range(warmup):
         state, loss = train_step(state, data, labels, key)
-    jax.block_until_ready(loss)
+    # block_until_ready under-blocks through the axon tunnel (BASELINE.md
+    # methodology): np.asarray on the scalar loss is the only reliable
+    # fence — without it the r5 session measured 0.89 "ms/step" (pure
+    # dispatch) where the device trace showed 26.3 ms
+    np.asarray(loss)
     t0 = time.time()
     for _ in range(steps):
         state, loss = train_step(state, data, labels, key)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     dt = (time.time() - t0) / steps
     step_flops = batch * F.unet_train_step_flops(
         PATCH, PATCH, in_channels=len(FREQS), depth=5, start_filts=64)

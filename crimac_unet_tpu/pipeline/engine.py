@@ -96,8 +96,16 @@ def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = labels != LABEL_IGNORE_VAL
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    pix_w = w[safe] * valid.astype(jnp.float32)
+    # per-pixel selects via a one-hot contraction, NOT take_along_axis /
+    # advanced indexing: XLA lowers those per-pixel gathers as kCustom
+    # fusions running at ~1.6 GB/s — profiler-measured 11.9 ms/step
+    # (29 % of the whole b8 train step) for the two gathers this
+    # replaces, vs <0.5 ms for the compare/select form.  Bit-equal:
+    # one-hot products are exact 0/1 multiplies in f32
+    # (docs/SESSIONS.md round 5, train campaign).
+    oh = jax.nn.one_hot(safe, logp.shape[-1], dtype=jnp.float32)
+    nll = -jnp.sum(logp * oh, axis=-1)
+    pix_w = jnp.sum(w * oh, axis=-1) * valid.astype(jnp.float32)
     return jnp.sum(nll * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
 
 
@@ -109,9 +117,12 @@ def focal_loss(logits, labels, class_weights, gamma=2.0):
     valid = labels != LABEL_IGNORE_VAL
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    logp_t = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis — see
+    # weighted_ce_loss for the measured kCustom-gather pathology
+    oh = jax.nn.one_hot(safe, logp.shape[-1], dtype=jnp.float32)
+    logp_t = jnp.sum(logp * oh, axis=-1)
     focal = (1.0 - jnp.exp(logp_t)) ** gamma * (-logp_t)
-    pix_w = w[safe] * valid.astype(jnp.float32)
+    pix_w = jnp.sum(w * oh, axis=-1) * valid.astype(jnp.float32)
     return jnp.sum(focal * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
 
 

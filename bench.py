@@ -324,33 +324,37 @@ def run_ours(sv_path):
     # keys make rounds comparable:
     #   device_bound_pings_per_sec  — chunk pings over device-only chunk
     #       time: the pure-compute ceiling, weather-free.
-    #   normalized_e2e_pings_per_sec — the best e2e pass re-projected to
-    #       REFERENCE link rates using this run's own link probes:
-    #       wall - bytes/measured_rate + bytes/reference_rate, floored
-    #       at the device-bound wall (transfers overlap compute, so the
-    #       subtraction can overshoot).  Reference rates are the r4 wall
-    #       analysis's median tunnel (BASELINE.md): h2d 800 MB/s, d2h
-    #       40 MB/s.  Compare ROUNDS on these keys, not the headline.
+    #   normalized_e2e_pings_per_sec — the best e2e pass with its
+    #       MEASURED device_wait (the wall actually spent waiting on
+    #       device queue + transfers, per-pass phase timer) replaced by
+    #       device compute + a serial transfer estimate at REFERENCE
+    #       link rates (h2d 800 / d2h 40 MB/s — the r4 wall analysis's
+    #       median tunnel).  The one-shot 5 MB link probes are recorded
+    #       but NOT used for the correction: a single small transfer is
+    #       latency-dominated and swings far more than the in-run
+    #       per-pass wait it would correct (r5 finding — probe read
+    #       25.6 MB/s in a run whose passes streamed fine).
+    #       Compare ROUNDS on these keys, not the headline.
     if dev_s is not None:
         n_chunks = (N_PINGS + PRELOAD - 1) // PRELOAD
         extras["device_bound_pings_per_sec"] = round(PRELOAD / dev_s, 1)
-        h2d_rate = extras.get("h2d_mb_per_s")
-        d2h_rate = extras.get("d2h_mb_per_s")
-        if h2d_rate and d2h_rate:
+        wait_s = (summaries[best_i].get("device_wait", {})
+                  .get("total_s", None))
+        if wait_s is not None:
             itemsize = {"float32": 4, "bfloat16": 2,
                         "uint8": 1}[runner.transfer_dtype]
             h2d_bytes = n_chunks * N_RANGE * PRELOAD * len(FREQS) * itemsize
             out_isz = 1 if runner.output_dtype == "uint8" else 2
             d2h_bytes = n_chunks * 2 * N_RANGE * PRELOAD * out_isz
-            est_meas = (h2d_bytes / (h2d_rate * 1e6)
-                        + d2h_bytes / (d2h_rate * 1e6))
             est_ref = h2d_bytes / (REF_H2D_MBPS * 1e6) \
                 + d2h_bytes / (REF_D2H_MBPS * 1e6)
-            norm_wall = max(dt - est_meas + est_ref, n_chunks * dev_s)
+            norm_wall = max(dt - wait_s + n_chunks * dev_s + est_ref,
+                            n_chunks * dev_s)
             extras["normalized_e2e_pings_per_sec"] = round(
                 N_PINGS / norm_wall, 1)
-            print(f"# normalized (weather-corrected to h2d "
-                  f"{REF_H2D_MBPS}/d2h {REF_D2H_MBPS} MB/s): "
+            print(f"# normalized (measured device_wait {wait_s:.2f}s "
+                  f"replaced by compute + ref-rate transfers "
+                  f"{est_ref:.2f}s): "
                   f"{extras['normalized_e2e_pings_per_sec']} pings/s; "
                   f"device-bound ceiling "
                   f"{extras['device_bound_pings_per_sec']} pings/s",

@@ -230,6 +230,62 @@ def detect_schools(prob_map: np.ndarray, prob_threshold: float = 0.5,
     return det.finalize()
 
 
+# --------------------------------------------------- detection post-merge
+def merge_detections(detections: list, merge_gap: int = 0) -> list:
+    """Consolidate fragmented detections: union-find over detection
+    boxes whose gap is at most ``merge_gap`` pixels in BOTH axes (boxes
+    expanded by ``merge_gap/2`` each side touching/overlapping merge).
+    Merged detection = union bounding box, max score, summed pixels.
+
+    Rationale (r5 post-processing study, docs/SESSIONS.md): the trained
+    detector over-fragments sandeel schools — thresholded components
+    split one acoustic school into many pieces (r4 re-measure: 2362
+    detections vs 81 GT schools).  Gap-merging is chunk-boundary-safe
+    (it runs on the finalized inventory, unlike a mask closing which
+    would need halo reads across streamed chunks).  ``merge_gap=0`` is
+    the identity."""
+    if merge_gap <= 0 or len(detections) <= 1:
+        return list(detections)
+    boxes = np.asarray([d["bounding_box"] for d in detections],
+                       np.float64)
+    half = merge_gap / 2.0
+    ex = boxes + np.asarray([-half, half, -half, half])
+    n = len(boxes)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # sweep over ping axis to keep the pair scan near-linear
+    order = np.argsort(ex[:, 2])
+    for oi in range(n):
+        i = order[oi]
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            if ex[j, 2] > ex[i, 3]:
+                break
+            if (ex[i, 0] <= ex[j, 1] and ex[j, 0] <= ex[i, 1]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    groups = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    merged = []
+    for idxs in groups.values():
+        bb = boxes[idxs]
+        merged.append({
+            "bounding_box": [int(bb[:, 0].min()), int(bb[:, 1].max()),
+                             int(bb[:, 2].min()), int(bb[:, 3].max())],
+            "score": float(max(detections[i]["score"] for i in idxs)),
+            "n_pixels": int(sum(detections[i]["n_pixels"]
+                                for i in idxs))})
+    return merged
+
+
 # --------------------------------------------------------------- geometry
 def bbox_iou(a, b) -> float:
     """IoU of two inclusive [y0, y1, x0, x1] boxes."""
@@ -516,7 +572,7 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                        iou_thresholds=DEFAULT_IOU_THRESHOLDS,
                        save_path_metrics=None, save_path_detections=None,
                        progress=False, categories=None,
-                       from_predictions=None) -> dict:
+                       from_predictions=None, merge_gap=0) -> dict:
     """Survey-level school detection metrics over all its readers, per
     category (sandeel + other fish by default) from ONE predict pass —
     COCO form: per-category AP averaged into the survey mAP.
@@ -578,6 +634,9 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                 runner, reader, preload_n_pings, prob_threshold,
                 min_area, fixed_R=fixed_R, fixed_C=fixed_C,
                 progress=progress, channels=channels)
+        if merge_gap:
+            dets_by_ch = {ch: merge_detections(d, merge_gap)
+                          for ch, d in dets_by_ch.items()}
         gts = gt_boxes_by_category(
             reader, [raw for raw, _ in categories.values()])
         for name, (raw_code, ch) in categories.items():
@@ -585,7 +644,7 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
             inventory.append((reader, name, dets_by_ch[ch]))
     metrics = {"iou_thresholds": list(iou_thresholds),
                "prob_threshold": prob_threshold, "min_area": min_area,
-               "categories": {}}
+               "merge_gap": int(merge_gap), "categories": {}}
     for name in categories:
         metrics["categories"][name] = school_metrics(per_cat[name],
                                                      iou_thresholds)
@@ -670,6 +729,7 @@ def save_school_metrics(metrics: dict, save_path) -> None:
     df = pd.DataFrame(rows)
     df["prob_threshold"] = metrics.get("prob_threshold", np.nan)
     df["min_area"] = metrics.get("min_area", np.nan)
+    df["merge_gap"] = metrics.get("merge_gap", 0)
     df.to_csv(save_path, index=False)
 
 
@@ -689,6 +749,7 @@ def main(argv=None):
     # reference's (utils/general.py:38-117)
     prob_thr = float(config.get("school_prob_threshold", 0.5))
     min_area = int(config.get("school_min_area", 1))
+    merge_gap = int(config.get("school_merge_gap", 0))
     iou_thrs = tuple(config.get("school_iou_thresholds",
                                 DEFAULT_IOU_THRESHOLDS))
     # school_from_predictions: detect from a save_predict output dir
@@ -708,7 +769,8 @@ def main(argv=None):
                 ctx.metrics_dir, f"{survey}_school_eval.csv"),
             save_path_detections=os.path.join(
                 ctx.metrics_dir, f"{survey}_schools.csv"),
-            progress=True, from_predictions=from_preds)
+            progress=True, from_predictions=from_preds,
+            merge_gap=merge_gap)
         for cname, m in metrics["categories"].items():
             ap_str = ", ".join(f"AP@{t:g}={a:.3f}" for t, a in
                                zip(m["iou_thresholds"], m["ap"]))

@@ -668,3 +668,38 @@ def test_ap_band_large_fixture(tmp_path):
             assert 0.55 <= m["ap"][t_i] <= 0.97, (name, thr, m["ap"])
         # misses + FPs must actually register: AP strictly below perfect
         assert m["ap"][0] < 0.95
+
+
+def test_merge_detections():
+    """Box-merge post-processing (r5, VERDICT r4 #4): detections whose
+    boxes come within merge_gap pixels merge into one (union box, max
+    score, summed pixels); farther ones stay; gap=0 is the identity."""
+    from crimac_unet_tpu.pipeline.school_eval import merge_detections
+    dets = [
+        {"bounding_box": [0, 4, 0, 4], "score": 0.9, "n_pixels": 10},
+        {"bounding_box": [2, 6, 8, 12], "score": 0.7, "n_pixels": 5},
+        {"bounding_box": [50, 60, 50, 60], "score": 0.5, "n_pixels": 7},
+    ]
+    assert merge_detections(dets, 0) == dets
+    got = merge_detections(dets, 8)   # gap 3 in x between first two
+    got = sorted(got, key=lambda d: d["bounding_box"][0])
+    assert len(got) == 2
+    assert got[0] == {"bounding_box": [0, 6, 0, 12], "score": 0.9,
+                      "n_pixels": 15}
+    assert got[1]["bounding_box"] == [50, 60, 50, 60]
+    # transitive chains merge through the middle box
+    chain = [
+        {"bounding_box": [0, 2, 0, 2], "score": 0.1, "n_pixels": 1},
+        {"bounding_box": [0, 2, 5, 7], "score": 0.2, "n_pixels": 1},
+        {"bounding_box": [0, 2, 10, 12], "score": 0.3, "n_pixels": 1},
+    ]
+    merged = merge_detections(chain, 4)
+    assert len(merged) == 1
+    assert merged[0]["bounding_box"] == [0, 2, 0, 12]
+    assert merged[0]["score"] == 0.3 and merged[0]["n_pixels"] == 3
+    # y-separation must NOT merge even when x-ranges overlap
+    far_y = [
+        {"bounding_box": [0, 2, 0, 4], "score": 0.1, "n_pixels": 1},
+        {"bounding_box": [20, 22, 0, 4], "score": 0.2, "n_pixels": 1},
+    ]
+    assert len(merge_detections(far_y, 4)) == 2

@@ -314,7 +314,7 @@ def scatter_cvt_available() -> bool:
 
 def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
                              dst, dst_offsets, dst_strides, fill_bytes,
-                             cvt=0):
+                             cvt=0, max_threads=None):
     """Decode N frames and scatter each frame's sub-box straight into a
     strided destination array (one native pass: no intermediate chunk
     buffer, no separate place/transpose copies).  Returns False ONLY when
@@ -333,6 +333,11 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
     cvt           0 = same-dtype scatter; CVT_F32_BF16 = decode float32
                   chunks, write bfloat16 (``itemsize`` is then the
                   DESTINATION itemsize, 2)
+    max_threads   worker-thread cap for the native fan-out; None reads
+                  the CRIMAC_CHUNKIO_THREADS env var (0/unset = one
+                  worker per hardware thread).  The scaling curve per
+                  thread count is recorded in scripts/host_scaling.py /
+                  BASELINE.md (r5).
     """
     lib = _load_chunkio()
     entry = "cio_batch_decompress_scatter" + ("_cvt" if cvt else "")
@@ -363,13 +368,18 @@ def batch_decompress_scatter(frames, chunk_shape, itemsize, boxes,
     # the two entry points share every argument except position 6 (the
     # cvt code vs the plain itemsize) — dispatch through one call so a
     # future argument change cannot silently diverge the paths
+    if max_threads is None:
+        try:
+            max_threads = int(os.environ.get("CRIMAC_CHUNKIO_THREADS", 0))
+        except ValueError:
+            max_threads = 0
     failed = getattr(lib, entry)(
         n, srcs, src_sizes, ndim, shape_arr, cvt if cvt else itemsize,
         b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         dst.ctypes.data,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        strides, fill, 0)
+        strides, fill, int(max_threads))
     if failed < 0:
         # distinct bad-args sentinel from the native entry (unsupported
         # cvt code / ndim out of range) — NOT a decode failure

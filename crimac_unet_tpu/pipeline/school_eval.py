@@ -57,6 +57,8 @@ threshold + a mean-AP summary row).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 
 from ..constants import RAW_OTHER, RAW_SANDEEL
@@ -567,6 +569,15 @@ def detect_reader_schools(runner, reader, preload_n_pings=1000,
     return {ch: det.finalize() for ch, det in dets.items()}
 
 
+def _detector_min_area(min_area) -> int:
+    """Component-level area filter for the streaming detectors: the
+    minimum over per-category values (per-category filtering happens
+    afterwards on the finalized lists)."""
+    if isinstance(min_area, dict):
+        return int(min(min_area.values())) if min_area else 1
+    return int(min_area)
+
+
 def school_eval_survey(runner, readers, preload_n_pings=1000,
                        prob_threshold=0.5, min_area=1,
                        iou_thresholds=DEFAULT_IOU_THRESHOLDS,
@@ -623,8 +634,8 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                         f"{rname}_pred.zarr / {rname}_pred.npy)")
                 store = npy
             dets_by_ch = detect_store_schools(
-                store, reader, prob_threshold, min_area,
-                channels=channels,
+                store, reader, prob_threshold,
+                _detector_min_area(min_area), channels=channels,
                 # the live path's preload rule (predict_reader):
                 # non-positive means 'use the 5000-ping default'
                 chunk_pings=preload_n_pings if preload_n_pings > 0
@@ -632,19 +643,33 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
         else:
             dets_by_ch = detect_reader_schools(
                 runner, reader, preload_n_pings, prob_threshold,
-                min_area, fixed_R=fixed_R, fixed_C=fixed_C,
-                progress=progress, channels=channels)
-        if merge_gap:
-            dets_by_ch = {ch: merge_detections(d, merge_gap)
-                          for ch, d in dets_by_ch.items()}
+                _detector_min_area(min_area), fixed_R=fixed_R,
+                fixed_C=fixed_C, progress=progress, channels=channels)
         gts = gt_boxes_by_category(
             reader, [raw for raw, _ in categories.values()])
         for name, (raw_code, ch) in categories.items():
-            per_cat[name].append((dets_by_ch[ch], gts[raw_code]))
-            inventory.append((reader, name, dets_by_ch[ch]))
+            dets = dets_by_ch[ch]
+            # per-category post-processing (r5 sweep,
+            # docs/SESSIONS.md): min_area/merge_gap may be ints or
+            # {category: int} dicts — the measured optima DIFFER by
+            # category (gap-merging consolidates fragmented sandeel
+            # schools but falsely merges distinct 'other' schools)
+            area_c = (min_area.get(name, 1)
+                      if isinstance(min_area, dict) else min_area)
+            gap_c = (merge_gap.get(name, 0)
+                     if isinstance(merge_gap, dict) else merge_gap)
+            if area_c > _detector_min_area(min_area):
+                dets = [d for d in dets if d["n_pixels"] >= area_c]
+            if gap_c:
+                dets = merge_detections(dets, gap_c)
+            per_cat[name].append((dets, gts[raw_code]))
+            inventory.append((reader, name, dets))
     metrics = {"iou_thresholds": list(iou_thresholds),
-               "prob_threshold": prob_threshold, "min_area": min_area,
-               "merge_gap": int(merge_gap), "categories": {}}
+               "prob_threshold": prob_threshold,
+               "min_area": min_area if isinstance(min_area, dict)
+               else int(min_area),
+               "merge_gap": merge_gap if isinstance(merge_gap, dict)
+               else int(merge_gap), "categories": {}}
     for name in categories:
         metrics["categories"][name] = school_metrics(per_cat[name],
                                                      iou_thresholds)
@@ -726,10 +751,14 @@ def save_school_metrics(metrics: dict, save_path) -> None:
                  "AP": metrics["mean_ap"], "recall": np.nan,
                  "precision": np.nan, "n_gt": np.nan,
                  "n_detections": np.nan})
+    def _col(v, default):
+        v = metrics.get(v, default)
+        return json.dumps(v) if isinstance(v, dict) else v
+
     df = pd.DataFrame(rows)
     df["prob_threshold"] = metrics.get("prob_threshold", np.nan)
-    df["min_area"] = metrics.get("min_area", np.nan)
-    df["merge_gap"] = metrics.get("merge_gap", 0)
+    df["min_area"] = _col("min_area", np.nan)
+    df["merge_gap"] = _col("merge_gap", 0)
     df.to_csv(save_path, index=False)
 
 
@@ -748,8 +777,22 @@ def main(argv=None):
     # school_iou_thresholds), not CLI flags: the eval flag set stays the
     # reference's (utils/general.py:38-117)
     prob_thr = float(config.get("school_prob_threshold", 0.5))
-    min_area = int(config.get("school_min_area", 1))
-    merge_gap = int(config.get("school_merge_gap", 0))
+    # CLI defaults = the measured r5 operating point on the
+    # 81/76-school held-out fixture (scripts/school_postproc_sweep.py,
+    # docs/SESSIONS.md): per-category min_area + gap-merge — sandeel
+    # fragments (merge at gap 8 lifts AP@0.25 0.20 -> 0.31), 'other'
+    # must NOT merge (distinct schools sit close; merging halves its
+    # AP).  Values are ints or {category: int} dicts; the pure
+    # component inventory is one YAML line away
+    # (school_min_area: 1, school_merge_gap: 0).
+
+    def _knob(key, default):
+        v = config.get(key, default)
+        return ({k: int(x) for k, x in v.items()}
+                if isinstance(v, dict) else int(v))
+
+    min_area = _knob("school_min_area", {"sandeel": 9, "other": 64})
+    merge_gap = _knob("school_merge_gap", {"sandeel": 8, "other": 0})
     iou_thrs = tuple(config.get("school_iou_thresholds",
                                 DEFAULT_IOU_THRESHOLDS))
     # school_from_predictions: detect from a save_predict output dir

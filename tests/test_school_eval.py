@@ -703,3 +703,75 @@ def test_merge_detections():
         {"bounding_box": [20, 22, 0, 4], "score": 0.2, "n_pixels": 1},
     ]
     assert len(merge_detections(far_y, 4)) == 2
+
+
+def test_postprocessed_path_band(tmp_path):
+    """Gate on the PER-CATEGORY post-processed path (r5 adopted
+    operating point, VERDICT r4 #4): schools painted as FRAGMENTS
+    (three pieces with 3-px gaps) plus sub-min_area speckle.  Through
+    school_eval_survey with the production dict knobs
+    (min_area={'sandeel': 9, 'other': 64}, merge_gap={'sandeel': 8,
+    'other': 0}): sandeel fragments must consolidate (detection count
+    near GT, AP in a high band) while 'other' — whose fragments sit
+    farther apart than its merge_gap=0 allows — stays fragmented, and
+    speckle dies at min_area in both."""
+    import numpy as np
+
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.pipeline.school_eval import (
+        gt_boxes_by_category, school_eval_survey)
+
+    sv = make_zarr_survey(tmp_path, year=2019, n_echograms=14, H=400,
+                          W=400, seed=77, n_schools=12)
+    reader = DataReaderZarr(sv)
+    n_pings, n_range = reader.shape
+    gt = gt_boxes_by_category(reader, [27, 1])
+
+    prob = np.zeros((2, n_range, n_pings), np.float32)
+    for ch, cat in ((0, 27), (1, 1)):
+        for i, (y0, y1, x0, x1) in enumerate(sorted(map(tuple, gt[cat]))):
+            score = 0.55 + 0.4 * ((i * 37) % 10) / 10.0
+            # three ping-axis fragments with 3-px gaps (< sandeel's
+            # merge_gap 8 -> consolidates; 'other' gap=0 -> stays split)
+            w = x1 - x0 + 1
+            cuts = [x0, x0 + max(w // 3, 1), x0 + max(2 * w // 3, 2)]
+            for k, cs in enumerate(cuts):
+                ce = (cuts[k + 1] - 3) if k + 1 < len(cuts) else x1
+                if ce >= cs:
+                    region = prob[ch, y0:y1 + 1, cs:ce + 1]
+                    np.maximum(region, score, out=region)
+        # speckle: 2x2 blobs (area 4 < both min_areas) in empty spots
+        sp = 0
+        for k in range(60):
+            y, x = 5, 30 + 61 * k
+            if x + 2 >= n_pings:
+                break
+            if (prob[ch, y:y + 2, x:x + 2] == 0).all():
+                prob[ch, y:y + 2, x:x + 2] = 0.7
+                sp += 1
+        assert sp >= 10
+
+    npy = tmp_path / (reader.name + "_pred.npy")
+    np.save(npy, prob.astype(np.float16))
+
+    m = school_eval_survey(None, [reader], prob_threshold=0.5,
+                           min_area={"sandeel": 9, "other": 64},
+                           merge_gap={"sandeel": 8, "other": 0},
+                           from_predictions=str(tmp_path))
+    sand = m["categories"]["sandeel"]
+    oth = m["categories"]["other"]
+    # sandeel: fragments merged + speckle killed -> detections near GT,
+    # high AP at IoU .25 (merged unions cover the GT boxes)
+    assert sand["n_detections"] <= 1.5 * sand["n_gt"], sand
+    # 0.65 floor: a few GT schools sit within merge_gap of each other
+    # and union into one detection (measured 0.74 on this fixture)
+    assert sand["ap"][0] >= 0.65, sand["ap"]
+    # other: no merging -> fragment over-count survives, and per-fragment
+    # IoU vs full GT boxes is low -> AP@.25 collapses vs sandeel's
+    assert oth["n_detections"] >= 2 * oth["n_gt"], oth
+    # 1/3-width fragments still clear IoU .25 (~0.38 measured) but can
+    # never reach IoU .5 — while merged sandeel stays high there
+    assert oth["ap"][0] <= 0.45, oth["ap"]
+    assert oth["ap"][1] == 0.0, oth["ap"]
+    assert sand["ap"][1] >= 0.5, sand["ap"]

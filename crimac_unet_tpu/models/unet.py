@@ -104,7 +104,9 @@ class DownConv(nn.Module):
             return PP.relu_pool_skip(x)
         before_pool = x
         if self.pooling:
-            if (self.pallas_pool and not train
+            # same C==64 restriction as the fused branch: deeper pools
+            # (C>=128) run at their HBM bound under XLA already
+            if (self.pallas_pool and not train and self.features == 64
                     and PP.supported(x.shape, x.dtype)):
                 x = PP.maxpool2x2(x)
             else:

@@ -130,7 +130,10 @@ def test_fast_train_preset_is_the_rescaled_reference_recipe():
     assert fast["lr_step"] * scale == base["lr_step"]
     assert fast["log_step"] * scale == base["log_step"]
     assert fast["test_iter"] * scale == base["test_iter"]
-    assert fast["lr"] == base["lr"] * scale
+    # sqrt LR scaling (r5): linear (lr * scale) proved unstable at these
+    # class weights — two draws at F1 0.651/0.669 vs sqrt's 0.7236
+    # (docs/SESSIONS.md round 5); sqrt(4) == 2
+    assert fast["lr"] == base["lr"] * 2
 
 
 def test_meta_train_preset_differs_only_in_meta_channels():

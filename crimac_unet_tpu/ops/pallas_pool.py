@@ -116,7 +116,11 @@ def maxpool2x2(x, *, interpret: bool = False):
     for supported geometries (tests/test_pallas_pool.py; NaN semantics
     identical — pure elementwise maxes)."""
     b, h, w, c = x.shape
-    th, ngr, nj = _plan(b, h, w, c)
+    plan = _plan(b, h, w, c)
+    if plan is None:
+        raise ValueError(f"unsupported pool geometry {x.shape} "
+                         f"{x.dtype} — gate on supported() first")
+    th, ngr, nj = plan
     bc = b * c
     wbc = w * bc
     lb = ngr * 2 * bc
@@ -188,6 +192,9 @@ def relu_pool_skip(x, *, interpret: bool = False):
     (sequential 'arbitrary' innermost dimension)."""
     b, h, w, c = x.shape
     plan = _plan(b, h, w, c)
+    if plan is None:
+        raise ValueError(f"unsupported pool geometry {x.shape} "
+                         f"{x.dtype} — gate on supported() first")
     th, ngr, nj = plan
     bc = b * c
     wbc = w * bc

@@ -43,3 +43,34 @@ def test_peak_table_lookup():
         device_kind = "cpu"
     assert F.device_peak_flops(C()) is None
     assert F.mfu(1e12, 1.0, C()) is None
+
+
+def test_device_op_table_parses_trace(tmp_path):
+    """utils/profiling.device_op_table: aggregates TPU-track complete
+    events from a trace.json.gz (the r5 profiling instrument)."""
+    import gzip
+    import json
+
+    from crimac_unet_tpu.utils.profiling import device_op_table
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    trace = {"traceEvents": [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 9, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 1500,
+         "args": {"long_name": "%fusion.1 = f32[8]..."}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 500, "args": {}},
+        {"ph": "X", "pid": 3, "name": "conv", "dur": 3000, "args": {}},
+        {"ph": "X", "pid": 9, "name": "host-thing", "dur": 99999,
+         "args": {}},
+    ]}
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+    rows = device_op_table(tmp_path, top=0)
+    assert [r["name"] for r in rows] == ["conv", "fusion.1"]
+    assert rows[0]["total_ms"] == 3.0
+    assert rows[1]["total_ms"] == 2.0 and rows[1]["count"] == 2
+    assert rows[1]["long_name"].startswith("%fusion.1")

@@ -44,7 +44,9 @@ def main():
 
     from crimac_unet_tpu.pipeline.train import run_training
     memm = ensure_train_fixture(a.work)
-    cfg = fast_config(memm, 16, 0.02)
+    # sqrt LR scaling (r5): the linear-scaled 0.02 proved unstable at
+    # these class weights (docs/SESSIONS.md round 5 fast-train session)
+    cfg = fast_config(memm, 16, 0.01)
     cfg["meta_channels"] = dict(ALL_META)
     cfg["late_meta_inject"] = bool(a.late)
     arm = "late" if a.late else "early"

@@ -51,12 +51,23 @@ def update_pr_histogram(hist: jnp.ndarray, preds: jnp.ndarray,
     pixels are dropped.  ``preds``: (...,) sandeel probabilities;
     ``labels``: (...,) int sentinel labels (pre-collapse).
 
-    Two exactly-equivalent implementations (tests assert bit-equality):
-    ``scatter`` (one scatter-add per class row) and ``sort`` (pack
-    bin+class into one key, sort, count bins via searchsorted edges).  On
+    Three exactly-equivalent implementations (tests assert bit-equality):
+    ``scatter`` (one scatter-add per class row), ``sort`` (pack
+    bin+class into one key, sort, count bins via searchsorted edges) and
+    ``matmul`` (two-level histogram as one-hot contractions on the MXU:
+    bins split into 128*121, counts = onehot_hi^T @ onehot_lo with f32
+    accumulation — every product is an exact 0/1 and chunk counts stay
+    far below f32's 2^24 integer range, so counts are bit-exact).  On
     TPU the scatter-add serializes and costs as much as the whole U-Net
-    forward on the same batch; the sort formulation rides XLA's efficient
-    sort and measured 1.6x faster, so it is the TPU default.  ``scatter``
+    forward on the same batch; ``sort`` beats it 1.6x and REMAINS the
+    TPU default: the r5 profiler showed sort's searchsorted (a 21-step
+    binary-search gather chain) costs ~8-15 ms per chunk, and the
+    matmul form was built to replace it on the MXU — but measured
+    SLOWER standalone (13.3 vs 8.5 ms per 1.6M px, burst-amortized on
+    the chip): XLA materializes the (N,121)/(N,128) one-hot operands
+    (~750 MB of traffic) instead of fusing the iota-compares into the
+    dot.  Kept as a third bit-equal implementation and a recorded
+    negative (docs/SESSIONS.md round 5).  ``scatter``
     stays the default elsewhere (CPU scatter is cheap; and under a sharded
     batch it needs no key all-gather).
     """
@@ -78,6 +89,31 @@ def update_pr_histogram(hist: jnp.ndarray, preds: jnp.ndarray,
         counts = jnp.diff(edges).reshape(N_F16_BINS, 2)
         return hist + jnp.stack(
             [counts[:, 1], counts[:, 0]]).astype(jnp.int32)
+    if impl == "matmul":
+        LO = 128                             # one full lane tile
+        n_hi = (N_F16_BINS + LO - 1) // LO   # 121
+        hi = bits // LO
+        lo = bits % LO
+        oh_hi = (hi[:, None] ==
+                 jnp.arange(n_hi, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.bfloat16)      # (N, 121) exact 0/1
+        oh_lo = (lo[:, None] ==
+                 jnp.arange(LO, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.bfloat16)      # (N, 128)
+        vpos = (valid & pos).astype(jnp.bfloat16)[:, None]
+        vneg = (valid & ~pos).astype(jnp.bfloat16)[:, None]
+        # counts[h, l] = sum_i mask_i * [hi_i == h] * [lo_i == l]:
+        # exact 0/1 products, f32 accumulation (chunk pixel counts are
+        # far below f32's 2^24 exact-integer range)
+        h_pos = jax.lax.dot_general(
+            oh_hi * vpos, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h_neg = jax.lax.dot_general(
+            oh_hi * vneg, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        flat = jnp.stack([h_pos.reshape(-1)[:N_F16_BINS],
+                          h_neg.reshape(-1)[:N_F16_BINS]])
+        return hist + flat.astype(jnp.int32)
 
     hist = hist.at[0, bits].add((valid & pos).astype(jnp.int32))
     hist = hist.at[1, bits].add((valid & ~pos).astype(jnp.int32))

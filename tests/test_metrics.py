@@ -79,8 +79,10 @@ def test_histogram_counts(rng):
 
 
 def test_histogram_impls_bit_equal(rng):
-    """The sort-based histogram (TPU default) must equal the scatter-add
-    formulation bit-for-bit on every input class."""
+    """All three histogram formulations — scatter-add, sort+searchsorted,
+    and the r5 one-hot-matmul (TPU default; exact 0/1 products, f32
+    integer accumulation) — must agree bit-for-bit on every input
+    class."""
     import jax
     import jax.numpy as jnp
     from crimac_unet_tpu.ops import metrics as M
@@ -89,12 +91,21 @@ def test_histogram_impls_bit_equal(rng):
     labels = jnp.asarray(rng.choice(
         [0, 1, 2, -100, -50, -1], size=(7, 64, 64)).astype(np.int32))
     h0 = M.new_histogram()
-    a = np.asarray(jax.jit(
-        lambda h, p, l: M.update_pr_histogram(h, p, l, impl="scatter"))(
-            h0, preds, labels))
-    b = np.asarray(jax.jit(
-        lambda h, p, l: M.update_pr_histogram(h, p, l, impl="sort"))(
-            h0, preds, labels))
-    assert np.array_equal(a, b)
-    assert a.sum() == int(np.isin(np.asarray(labels), [0, 1, 2, -50, -1])
-                          .sum())
+    outs = {}
+    for impl in ("scatter", "sort", "matmul"):
+        outs[impl] = np.asarray(jax.jit(
+            lambda h, p, l, i=impl: M.update_pr_histogram(h, p, l,
+                                                          impl=i))(
+                h0, preds, labels))
+    assert np.array_equal(outs["scatter"], outs["sort"])
+    assert np.array_equal(outs["scatter"], outs["matmul"])
+    assert outs["scatter"].sum() == int(
+        np.isin(np.asarray(labels), [0, 1, 2, -50, -1]).sum())
+    # edge bins: pred exactly 1.0 lands in the LAST bin (15360 = 120*128
+    # + 0 -> the matmul's 121st high-group), pred 0.0 in bin 0
+    preds2 = jnp.asarray(np.array([[[0.0, 1.0]]], np.float32))
+    labels2 = jnp.asarray(np.array([[[1, 1]]], np.int32))
+    for impl in ("scatter", "matmul"):
+        h = np.asarray(M.update_pr_histogram(M.new_histogram(), preds2,
+                                             labels2, impl=impl))
+        assert h[0, 0] == 1 and h[0, M.N_F16_BINS - 1] == 1

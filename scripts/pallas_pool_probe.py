@@ -18,12 +18,18 @@ the XLA lowering moves far more than the minimum bytes.  Variants:
 Each variant is asserted bit-equal to reduce_window, then timed with the
 roofline chain harness (on-device fori_loop, scalar carry).
 
-Status (r4, BASELINE.md thirteenth session follow-up): v1 is bit-equal
-but ~2x slower per byte than XLA's reduce_window; v2 rejected; v3 was
-written after the tunnel's remote-compile helper started returning
-HTTP 500 for ALL pallas compiles (including v1, which had compiled
-earlier the same day), so its verdict is OPEN — re-run this probe on a
-healthy rig before concluding anything about the lane128 formulation.
+Status — RESOLVED in r5 (docs/SESSIONS.md round 5; superseded by
+scripts/pallas_pool_v2.py and ops/pallas_pool.py): (a) the "v1 ~2x
+slower per byte" r4 numbers were a HARNESS ARTIFACT — the outside
+gate() multiply cannot fuse into an opaque pallas_call and added a
+full-size XLA copy per timing iteration; with in-kernel gating the
+chip streams 606-648 GB/s through Pallas.  (b) The HTTP 500s are
+deterministic Mosaic crashes, not weather: pltpu.roll crashes on any
+shape (so v2/v3 as written can never compile), and W=256-footprint
+4-D blocks crash past ~40 grid programs.  (c) The final layout-native
+kernel is bit-equal and fast standalone but LOSES in the full fused
+forward (layout-pin copy cascade) — see ops/pallas_pool.py for the
+shipped verdict.  This probe is kept as the historical r4 record.
 
   python scripts/pallas_pool_probe.py [--batch 32]
 """

@@ -569,12 +569,17 @@ def detect_reader_schools(runner, reader, preload_n_pings=1000,
     return {ch: det.finalize() for ch, det in dets.items()}
 
 
-def _detector_min_area(min_area) -> int:
+def _detector_min_area(min_area, category_names=()) -> int:
     """Component-level area filter for the streaming detectors: the
     minimum over per-category values (per-category filtering happens
-    afterwards on the finalized lists)."""
+    afterwards on the finalized lists).  A dict that does not cover
+    every evaluated category floors at the uncovered categories'
+    default of 1 — otherwise their sub-threshold detections would be
+    pre-filtered away."""
     if isinstance(min_area, dict):
-        return int(min(min_area.values())) if min_area else 1
+        vals = [int(min_area.get(name, 1)) for name in category_names] \
+            or [int(v) for v in min_area.values()] or [1]
+        return min(vals)
     return int(min_area)
 
 
@@ -635,7 +640,7 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                 store = npy
             dets_by_ch = detect_store_schools(
                 store, reader, prob_threshold,
-                _detector_min_area(min_area), channels=channels,
+                _detector_min_area(min_area, categories), channels=channels,
                 # the live path's preload rule (predict_reader):
                 # non-positive means 'use the 5000-ping default'
                 chunk_pings=preload_n_pings if preload_n_pings > 0
@@ -643,7 +648,7 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
         else:
             dets_by_ch = detect_reader_schools(
                 runner, reader, preload_n_pings, prob_threshold,
-                _detector_min_area(min_area), fixed_R=fixed_R,
+                _detector_min_area(min_area, categories), fixed_R=fixed_R,
                 fixed_C=fixed_C, progress=progress, channels=channels)
         gts = gt_boxes_by_category(
             reader, [raw for raw, _ in categories.values()])
@@ -658,7 +663,7 @@ def school_eval_survey(runner, readers, preload_n_pings=1000,
                       if isinstance(min_area, dict) else min_area)
             gap_c = (merge_gap.get(name, 0)
                      if isinstance(merge_gap, dict) else merge_gap)
-            if area_c > _detector_min_area(min_area):
+            if area_c > _detector_min_area(min_area, categories):
                 dets = [d for d in dets if d["n_pixels"] >= area_c]
             if gap_c:
                 dets = merge_detections(dets, gap_c)

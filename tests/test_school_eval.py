@@ -775,3 +775,32 @@ def test_postprocessed_path_band(tmp_path):
     assert oth["ap"][0] <= 0.45, oth["ap"]
     assert oth["ap"][1] == 0.0, oth["ap"]
     assert sand["ap"][1] >= 0.5, sand["ap"]
+
+
+def test_partial_min_area_dict_keeps_uncovered_category(tmp_path):
+    """A per-category min_area dict that does NOT cover every category
+    must not pre-filter the uncovered ones at the covered minimum: the
+    detector floor drops to the uncovered default of 1."""
+    import numpy as np
+
+    from crimac_unet_tpu.data.fixtures import make_zarr_survey
+    from crimac_unet_tpu.data.zarr_reader import DataReaderZarr
+    from crimac_unet_tpu.pipeline.school_eval import school_eval_survey
+
+    sv = make_zarr_survey(tmp_path, year=2019, n_echograms=2, H=200,
+                          W=200, seed=3, n_schools=4)
+    reader = DataReaderZarr(sv)
+    n_pings, n_range = reader.shape
+    prob = np.zeros((2, n_range, n_pings), np.float32)
+    # one 2x2 (area 4) blob per channel
+    prob[0, 10:12, 10:12] = 0.9
+    prob[1, 30:32, 30:32] = 0.9
+    npy = tmp_path / (reader.name + "_pred.npy")
+    np.save(npy, prob.astype(np.float16))
+
+    m = school_eval_survey(None, [reader],
+                           min_area={"sandeel": 9},  # 'other' uncovered
+                           from_predictions=str(tmp_path))
+    # sandeel blob (area 4 < 9) filtered; other blob (default 1) kept
+    assert m["categories"]["sandeel"]["n_detections"] == 0
+    assert m["categories"]["other"]["n_detections"] == 1
